@@ -1,0 +1,238 @@
+"""Aggregate-function surface: stats family, distinct, approx sketches.
+
+Parity targets: docs/docs/sql/5-aggregate_functions.md — var/stddev/corr/
+covar/regr_* (:397-741), median (:303), approx_distinct (:749),
+approx_percentile_cont (:795). Variance-family results are rounded to 4
+decimals in both engines: relative FP error from differing reduction order
+is ~1e-12, far below the rounding quantum, so hashes match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arkflow_spark.queries.base import query, r4
+from arkflow_spark.tables import load
+
+
+@query(
+    "agg_stats_family",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 4) AS std_price,
+           ROUND(var_samp(l_extendedprice), 4) AS var_price,
+           ROUND(stddev_pop(l_extendedprice), 4) AS stdp_price,
+           ROUND(var_pop(l_extendedprice), 4) AS varp_price,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qty_price,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qty_price,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+           regr_count(l_extendedprice, l_quantity) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/var/corr/covar/regr_* family
+    (reference: docs/docs/sql/5-aggregate_functions.md:397-741)."""
+    li = load(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            r4(F.stddev_samp(p), "std_price"),
+            r4(F.var_samp(p), "var_price"),
+            r4(F.stddev_pop(p), "stdp_price"),
+            r4(F.var_pop(p), "varp_price"),
+            r4(F.corr(q, p), "corr_qty_price"),
+            r4(F.covar_samp(q, p), "covs_qty_price"),
+            r4(F.covar_pop(q, p), "covp_qty_price"),
+            r4(F.regr_slope(p, q), "slope"),
+            r4(F.regr_intercept(p, q), "intercept"),
+            r4(F.regr_r2(p, q), "r2"),
+            F.regr_count(p, q).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_minmax_bool_bit",
+    oracle="""
+    SELECT o_orderstatus,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           bit_and(o_orderkey) AS band,
+           bit_or(o_orderkey) AS bor,
+           bit_xor(o_orderkey) AS bxor
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_minmax_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max + bool_and/bool_or + bit_and/or/xor
+    (reference: docs/docs/sql/5-aggregate_functions.md:91-150)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+            F.bit_and("o_orderkey").alias("band"),
+            F.bit_or("o_orderkey").alias("bor"),
+            F.bit_xor("o_orderkey").alias("bxor"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT CAST(floor(value) AS BIGINT)) AS n_int_values
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT ...) — exact distinct aggregation
+    (reference: docs/docs/sql/5-aggregate_functions.md:173)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            # explicit floor: Spark's double->int cast truncates while
+            # DuckDB's rounds, so neither cast is oracle-safe
+            F.countDistinct(F.floor("value")).alias("n_int_values"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_median_percentile",
+    oracle="""
+    SELECT event_type,
+           ROUND(median(value), 4) AS med_value,
+           ROUND(quantile_cont(value, 0.25), 4) AS p25,
+           ROUND(quantile_cont(value, 0.90), 4) AS p90,
+           ROUND(CAST(quantile_disc(value, 0.5) AS DOUBLE), 4) AS p50_disc
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median + continuous/discrete percentiles
+    (reference: docs/docs/sql/5-aggregate_functions.md:303,795).
+
+    Exact `percentile` (not approx_percentile) so values equal DuckDB's
+    quantile_cont/quantile_disc bit-for-bit before rounding.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            r4(F.median("value"), "med_value"),
+            r4(F.percentile("value", F.lit(0.25)), "p25"),
+            r4(F.percentile("value", F.lit(0.90)), "p90"),
+            r4(
+                F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").cast(
+                    "double"
+                ),
+                "p50_disc",
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("agg_approx_distinct")  # no oracle: HLL sketches differ per engine
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++)
+    (reference: docs/docs/sql/5-aggregate_functions.md:749 approx_distinct).
+
+    Sketch-based => engine-specific estimates: no value oracle (driver
+    rows-only check). At 100 TB this is the right default for distincts —
+    HLL is mergeable map-side, exact distinct is a full shuffle of the keys.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_count_distinct("value", rsd=0.01).alias("approx_values"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("agg_approx_percentile")  # no oracle: sketch-based
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch)
+    (reference: docs/docs/sql/5-aggregate_functions.md:795)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("value", 0.99, 10000).alias("p99_approx"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_first_last_string",
+    oracle="""
+    SELECT user_id,
+           first(event_type ORDER BY ts, event_id) AS first_event,
+           last(event_type ORDER BY ts, event_id) AS last_event,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    LIMIT 100
+    """,
+)
+def agg_first_last_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/string_agg as aggregates
+    (reference: docs/docs/sql/5-aggregate_functions.md:203,253,349).
+
+    Spark's first/last are order-nondeterministic, so order is imposed via
+    min_by/max_by on a unique (ts, event_id) rank; string_agg is rebuilt
+    deterministically with sort_array + array_join over a collected set.
+    """
+    ev = load(spark, sf_dir, "events")
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min_by("event_type", ordkey).alias("first_event"),
+            F.max_by("event_type", ordkey).alias("last_event"),
+            F.array_join(
+                F.sort_array(F.collect_set("event_type")), ","
+            ).alias("types_csv"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("user_id")
+        .limit(100)
+    )

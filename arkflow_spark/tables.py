@@ -1,0 +1,60 @@
+"""Test-data catalog: load the driver's parquet tables and register views.
+
+Tables (TPC-H-ish star schema + events/documents/embeddings) live at
+``/root/testdata/sf*/{name}.parquet`` per TESTDATA.md. ``region`` and
+``nation`` are fixed-size dimensions at every scale factor — always
+broadcast-able; the rest scale with sf, so their join strategy is left to
+Catalyst/AQE (which will still broadcast them when small enough).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions with scale-factor-independent cardinality (5 / 25 rows): safe to
+# broadcast unconditionally even at 100 TB.
+ALWAYS_BROADCAST = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver passes its own SparkSession, which won't carry our session
+    # defaults — set the nanos knob dynamically so TIMESTAMP(NANOS) parquet
+    # (events.ts) is readable under any session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # TIMESTAMP(NANOS) parquet columns arrive as int64 nanos (see
+    # spark.sql.legacy.parquet.nanosAsLong in session.py); convert to
+    # microsecond timestamps with integer arithmetic — double division would
+    # lose precision above 2^53 ns. DuckDB truncates ns->us the same way.
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every test table as a temp view; return them by name."""
+    out: dict[str, DataFrame] = {}
+    for t in TABLES:
+        df = load(spark, sf_dir, t)
+        df.createOrReplaceTempView(t)
+        out[t] = df
+    return out

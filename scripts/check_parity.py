@@ -1,0 +1,47 @@
+"""Run every registered query against its DuckDB oracle and report.
+
+Usage: python scripts/check_parity.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from arkflow_spark.plans.oracle import compare
+from arkflow_spark.queries import ORACLE, QUERIES
+from arkflow_spark.session import get_spark
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filters = sys.argv[2:]
+    spark = get_spark("parity-check")
+    failures = 0
+    for name, fn in sorted(QUERIES.items()):
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.time()
+        if name not in ORACLE:
+            try:
+                n = fn(spark, sf_dir).count()
+                print(f"[ROWS] {name}: {n} rows ({time.time()-t0:.1f}s, no oracle)")
+            except Exception as e:
+                failures += 1
+                print(f"[FAIL] {name}: EXC {type(e).__name__}: {str(e)[:300]}")
+            continue
+        try:
+            res = compare(name, spark, sf_dir, fn, ORACLE[name])
+            print(f"{res} ({time.time()-t0:.1f}s)")
+            failures += 0 if res.ok else 1
+        except Exception as e:
+            failures += 1
+            print(f"[FAIL] {name}: EXC {type(e).__name__}: {str(e)[:300]}")
+    print(f"\n{failures} failures / {len(QUERIES)} queries")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
