@@ -1,0 +1,204 @@
+"""Text-analysis operators for training-data pipelines over `documents`.
+
+These extend the reference's capability surface (BASELINE.json north star):
+language-ID heuristics, quality scoring, token counting, fingerprinting.
+Everything is built from JVM-side expressions (no Python UDFs) so the whole
+stage stays inside WholeStageCodegen and scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arkflow_spark.queries.base import query
+from arkflow_spark.tables import load
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "zh": ("de", "shi", "le", "zai", "he"),
+}
+
+# the word-boundary token pattern shared by Spark and the DuckDB oracle:
+# letter runs, digit runs, or single punctuation — a BPE-ish pre-tokenizer
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def _tok_count(col):
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0))
+
+
+@query(
+    "text_quality_score",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id, lang, n_chars,
+             length(text) AS len_chars,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                 w -> w IN ('the','and','of','to','in','a'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang, len_chars, n_words, n_punct,
+           ROUND(n_punct * 1.0 / len_chars, 4) AS punct_ratio,
+           ROUND(n_stop * 1.0 / n_words, 4) AS stopword_ratio,
+           ROUND(len_chars * 1.0 / n_words, 4) AS avg_word_len,
+           (len_chars BETWEEN 100 AND 10000)
+             AND (n_punct * 1.0 / len_chars < 0.1)
+             AND (n_words >= 20) AS passes_quality
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals: length/punctuation/stopword ratios + a
+    boolean quality gate — the C4/Gopher-style pre-training filter shape."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(words)
+    len_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace("text", "[^.!?,;:]", ""))
+    n_stop = F.size(
+        F.filter(
+            F.split(F.lower("text"), r"\s+"),
+            lambda w: w.isin("the", "and", "of", "to", "in", "a"),
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            len_chars.alias("len_chars"),
+            n_words.alias("n_words"),
+            n_punct.alias("n_punct"),
+            F.round(n_punct * 1.0 / len_chars, 4).alias("punct_ratio"),
+            F.round(n_stop * 1.0 / n_words, 4).alias("stopword_ratio"),
+            F.round(len_chars * 1.0 / n_words, 4).alias("avg_word_len"),
+            (
+                len_chars.between(100, 10000)
+                & (n_punct * 1.0 / len_chars < 0.1)
+                & (n_words >= 20)
+            ).alias("passes_quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+        f" w -> w IN ({words})))"
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS true_lang,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('es')} AS s_es,
+             {_lang_score_sql('fr')} AS s_fr,
+             {_lang_score_sql('de')} AS s_de
+      FROM documents
+    )
+    SELECT doc_id, true_lang, s_en, s_es, s_fr, s_de,
+           CASE GREATEST(s_en, s_es, s_fr, s_de)
+             WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+             WHEN s_fr THEN 'fr' ELSE 'de' END AS pred_lang
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language identification heuristic. Tie-break order
+    (en > es > fr > de) is encoded identically in both engines."""
+    d = load(spark, sf_dir, "documents")
+
+    def score(lang: str):
+        return F.size(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"),
+                lambda w: w.isin(*LANG_STOPWORDS[lang]),
+            )
+        )
+
+    s_en, s_es, s_fr, s_de = (score(lg) for lg in ("en", "es", "fr", "de"))
+    best = F.greatest(s_en, s_es, s_fr, s_de)
+    return (
+        d.select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            s_en.alias("s_en"),
+            s_es.alias("s_es"),
+            s_fr.alias("s_fr"),
+            s_de.alias("s_de"),
+        )
+        .withColumn(
+            "pred_lang",
+            F.when(F.col("s_en") == F.greatest("s_en", "s_es", "s_fr", "s_de"), "en")
+            .when(F.col("s_es") == F.greatest("s_en", "s_es", "s_fr", "s_de"), "es")
+            .when(F.col("s_fr") == F.greatest("s_en", "s_es", "s_fr", "s_de"), "fr")
+            .otherwise("de"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
+           ROUND(length(text) * 1.0
+                 / len(regexp_extract_all(lower(text), '{TOKEN_RE}')), 4)
+             AS chars_per_token
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens
+    (pre-tokenizer statistics for training-data budgeting)."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = _tok_count(F.col("text"))
+    n_ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(F.length("text") * 1.0 / n_tok, 4).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             AS norm_fingerprint,
+           substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 8)
+             AS short_fp,
+           length(text) AS raw_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized content fingerprint (md5) — the cheap exact-dup
+    key used before any near-dup pass."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_fingerprint"),
+        F.substring(F.md5(norm), 1, 8).alias("short_fp"),
+        F.length("text").alias("raw_len"),
+    ).orderBy("doc_id")

@@ -1,0 +1,238 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-dim).
+
+Training-data-pipeline capability beyond the reference surface
+(BASELINE.json north star): brute-force cosine top-k as the correctness
+baseline, and an IVF-style coarse-quantizer assignment as the scale path
+(probe only the nearest centroid's bucket instead of the full corpus).
+
+Determinism: dot products are 64-term double sums — reduction-order error is
+~1e-15 relative, rounded to 6 decimals for hashing; ranking gaps are >> both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arkflow_spark.queries.base import query
+from arkflow_spark.tables import load
+
+N_QUERIES = 5
+TOP_K = 10
+
+
+def _dot(a, b):
+    """Sequential (left-fold) double dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+_ORACLE_EXPLODED = """
+    x AS (
+      SELECT vec_id, label, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS v
+      FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
+      WHERE g.i <= len(embedding)
+    ),
+    nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id)
+"""
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH {_ORACLE_EXPLODED},
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, SUM(q.v * c.v) AS dot
+      FROM x q JOIN x c ON q.i = c.i
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, cand_id,
+             ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot / (nq.nrm * nc.nrm) DESC, cand_id)
+               AS rnk
+      FROM dots
+      JOIN nrm nq ON nq.vec_id = query_id
+      JOIN nrm nc ON nc.vec_id = cand_id
+    )
+    SELECT query_id, cand_id, cosine, rnk
+    FROM scored WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (k={TOP_K}) for the first {N_QUERIES} query
+    vectors — the exact baseline every ANN variant is measured against.
+
+    Scale notes: the query side is tiny and broadcast; candidates stream
+    through a single narrow stage (no shuffle until the final per-query
+    top-k, which is bounded at k rows per query)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+            ).alias("raw_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id", "cand_id", F.round("raw_cos", 6).alias("cosine"), "rnk"
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+@query(
+    "ann_ivf_assign",
+    oracle=f"""
+    WITH {_ORACLE_EXPLODED},
+    cent AS (
+      SELECT label, i,
+             CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+      FROM x GROUP BY label, i
+    ),
+    cnrm AS (SELECT label, sqrt(SUM(cv * cv)) AS cn FROM cent GROUP BY label),
+    dots AS (
+      SELECT x.vec_id, x.label AS true_label, c.label AS cand_label,
+             SUM(x.v * c.cv) AS dot
+      FROM x JOIN cent c ON c.i = x.i
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT dots.vec_id AS vec_id, true_label, cand_label,
+             dot / (n.nrm * cn.cn) AS cosine,
+             row_number() OVER (PARTITION BY dots.vec_id
+                                ORDER BY dot / (n.nrm * cn.cn) DESC, cand_label)
+               AS rnk
+      FROM dots
+      JOIN nrm n ON n.vec_id = dots.vec_id
+      JOIN cnrm cn ON cn.label = cand_label
+    )
+    SELECT vec_id, true_label, cand_label AS assigned_label,
+           ROUND(cosine, 6) AS cosine,
+           cand_label = true_label AS correct
+    FROM scored WHERE rnk = 1
+    ORDER BY vec_id
+    """,
+)
+def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse quantization: build per-label centroids, assign every
+    vector to its nearest centroid by cosine.
+
+    This is the bucketing step of IVF-ANN: at 100 TB, search probes only the
+    assigned bucket (corpus/nlist of the data) instead of everything.
+    Centroids are computed with exact decimal sums so both engines derive
+    identical centroid doubles; assignment margins are >> FP reduction noise.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("i", "vf"),
+    ).select(
+        "vec_id", "label", "i", F.col("vf").cast("double").alias("v")
+    )
+    cent = x.groupBy(F.col("label").alias("c_label"), "i").agg(
+        (
+            F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count("*")
+        ).alias("cv")
+    )
+    cnrm = cent.groupBy("c_label").agg(
+        F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("cn")
+    )
+    nrm = x.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+    dots = (
+        x.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", F.col("label").alias("true_label"), "c_label")
+        .agg(F.sum(F.col("v") * F.col("cv")).alias("dot"))
+    )
+    scored = (
+        dots.join(nrm, "vec_id")
+        .join(F.broadcast(cnrm), "c_label")
+        .select(
+            "vec_id",
+            "true_label",
+            "c_label",
+            (F.col("dot") / (F.col("nrm") * F.col("cn"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("c_label"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "vec_id",
+            "true_label",
+            F.col("c_label").alias("assigned_label"),
+            F.round("cosine", 6).alias("cosine"),
+            (F.col("c_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "embedding_stats",
+    oracle=f"""
+    WITH {_ORACLE_EXPLODED}
+    SELECT label,
+           COUNT(DISTINCT vec_id) AS n_vectors,
+           ROUND(AVG(nrm), 6) AS avg_norm,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm
+    FROM nrm JOIN embeddings USING (vec_id)
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm profile — the sanity scan run before any
+    ANN indexing job (catches zero/denormal vectors early)."""
+    e = load(spark, sf_dir, "embeddings")
+    withn = e.select("vec_id", "label", _norm(F.col("embedding")).alias("nrm"))
+    return (
+        withn.groupBy("label")
+        .agg(
+            F.countDistinct("vec_id").alias("n_vectors"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
