@@ -1,0 +1,114 @@
+"""DataFusion -> Spark SQL dialect compatibility.
+
+The reference's SQL surface is DataFusion's (SURVEY.md §2.7). Catalyst
+covers it semantically, but some function names differ; queries written for
+the reference are rewritten token-wise before execution. Only bare function
+names are translated (word boundary + following '('), string literals are
+left untouched.
+"""
+
+from __future__ import annotations
+
+import re
+
+# DataFusion name -> Spark name (docs/docs/sql/5-aggregate_functions.md and
+# 7-scalar_functions.md vs Spark builtins)
+FUNCTION_ALIASES: dict[str, str] = {
+    "approx_distinct": "approx_count_distinct",
+    "approx_median": "median",
+    "approx_percentile_cont": "percentile_approx",
+    "arrow_typeof": "typeof",
+    "arrow_cast": "cast",
+    "array_cat": "concat",
+    "array_concat": "concat",
+    "array_indexof": "array_position",
+    "array_length": "size",
+    "array_ndims": "size",
+    "array_push_back": "array_append",
+    "array_push_front": "array_prepend",
+    "array_has": "array_contains",
+    "array_element": "element_at",
+    "array_extract": "element_at",
+    "array_to_string": "array_join",
+    "array_join": "array_join",
+    "list_extract": "element_at",
+    "list_element": "element_at",
+    "list_append": "array_append",
+    "list_cat": "concat",
+    "list_concat": "concat",
+    "list_distinct": "array_distinct",
+    "list_sort": "array_sort",
+    "cardinality": "size",
+    "character_length": "length",
+    "char_length": "length",
+    "ends_with": "endswith",
+    "starts_with": "startswith",
+    "instr": "instr",
+    "strpos": "instr",
+    "to_hex": "hex",
+    "from_unixtime": "from_unixtime",
+    "to_unixtime": "unix_timestamp",
+    "now": "current_timestamp",
+    "today": "current_date",
+    "date_bin": "date_bin",
+    "to_local_time": "from_utc_timestamp",
+    "ifnull": "nvl",
+    "iszero": "iszero",  # expanded below
+    "json_get_str": "get_json_object",
+    "json_as_text": "get_json_object",
+    "json_length": "json_array_length",
+    "mean": "avg",
+    "median": "median",
+    "nanvl": "nanvl",
+    "regexp_like": "rlike",
+    "regexp_match": "regexp_extract_all",
+    "substr_index": "substring_index",
+    "uuid": "uuid",
+    "make_array": "array",
+    "range": "sequence",
+    "generate_series": "sequence",
+    "string_to_array": "split",
+    "bit_count": "bit_count",
+    "digest": "sha2",
+}
+
+_FN_RE = re.compile(
+    r"\b(" + "|".join(sorted(FUNCTION_ALIASES, key=len, reverse=True)) + r")\s*\("
+)
+_STRING_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def translate_sql(sql: str) -> str:
+    """Rewrite DataFusion function names to Spark equivalents, preserving
+    string literals."""
+    literals: list[str] = []
+
+    def stash(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00L{len(literals) - 1}\x00"
+
+    def rename(m: re.Match) -> str:
+        return FUNCTION_ALIASES[m.group(1).lower()] + "("
+
+    body = _STRING_RE.sub(stash, sql)
+    body = _FN_RE.sub(rename, body)
+    for i, lit in enumerate(literals):
+        body = body.replace(f"\x00L{i}\x00", lit)
+    return body
+
+
+_FORBIDDEN_RE = re.compile(
+    r"^\s*(INSERT|UPDATE|DELETE|CREATE|DROP|ALTER|TRUNCATE|MERGE|GRANT|REVOKE|"
+    r"SET|COPY|CALL|USE|ANALYZE|VACUUM|REFRESH|MSCK|EXPLAIN)\b",
+    re.IGNORECASE,
+)
+
+
+def assert_query_only(sql: str) -> None:
+    """Reject DDL/DML — the reference's sql processor is statement-only
+    (processor/sql.rs:189-198 SQLOptions with ddl/dml forbidden)."""
+    if _FORBIDDEN_RE.match(sql.strip()):
+        raise ValueError(
+            "only SELECT/WITH/VALUES statements are allowed in the sql"
+            f" processor (got: {sql.strip().split()[0]})"
+        )

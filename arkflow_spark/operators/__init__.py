@@ -1,0 +1,171 @@
+"""Processors: per-batch DataFrame -> DataFrame transforms.
+
+Interface (duck-typed): ``process(spark, df) -> DataFrame``. The pipeline
+applies processors in sequence (reference: Pipeline,
+crates/arkflow-core/src/pipeline/mod.rs:57-85 — flatMap semantics: a
+processor may drop all rows or expand them; both are plain DataFrame ops
+here).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arkflow_spark.batch import VALUE_COL, meta_columns
+from arkflow_spark.functions.compat import assert_query_only, translate_sql
+from arkflow_spark.registry import CODECS, PROCESSORS, TEMPORARIES
+
+
+@PROCESSORS.register("sql")
+class SqlProcessor:
+    """Run one SQL statement against the batch registered as table ``flow``
+    (rename via ``table_name``), optionally joining lookup ("temporary")
+    tables (reference: processor/sql.rs:244; lookup join :148-183).
+
+    Catalyst replaces DataFusion; DataFusion-dialect function names are
+    translated (functions/compat.py); DDL/DML rejected as in the reference.
+    """
+
+    def __init__(self, conf: dict):
+        self.query = translate_sql(conf["query"])
+        assert_query_only(self.query)
+        self.table_name = conf.get("table_name", "flow")
+        self.temporaries = [
+            TEMPORARIES.build(t) for t in conf.get("temporary", []) or []
+        ]
+
+    def process(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        # under foreachBatch the micro-batch frame lives in a cloned session;
+        # views must be registered and queried there, not on the driver session
+        session = df.sparkSession
+        df.createOrReplaceTempView(self.table_name)
+        for t in self.temporaries:
+            t.register(session, df)
+        return session.sql(self.query)
+
+
+@PROCESSORS.register("json_to_arrow")
+class JsonToArrow:
+    """Parse JSON-line ``__value__`` bytes into typed columns, schema
+    inferred from the data (reference: processor/json.rs:157 +
+    component/json.rs:22-52 infer). ``fields_to_include`` projects columns.
+
+    Batch mode infers with spark.read.json over the values; under
+    foreachBatch each micro-batch infers independently — matching the
+    reference's per-batch inference. For fixed-schema streams pass
+    ``schema`` (DDL) to skip inference (the production path).
+    """
+
+    def __init__(self, conf: dict):
+        self.fields = conf.get("fields_to_include")
+        self.schema = conf.get("schema")
+
+    def process(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        metas = meta_columns(df)
+        if self.schema:
+            parsed = df.withColumn(
+                "__data__",
+                F.from_json(F.col(VALUE_COL).cast("string"), self.schema),
+            )
+        else:
+            sample = [
+                r[0]
+                for r in df.select(F.col(VALUE_COL).cast("string")).limit(1000).collect()
+            ]
+            if not sample:
+                return df.limit(0)
+            inferred = spark.read.json(
+                spark.sparkContext.parallelize(sample)
+            ).schema
+            parsed = df.withColumn(
+                "__data__",
+                F.from_json(F.col(VALUE_COL).cast("string"), inferred),
+            )
+        out = parsed.select("__data__.*", *metas)
+        if self.fields:
+            out = out.select(*self.fields, *metas)
+        return out
+
+
+@PROCESSORS.register("arrow_to_json")
+class ArrowToJson:
+    """Serialize data columns to a JSON ``__value__`` binary column,
+    keeping originals (reference: processor/json.rs:94-113). Optional
+    ``fields_to_include`` filters the serialized fields."""
+
+    def __init__(self, conf: dict):
+        self.fields = conf.get("fields_to_include")
+
+    def process(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        cols = self.fields or [
+            c for c in df.columns if not c.startswith("__meta_") and c != VALUE_COL
+        ]
+        value = F.to_json(F.struct(*[F.col(c) for c in cols])).cast("binary")
+        return df.withColumn(VALUE_COL, value)
+
+
+@PROCESSORS.register("python")
+class PythonProcessor:
+    """User Python function over Arrow batches via mapInArrow
+    (reference: processor/python.rs:179 — PyArrow RecordBatch in, 0..N out).
+
+    conf: ``module``/``function`` (import path) or ``function_ref`` (direct
+    callable, for tests); ``schema`` = output DDL. The callable receives an
+    iterator of pyarrow.RecordBatch and yields RecordBatches — identical
+    contract to the reference's Python plugin, but vectorized and
+    distributed (one call per partition, not per batch on one node).
+    """
+
+    def __init__(self, conf: dict):
+        self.schema = conf["schema"]
+        if "function_ref" in conf:
+            self.fn = conf["function_ref"]
+        else:
+            import importlib
+
+            mod = importlib.import_module(conf["module"])
+            self.fn = getattr(mod, conf["function"])
+
+    def process(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        return df.mapInArrow(self.fn, self.schema)
+
+
+@PROCESSORS.register("batch")
+class BatchProcessor:
+    """Accumulate-then-concat (reference: processor/batch.rs:147). Under
+    micro-batching, accumulation is the trigger's job; this coalesces
+    partitions so downstream per-partition work sees bigger chunks."""
+
+    def __init__(self, conf: dict):
+        self.partitions = int(conf.get("partitions", 1))
+
+    def process(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        return df.coalesce(self.partitions)
+
+
+@PROCESSORS.register("codec")
+class CodecProcessor:
+    """Apply a registered codec's decode/encode as a pipeline step."""
+
+    def __init__(self, conf: dict):
+        self.codec = CODECS.build(conf["codec"])
+        self.mode = conf.get("mode", "decode")
+
+    def process(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        fn = self.codec.decode if self.mode == "decode" else self.codec.encode
+        return fn(spark, df)
+
+
+@PROCESSORS.register("filter")
+class FilterProcessor:
+    """Row filter by SQL predicate — ProcessResult::None when nothing
+    matches (reference: lib.rs:186-193 flatMap-to-empty semantics)."""
+
+    def __init__(self, conf: dict):
+        self.predicate = conf["predicate"]
+
+    def process(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        return df.filter(self.predicate)

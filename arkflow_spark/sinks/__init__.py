@@ -1,0 +1,118 @@
+"""Outputs: batch writers + streaming sink descriptors.
+
+Interface: ``write_batch(df, epoch_id)`` — called per micro-batch under
+foreachBatch (one call = one transaction unit, matching the reference's
+``write_batch`` ack-range contract, output/mod.rs:41-49) — plus optional
+``stream_format()/stream_options()`` for sinks Spark supports natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arkflow_spark.batch import VALUE_COL
+from arkflow_spark.registry import OUTPUTS
+
+
+@OUTPUTS.register("stdout")
+class StdoutOutput:
+    """Print batches (reference: output/stdout.rs:110). Truncates at
+    ``limit`` rows per batch to keep logs sane."""
+
+    def __init__(self, conf: dict):
+        self.limit = int(conf.get("limit", 20))
+
+    def write_batch(self, df: DataFrame, epoch_id: int = 0) -> None:
+        df.show(self.limit, truncate=False)
+
+
+@OUTPUTS.register("drop")
+class DropOutput:
+    """Discard (benchmark sink, reference: output/drop.rs:64) — still
+    materializes the batch so upstream work is measured."""
+
+    def __init__(self, conf: dict):
+        pass
+
+    def write_batch(self, df: DataFrame, epoch_id: int = 0) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+
+@OUTPUTS.register("memory")
+class MemoryOutput:
+    """Collect batches into a driver-side list (tests only — the one
+    deliberate exception to the no-collect rule)."""
+
+    def __init__(self, conf: dict):
+        self.batches: list[list] = []
+
+    def write_batch(self, df: DataFrame, epoch_id: int = 0) -> None:
+        self.batches.append(df.collect())
+
+
+@OUTPUTS.register("file")
+class FileOutput:
+    """Write parquet/csv/json/orc, optionally partitioned — the durable
+    sink for batch pipelines."""
+
+    def __init__(self, conf: dict):
+        self.path = conf["path"]
+        self.format = conf.get("format", "parquet")
+        self.mode = conf.get("mode", "append")
+        self.partition_by = conf.get("partition_by", [])
+        self.options = dict(conf.get("options", {}))
+
+    def write_batch(self, df: DataFrame, epoch_id: int = 0) -> None:
+        w = df.write.format(self.format).mode(self.mode)
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        for k, v in self.options.items():
+            w = w.option(k, v)
+        w.save(self.path)
+
+
+@OUTPUTS.register("kafka")
+class KafkaOutput:
+    """Kafka producer (reference: output/kafka.rs:499). At-least-once via
+    foreachBatch; the reference's opt-in exactly-once (transactional
+    producer keyed per ack range, kafka.rs:79-84,191-218) maps to
+    idempotent batchId-keyed writes — see streaming/eos.py."""
+
+    def __init__(self, conf: dict):
+        self.brokers = conf.get("brokers", ["localhost:9092"])
+        self.topic = conf["topic"]
+
+    def write_batch(self, df: DataFrame, epoch_id: int = 0) -> None:
+        out = df
+        if VALUE_COL not in out.columns:
+            cols = [c for c in out.columns if not c.startswith("__meta_")]
+            out = out.withColumn(VALUE_COL, F.to_json(F.struct(*cols)).cast("binary"))
+        (
+            out.select(F.col(VALUE_COL).alias("value"))
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", ",".join(self.brokers))
+            .option("topic", self.topic)
+            .save()
+        )
+
+
+@OUTPUTS.register("sql")
+class SqlOutput:
+    """JDBC INSERT/upsert (reference: output/sql.rs:438). Plain modes map
+    to df.write.jdbc; ``upsert`` needs a driver-side MERGE — documented
+    limitation without a live database in this container."""
+
+    def __init__(self, conf: dict):
+        self.url = conf["url"]
+        self.table = conf["table"]
+        self.mode = conf.get("mode", "append")
+        self.options = dict(conf.get("options", {}))
+
+    def write_batch(self, df: DataFrame, epoch_id: int = 0) -> None:
+        w = df.write.format("jdbc").option("url", self.url).option(
+            "dbtable", self.table
+        ).mode(self.mode)
+        for k, v in self.options.items():
+            w = w.option(k, v)
+        w.save()

@@ -1,0 +1,145 @@
+"""Count-based sliding window — the reference's one genuinely custom
+stateful operator (buffer/sliding_window.rs:283, SURVEY.md §4 "hard" list).
+
+Semantics (sliding_window.rs:114-163): buffer messages in arrival order;
+whenever >= ``window_size`` messages are buffered, emit a window of the
+first ``window_size`` messages tagged with a window id, then advance by
+``slide_size`` (dropping the oldest ``slide_size`` messages). Repeats while
+enough messages remain.
+
+Two implementations with identical semantics:
+- batch: pure window functions (row_number arithmetic) — no state, fully
+  distributed after a per-key sort;
+- streaming: applyInPandasWithState keeping a bounded buffer per key
+  (at most window_size - 1 rows carry over between micro-batches).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def sliding_count_window_batch(
+    df: DataFrame,
+    window_size: int,
+    slide_size: int,
+    order_by: list[str],
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign (key, window_id, pos_in_window) to each row, batch-mode.
+
+    Row r (0-based rank) belongs to window w iff
+    w*slide <= r < w*slide + window_size and the window is complete
+    (w*slide + window_size <= total rows). Each row lands in at most
+    ceil(window_size/slide) windows — emitted via a bounded explode, not a
+    self-join, so the operator scales linearly.
+    """
+    from pyspark.sql import Window as W
+
+    keys = key_cols or []
+    part = W.partitionBy(*keys) if keys else W.partitionBy(F.lit(1))
+    rank = F.row_number().over(part.orderBy(*order_by)) - 1
+    total = F.count("*").over(part)
+    with_rank = df.withColumn("__r__", rank).withColumn("__n__", total)
+
+    # candidate window ids for a row: floor((r - size + 1)/slide) .. floor(r/slide)
+    w_first = F.greatest(
+        F.ceil((F.col("__r__") - window_size + 1) / slide_size).cast("long"),
+        F.lit(0),
+    )
+    w_last = F.floor(F.col("__r__") / slide_size).cast("long")
+    wid = F.explode(F.sequence(w_first, w_last)).alias("window_id")
+    out = (
+        with_rank.select("*", wid)
+        .filter(
+            (F.col("__r__") >= F.col("window_id") * slide_size)
+            & (F.col("__r__") < F.col("window_id") * slide_size + window_size)
+            # only complete windows are emitted (sliding_window.rs:114-127)
+            & (F.col("window_id") * slide_size + window_size <= F.col("__n__"))
+        )
+        .withColumn(
+            "pos_in_window", (F.col("__r__") - F.col("window_id") * slide_size)
+        )
+        .drop("__r__", "__n__")
+    )
+    return out
+
+
+def sliding_count_window_stream(
+    df: DataFrame,
+    window_size: int,
+    slide_size: int,
+    key_col: str,
+    value_cols: list[str],
+    output_schema: str,
+) -> DataFrame:
+    """Streaming count-based sliding windows via applyInPandasWithState.
+
+    State per key: (next_window_id, buffered rows <= window_size - 1).
+    Emits every complete window as soon as its last message arrives.
+    ``output_schema`` must be: key, window_id long, pos_in_window long,
+    then value_cols in order.
+    """
+
+    out_cols = [key_col, "window_id", "pos_in_window"] + value_cols
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            got = state.get
+            next_wid = got[0]
+            stored = got[1:]
+            buf = [list(r) for r in zip(*stored)] if stored and stored[0] else []
+        else:
+            next_wid = 0
+            buf = []
+        for pdf in pdfs:
+            buf.extend(
+                [list(r) for r in pdf[value_cols].itertuples(index=False)]
+            )
+        out_frames = []
+        while len(buf) >= window_size:
+            window = buf[:window_size]
+            out = pd.DataFrame(window, columns=value_cols)
+            out.insert(0, "pos_in_window", range(window_size))
+            out.insert(0, "window_id", next_wid)
+            out.insert(0, key_col, key[0])
+            out_frames.append(out)
+            next_wid += 1
+            buf = buf[slide_size:]
+        cols = list(zip(*buf)) if buf else [[] for _ in value_cols]
+        state.update((next_wid, *[list(c) for c in cols]))
+        if out_frames:
+            yield from out_frames
+        else:
+            yield pd.DataFrame(columns=out_cols)
+
+    import pyspark.sql.types as T
+
+    value_fields = [df.schema[c] for c in value_cols]
+    state_schema = T.StructType(
+        [T.StructField("next_wid", T.LongType())]
+        + [
+            T.StructField(f"buf_{f.name}", T.ArrayType(f.dataType))
+            for f in value_fields
+        ]
+    )
+    return (
+        df.groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,194 @@
+"""Structured Streaming tests: real streaming queries driven to completion
+with processAllAvailable (file-stream sources for determinism)."""
+
+from __future__ import annotations
+
+import json
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from arkflow_spark.config import EngineConfig
+from arkflow_spark.engine import Engine
+
+
+@pytest.fixture()
+def events_stream_dir(spark, tmp_path):
+    """A small parquet dir usable as a file-stream source."""
+    src = str(tmp_path / "src")
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", "a" if i % 2 == 0 else "b", float(i))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, ts STRING, k STRING, v DOUBLE")
+    df.withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(src)
+    return src
+
+
+def test_stream_pipeline_foreachbatch(spark, tmp_path, events_stream_dir):
+    """file readStream -> sql processor -> memory sink under foreachBatch."""
+    import yaml as _y
+
+    cfg = EngineConfig.from_dict(
+        _y.safe_load(
+            textwrap.dedent(
+                f"""
+                streams:
+                  - name: s1
+                    input:
+                      type: file
+                      path: {events_stream_dir}
+                      format: parquet
+                      schema: "id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE"
+                    pipeline:
+                      processors:
+                        - type: sql
+                          query: "SELECT k, count(*) AS n, sum(v) AS total FROM flow GROUP BY k"
+                    output:
+                      type: memory
+                """
+            )
+        )
+    )
+    eng = Engine(spark, cfg)
+    q = eng.streams[0].start(str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batches = eng.streams[0].output.batches
+    assert len(batches) >= 1
+    merged = {}
+    for batch in batches:
+        for r in batch:
+            merged[r["k"]] = merged.get(r["k"], 0) + r["n"]
+    assert merged == {"a": 10, "b": 10}
+
+
+def test_stream_tumbling_window_event_time(spark, tmp_path, events_stream_dir):
+    """Streaming tumbling window with watermark — the reference's window
+    buffer under real incremental execution."""
+    import yaml as _y
+
+    cfg = EngineConfig.from_dict(
+        _y.safe_load(
+            textwrap.dedent(
+                f"""
+                streams:
+                  - name: s2
+                    input:
+                      type: file
+                      path: {events_stream_dir}
+                      format: parquet
+                      schema: "id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE"
+                    buffer:
+                      type: tumbling_window
+                      interval: 10m
+                      time_col: ts
+                      group_by: [k]
+                      watermark: "0 seconds"
+                      aggregations:
+                        - expr: "count(*)"
+                          alias: n
+                    output:
+                      type: memory
+                """
+            )
+        )
+    )
+    eng = Engine(spark, cfg)
+    q = eng.streams[0].start(str(tmp_path / "ckpt2"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [r for batch in eng.streams[0].output.batches for r in batch]
+    # 20 events over 20 minutes -> 10-minute windows of 10 events (5 per key)
+    assert sum(r["n"] for r in rows) == 20
+    assert all(r["n"] == 5 for r in rows)
+
+
+def test_stream_sliding_count_window_state(spark, tmp_path, events_stream_dir):
+    """Count-based sliding window via applyInPandasWithState
+    (reference: buffer/sliding_window.rs semantics under streaming)."""
+    from arkflow_spark.streaming.state import sliding_count_window_stream
+
+    sdf = (
+        spark.readStream.schema("id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE")
+        .parquet(events_stream_dir)
+    )
+    out = sliding_count_window_stream(
+        sdf,
+        window_size=3,
+        slide_size=2,
+        key_col="k",
+        value_cols=["id", "v"],
+        output_schema="k STRING, window_id BIGINT, pos_in_window BIGINT,"
+        " id BIGINT, v DOUBLE",
+    )
+    collected = []
+
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, eid: collected.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # 10 rows per key -> complete windows at offsets 0,2,4,6 (size 3) = 4/key
+    by_key = {}
+    for r in collected:
+        by_key.setdefault(r["k"], set()).add(r["window_id"])
+    assert by_key == {"a": {0, 1, 2, 3}, "b": {0, 1, 2, 3}}
+    # window contents follow arrival order (id ascending within key)
+    a_rows = sorted(
+        [(r["window_id"], r["pos_in_window"], r["id"]) for r in collected
+         if r["k"] == "a"]
+    )
+    ids_w0 = [t[2] for t in a_rows if t[0] == 0]
+    assert ids_w0 == sorted(ids_w0) and len(ids_w0) == 3
+
+
+def test_stream_dlq_keeps_stream_alive(spark, tmp_path, events_stream_dir):
+    """A poison batch goes to error_output; the query keeps running
+    (reference: stream/mod.rs:485-516 error routing)."""
+    import yaml as _y
+
+    cfg = EngineConfig.from_dict(
+        _y.safe_load(
+            textwrap.dedent(
+                f"""
+                streams:
+                  - name: s3
+                    input:
+                      type: file
+                      path: {events_stream_dir}
+                      format: parquet
+                      schema: "id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE"
+                    pipeline:
+                      processors:
+                        - type: sql
+                          query: "SELECT nonexistent_col FROM flow"
+                    output:
+                      type: memory
+                    error_output:
+                      type: memory
+                """
+            )
+        )
+    )
+    eng = Engine(spark, cfg)
+    q = eng.streams[0].start(str(tmp_path / "ckpt4"))
+    try:
+        q.processAllAvailable()
+        assert q.isActive
+    finally:
+        q.stop()
+    s = eng.streams[0]
+    assert s.output.batches == []
+    assert sum(len(b) for b in s.error_output.batches) == 20
