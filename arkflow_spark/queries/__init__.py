@@ -12,7 +12,15 @@ from arkflow_spark.queries import relational  # noqa: F401,E402
 from arkflow_spark.queries import stats  # noqa: F401,E402
 from arkflow_spark.queries import windows_q  # noqa: F401,E402
 
-for _mod in ("scalar_q", "events_q", "text_q", "dedup_q", "vector_q", "streaming_q"):
+for _mod in (
+    "scalar_q",
+    "events_q",
+    "text_q",
+    "dedup_q",
+    "vector_q",
+    "multimodal_q",
+    "streaming_q",
+):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
     except ModuleNotFoundError as e:

@@ -36,17 +36,20 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id -> distinct 3-word shingles (1-based element_at matches the
     oracle's 1-based list indexing)."""
     d = load(spark, sf_dir, "documents")
-    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # project the word array FIRST: referencing the split(...) expression
+    # inside the transform lambda makes Catalyst inline (re-evaluate) the
+    # split per element_at — O(shingles x 3) re-splits, ~15x slower
+    dw = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w")
+    )
+    w = F.col("w")
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(0))),
         lambda i: F.concat_ws(
             " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
         ),
     )
-    return (
-        d.select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    return dw.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 _ORACLE_SHINGLES = r"""
@@ -148,19 +151,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mh_oracle() -> str:
+    # one md5 per shingle; permutation family h_i = h1 + i * h2 with
+    # h1 < 2^60 and h2 < 2^40 so h_i < 2^61 never overflows int64
+    sig_cols = ", ".join(
+        f"MIN(h1 + {i} * h2) AS s{i}" for i in range(N_HASHES)
+    )
+    band_rows = ", ".join(
+        "({b}, CAST(s{a0} AS VARCHAR) || ',' || CAST(s{a1} AS VARCHAR)"
+        " || ',' || CAST(s{a2} AS VARCHAR) || ',' || CAST(s{a3} AS VARCHAR))".format(
+            b=b, a0=4 * b, a1=4 * b + 1, a2=4 * b + 2, a3=4 * b + 3
+        )
+        for b in range(N_HASHES // BAND_SIZE)
+    )
     return f"""
     WITH {_ORACLE_SHINGLES},
     hashed AS (
-      SELECT doc_id, g.i AS i,
-             MIN(CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || shingle),
-                       1, 15)) AS BIGINT)) AS mh
-      FROM sh CROSS JOIN generate_series(0, {N_HASHES - 1}) g(i)
-      GROUP BY doc_id, g.i
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(shingle), 16, 10)) AS BIGINT) AS h2
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, i // {BAND_SIZE} AS band,
-             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_key
-      FROM hashed GROUP BY doc_id, i // {BAND_SIZE}
+      SELECT doc_id, b.band, b.band_key
+      FROM sig, LATERAL (VALUES {band_rows}) AS b(band, band_key)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -190,45 +206,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (16 perms) + LSH banding (4x4) near-dup pairs, verified with
     exact Jaccard >= 0.7 on the candidates only.
 
-    The hash family h_i(s) = int(md5(i ':' s)[:15], 16) is engine-portable.
+    The hash family h_i(s) = h1(s) + i*h2(s) (h1, h2 from one md5 of the
+    shingle; h2 < 2^40 so no int64 overflow) is engine-portable and needs a
+    single md5 per shingle — the 16 signature slots are min-aggregates, not
+    a 16x row explosion.
     Scale notes: candidate generation joins on (band, band_key) buckets —
     join fan-out is bounded by bucket size, not corpus size; the exact
     verification join touches only candidate pairs. This is the 100 TB
     near-dedup path.
     """
-    sh = _shingles(spark, sf_dir)
-    idx = F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("i")
-    hashed = (
-        sh.select("doc_id", "shingle", idx)
-        .select(
-            "doc_id",
-            "i",
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.col("i").cast("string"), "shingle")),
-                    1,
-                    15,
-                ),
-                16,
-                10,
+    # the shingle set feeds signatures, sizes, and both verification joins —
+    # persist it so the DAG scans/parses documents once, not four times
+    # (at 100 TB: persist(DISK_ONLY) or a staging table, same structure)
+    sh = _shingles(spark, sf_dir).persist()
+    md5c = F.md5("shingle")
+    hashed = sh.select(
+        "doc_id",
+        F.conv(F.substring(md5c, 1, 15), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(md5c, 16, 10), 16, 10).cast("bigint").alias("h2"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h1") + i * F.col("h2")).alias(f"s{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"s{4 * b + j}").cast("string")
+                        for j in range(BAND_SIZE)
+                    ],
+                ).alias("band_key"),
             )
-            .cast("bigint")
-            .alias("h"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("mh"))
+            for b in range(N_HASHES // BAND_SIZE)
+        ]
     )
-    bands = hashed.groupBy(
-        "doc_id", (F.col("i") / BAND_SIZE).cast("int").alias("band")
-    ).agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                lambda s: s["mh"].cast("string"),
-            ),
-        ).alias("band_key")
-    )
+    bands = sig.select(
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

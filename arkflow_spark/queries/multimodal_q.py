@@ -1,0 +1,77 @@
+"""Multimodal-plumbing queries: binary payload columns through real
+Arrow-batched pandas operators (see operators/multimodal.py).
+
+The fake-media fixture derives payloads deterministically from document
+text, so the DuckDB oracle can verify the *pipeline* (schema, fan-out,
+feature values) even though real codecs are stubbed in this container.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arkflow_spark.operators.multimodal import (
+    attach_fake_media,
+    byte_stats,
+    decode_image,
+    frame_sample,
+)
+from arkflow_spark.queries.base import query
+from arkflow_spark.tables import load
+
+
+@query(
+    "multimodal_byte_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           ascii(substr(text, length(text), 1)) AS last_byte
+    FROM documents
+    ORDER BY media_id
+    """,
+)
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via mapInPandas (real, not stub):
+    byte length, sha256, boundary bytes — validates the Arrow batch plumbing
+    end-to-end against the oracle (document text is ASCII, so byte==char)."""
+    d = load(spark, sf_dir, "documents")
+    media = attach_fake_media(d, text_col="text", id_col="doc_id")
+    return byte_stats(media).orderBy("media_id")
+
+
+@query("multimodal_decode_stub")  # no oracle: decoder is environment-dependent
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-decode pipeline shape: payload -> (width, height, channels).
+    Runs the stub decoder here (no PIL in container); rows-only check."""
+    d = load(spark, sf_dir, "documents")
+    media = attach_fake_media(d, text_col="text", id_col="doc_id")
+    return decode_image(media).orderBy("media_id")
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id AS media_id, text,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    -- document text is ASCII, so char slicing == byte slicing
+    SELECT media_id, g.i AS frame_idx,
+           sha256(substr(text, g.i * 64 + 1, 64)) AS frame_sha
+    FROM b CROSS JOIN generate_series(0, 7) g(i)
+    WHERE g.i < greatest(1, n // 64)
+    ORDER BY media_id, frame_idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (1 payload -> N frame rows) via mapInPandas;
+    chunk fingerprints verified against the oracle's substring arithmetic."""
+    d = load(spark, sf_dir, "documents")
+    media = attach_fake_media(d, text_col="text", id_col="doc_id")
+    return frame_sample(media, every_n_bytes=64, max_frames=8).orderBy(
+        "media_id", "frame_idx"
+    )

@@ -53,4 +53,5 @@ def load_all() -> None:
     from arkflow_spark import operators as _p  # noqa: F401
     from arkflow_spark import sinks as _o  # noqa: F401
     from arkflow_spark import sources as _i  # noqa: F401
+    from arkflow_spark import temporary as _t  # noqa: F401
     from arkflow_spark.streaming import buffers as _b  # noqa: F401

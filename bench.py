@@ -1,0 +1,64 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds.
+
+Usage: python bench.py [--all]  (--all benches every registered query;
+default benches the headline set the driver tracks round-over-round).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from arkflow_spark.queries import QUERIES
+from arkflow_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "agg_stats_family",
+    "window_ranking",
+    "events_tumbling_window",
+    "events_session_window",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "ann_cosine_topk",
+    "ann_ivf_assign",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    names = sorted(QUERIES) if "--all" in sys.argv else HEADLINE
+    spark = get_spark("arkflow-bench")
+    # warm the JVM + parquet footers so timings measure the queries
+    QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

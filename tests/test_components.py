@@ -1,0 +1,93 @@
+"""Component tests: lookup (temporary) tables, multimodal operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arkflow_spark.registry import PROCESSORS, load_all
+
+
+def test_sql_processor_with_static_lookup(spark):
+    """Lookup join parity with the reference's redis_temporary example:
+    SELECT * FROM flow RIGHT JOIN redis_table ON flow.sensor = redis_table.x
+    (processor/sql.rs:148-183)."""
+    load_all()
+    proc = PROCESSORS.build(
+        {
+            "type": "sql",
+            "query": "SELECT flow.sensor, flow.v, lk.x, lk.site FROM flow "
+            "JOIN lk ON flow.sensor = lk.x",
+            "temporary": [
+                {
+                    "type": "static",
+                    "name": "lk",
+                    "schema": "x STRING, site STRING",
+                    "rows": [["t1", "berlin"], ["t2", "oslo"], ["t9", "unused"]],
+                    "key_expr": "sensor",
+                    "key_column": "x",
+                }
+            ],
+        }
+    )
+    df = spark.createDataFrame(
+        [("t1", 10), ("t2", 20), ("t3", 30)], "sensor STRING, v INT"
+    )
+    rows = {r["sensor"]: r["site"] for r in proc.process(spark, df).collect()}
+    assert rows == {"t1": "berlin", "t2": "oslo"}
+
+
+def test_file_temporary_key_filter(spark, tmp_path):
+    load_all()
+    from arkflow_spark.registry import TEMPORARIES
+
+    lk_path = str(tmp_path / "lk")
+    spark.createDataFrame(
+        [(i, f"name{i}") for i in range(100)], "k BIGINT, name STRING"
+    ).write.parquet(lk_path)
+    t = TEMPORARIES.build(
+        {
+            "type": "file",
+            "name": "lkf",
+            "path": lk_path,
+            "key_expr": "id % 100",
+            "key_column": "k",
+        }
+    )
+    batch = spark.createDataFrame([(5,), (205,)], "id BIGINT")
+    t.register(spark, batch)
+    got = spark.sql("SELECT k, name FROM lkf ORDER BY k").collect()
+    assert [r["k"] for r in got] == [5]  # key-filtered to the batch's keys
+
+
+def test_multimodal_pipeline(spark):
+    from arkflow_spark.operators.multimodal import (
+        attach_fake_media,
+        byte_stats,
+        decode_image,
+        frame_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world " * 20), (2, "tiny")], "doc_id BIGINT, text STRING"
+    )
+    media = attach_fake_media(docs, "text", "doc_id")
+    assert set(media.columns) == {"media_id", "payload", "media_type", "meta"}
+    meta = media.select("meta.declared_w", "meta.declared_h").collect()
+    assert all(1 <= r["declared_w"] <= 1920 for r in meta)
+
+    stats = {r["media_id"]: r for r in byte_stats(media).collect()}
+    assert stats[1]["n_bytes"] == len("hello world " * 20)
+    assert stats[2]["n_bytes"] == 4
+    assert stats[2]["first_byte"] == ord("t")
+
+    dec = {r["media_id"]: r for r in decode_image(media).collect()}
+    assert dec[1]["decoder"] in ("stub", "pil")
+    assert dec[1]["channels"] == 3
+
+    frames = frame_sample(media, every_n_bytes=64, max_frames=8).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    # 240 bytes -> 3 frames; 4 bytes -> 1 frame (minimum)
+    assert sorted(by_id[1]) == [0, 1, 2]
+    assert by_id[2] == [0]
