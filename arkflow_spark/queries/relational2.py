@@ -1,0 +1,211 @@
+"""Second relational batch: NATURAL join, column exclusion, array_agg,
+pivot/unpivot, as-of join, struct unnest.
+
+Parity targets: docs/docs/sql/2-select.md:146 (NATURAL), :241 (EXCLUDE),
+5-aggregate_functions.md:34 (array_agg), 8-special_functions.md (unnest
+struct). The as-of join exceeds the reference (SURVEY §2 notes DataFusion
+exposes none) — it's the standard event-enrichment primitive, implemented
+with the scalable last_value-ignore-nulls window, not a range self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arkflow_spark.queries.base import query
+from arkflow_spark.tables import load
+
+
+@query(
+    "join_natural",
+    oracle="""
+    SELECT regionkey, r_name, n_name
+    FROM (SELECT r_regionkey AS regionkey, r_name FROM region)
+    NATURAL JOIN (SELECT n_regionkey AS regionkey, n_name FROM nation)
+    ORDER BY regionkey, n_name
+    """,
+)
+def join_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATURAL JOIN (reference: docs/docs/sql/2-select.md:146)."""
+    for t in ("region", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT regionkey, r_name, n_name
+        FROM (SELECT r_regionkey AS regionkey, r_name FROM region)
+        NATURAL JOIN (SELECT n_regionkey AS regionkey, n_name FROM nation)
+        ORDER BY regionkey, n_name
+        """
+    )
+
+
+@query(
+    "select_exclude_columns",
+    oracle="""
+    SELECT * EXCLUDE (c_name, c_acctbal)
+    FROM customer
+    WHERE c_custkey <= 50
+    ORDER BY c_custkey
+    """,
+)
+def select_exclude_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUDE column selector (reference: docs/docs/sql/2-select.md:241)
+    — DataFrame-side this is df.drop, the idiomatic equivalent."""
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 50)
+        .drop("c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "agg_array_agg",
+    oracle="""
+    SELECT n_regionkey AS regionkey,
+           list(n_name ORDER BY n_name) AS nations,
+           len(list(n_name)) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY regionkey
+    """,
+)
+def agg_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_agg with deterministic ordering
+    (reference: docs/docs/sql/5-aggregate_functions.md:34)."""
+    return (
+        load(spark, sf_dir, "nation")
+        .groupBy(F.col("n_regionkey").alias("regionkey"))
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.count("n_name").alias("n_nations"),
+        )
+        .orderBy("regionkey")
+    )
+
+
+@query(
+    "pivot_event_types",
+    oracle="""
+    SELECT user_id,
+           COALESCE(CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value END
+               AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS click,
+           COALESCE(CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END
+               AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS purchase,
+           COALESCE(CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value END
+               AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS view
+    FROM events
+    WHERE user_id < 50
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long -> wide per-type value sums. Explicit value list keeps the
+    output schema static (required for streaming and for 100 TB planning —
+    an unbounded pivot needs a first pass to enumerate keys)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"))
+        .na.fill(0.0, ["click", "purchase", "view"])
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+    SELECT c_custkey, m.metric, m.val
+    FROM customer,
+    LATERAL (VALUES ('acctbal', c_acctbal), ('custkey_x10', c_custkey * 10.0))
+      AS m(metric, val)
+    WHERE c_custkey <= 25
+    ORDER BY c_custkey, metric
+    """,
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long) via stack()."""
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 25)
+        .select(
+            "c_custkey",
+            F.expr(
+                "stack(2, 'acctbal', c_acctbal,"
+                " 'custkey_x10', CAST(c_custkey * 10.0 AS DOUBLE))"
+                " AS (metric, val)"
+            ),
+        )
+        .orderBy("c_custkey", "metric")
+    )
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           strftime(last_value(CASE WHEN event_type = 'error' THEN ts END
+                    IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             '%Y-%m-%d %H:%M:%S') AS last_error_ts
+    FROM events
+    WHERE user_id < 30
+    ORDER BY user_id, event_id
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each event enriched with the user's most recent prior
+    'error' timestamp) via last_value-ignore-nulls over an ordered window.
+
+    Scale notes: this is the O(n log n) as-of pattern — one shuffle+sort per
+    key, no range self-join blow-up; the same plan handles billions of rows.
+    (Beyond the reference's surface: DataFusion exposes no as-of join.)
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marker = F.when(F.col("event_type") == "error", F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format(
+            F.last(marker, ignorenulls=True).over(w), "yyyy-MM-dd HH:mm:ss"
+        ).alias("last_error_ts"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "unnest_struct_inline",
+    oracle="""
+    SELECT n_nationkey,
+           s.key AS skey, s.nm AS sname
+    FROM (
+      SELECT n_nationkey, {'key': n_regionkey, 'nm': n_name} AS s
+      FROM nation
+    )
+    ORDER BY n_nationkey
+    """,
+)
+def unnest_struct_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unnest(struct) -> columns (reference: docs/docs/sql/
+    8-special_functions.md:12) — struct flattening via select("s.*")."""
+    n = load(spark, sf_dir, "nation")
+    return (
+        n.select(
+            "n_nationkey",
+            F.struct(
+                F.col("n_regionkey").alias("key"), F.col("n_name").alias("nm")
+            ).alias("s"),
+        )
+        .select("n_nationkey", F.col("s.key").alias("skey"), F.col("s.nm").alias("sname"))
+        .orderBy("n_nationkey")
+    )

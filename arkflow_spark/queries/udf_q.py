@@ -1,0 +1,115 @@
+"""UDF surface: Arrow-vectorized pandas UDFs (scalar + grouped aggregate).
+
+Parity targets: the reference's UDF registries (udf/scalar_udf.rs,
+udf/aggregate_udf.rs, docs/docs/sql/9-udf.md) and the python processor
+(processor/python.rs). Spark's pandas UDFs are the vectorized equivalent;
+deterministic formulas let the DuckDB oracle verify the full UDF execution
+path, not just that it ran. Window UDFs have no Python surface in Spark —
+documented gap (SURVEY §2.7), approximated via grouped-map when needed.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from arkflow_spark.queries.base import query
+from arkflow_spark.tables import load
+
+
+def _quality_scalar_udf():
+    # defined lazily: pandas_udf decoration needs an active SparkSession
+    @pandas_udf("double")
+    def quality_scalar_udf(event_id: pd.Series, value: pd.Series) -> pd.Series:
+        """Vectorized scalar UDF with an exact closed form (oracle-checkable)."""
+        return (value * 2.0 + event_id % 7).astype("float64")
+
+    return quality_scalar_udf
+
+
+def _geomean_agg_udf():
+    @pandas_udf("double")
+    def geomean_agg_udf(v: pd.Series) -> float:
+        """Grouped-aggregate pandas UDF: geometric mean = exp(mean(ln(v)))."""
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    return geomean_agg_udf
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT event_id, ROUND(value * 2.0 + CAST(event_id % 7 AS DOUBLE), 4)
+             AS score
+    FROM events
+    WHERE user_id < 20
+    ORDER BY event_id
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas UDF (the reference's scalar UDF slot,
+    udf/scalar_udf.rs:33-63). Stays vectorized end-to-end: one Arrow
+    transfer per batch, no per-row Python."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    udf = _quality_scalar_udf()
+    return ev.select(
+        "event_id",
+        F.round(udf(F.col("event_id"), F.col("value")), 4).alias("score"),
+    ).orderBy("event_id")
+
+
+@query(
+    "udf_pandas_grouped_agg",
+    oracle="""
+    SELECT event_type,
+           ROUND(exp(avg(ln(value))), 4) AS geo_mean
+    FROM events
+    WHERE value > 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the reference's aggregate UDF slot,
+    udf/aggregate_udf.rs:14-40): per-group Arrow batch -> scalar."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    udf = _geomean_agg_udf()
+    # note: Spark forbids mixing grouped-agg pandas UDFs with JVM aggregates
+    # in one agg() — keep the aggregation pandas-only
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(udf(F.col("value")), 4).alias("geo_mean"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "udf_sql_registered",
+    oracle="""
+    SELECT p_partkey, upper(substr(p_name, 1, 3)) || '-' ||
+           CAST(p_size AS VARCHAR) AS part_code
+    FROM part
+    WHERE p_partkey <= 100
+    ORDER BY p_partkey
+    """,
+)
+def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.udf.register — the SQL-visible registration slot
+    (docs/docs/sql/9-udf.md): UDFs callable from SQL text like built-ins."""
+
+    def part_code(name: str, size: int) -> str:
+        return f"{name[:3].upper()}-{size}"
+
+    spark.udf.register("part_code", part_code, "string")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey, part_code(p_name, p_size) AS part_code
+        FROM part WHERE p_partkey <= 100 ORDER BY p_partkey
+        """
+    )
