@@ -1,0 +1,80 @@
+"""Plan-quality regression tests: the optimizations that matter at 100 TB
+must be visible in the physical plan, not assumed.
+
+These assert on explain output so a future change that silently loses
+pushdown, pruning, or a broadcast fails CI — the local analog of watching
+`.explain("formatted")` after every operator change.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from arkflow_spark.queries import QUERIES
+from tests.conftest import SF_CORRECT
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_CORRECT)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 needed columns reach the scan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read and "l_quantity" in read
+    # aggregation has a map-side partial phase
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q3_broadcast_and_topk(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    # top-k must run as TakeOrderedAndProject, never a global Sort+Limit
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q5_fixed_dims_broadcast(spark):
+    plan = plan_of(spark, "q5_region_revenue")
+    # region/nation are broadcast unconditionally (fixed cardinality)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_python_udf_in_relational_queries(spark):
+    """The §2.7 relational surface must stay JVM-side (WholeStageCodegen);
+    Python appears only in the explicitly-UDF operators."""
+    for name in (
+        "q1_pricing_summary",
+        "q5_region_revenue",
+        "window_ranking",
+        "events_tumbling_window",
+        "dedup_exact",
+        "text_quality_score",
+    ):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        # AQE shows codegen subtrees only in codegen explain mode
+        cg = QUERIES[name](spark, SF_CORRECT)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "codegen"
+            )
+        )
+        assert "WholeStageCodegen subtrees" in cg, name
+
+
+def test_ann_query_broadcasts_query_side(spark):
+    plan = plan_of(spark, "ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_events_scan_prunes_columns(spark):
+    plan = plan_of(spark, "agg_count_distinct")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in read, "unused props column must be pruned from scan"
