@@ -186,6 +186,37 @@ class SqlInput:
         )
 
 
+@INPUTS.register("spooldir")
+class SpoolDirInput:
+    """Push-connector landing zone via the custom Python DataSource
+    (sources/push_source.py): the engine-side half of MQTT/HTTP/WebSocket
+    ingest (reference: input/{mqtt,http,websocket}.rs — see module doc)."""
+
+    def __init__(self, conf: dict):
+        self.path = conf["path"]
+        self.source_name = conf.get("source_name", "spooldir")
+
+    def _df(self, reader):
+        return (
+            reader.format("spooldir")
+            .option("path", self.path)
+            .option("source_name", self.source_name)
+            .load()
+        )
+
+    def read_batch(self, spark: SparkSession) -> DataFrame:
+        from arkflow_spark.sources.push_source import register
+
+        register(spark)
+        return self._df(spark.read)
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        from arkflow_spark.sources.push_source import register
+
+        register(spark)
+        return self._df(spark.readStream)
+
+
 @INPUTS.register("multiple_inputs")
 class MultipleInputs:
     """Fan-in N child inputs, each tagged with its name
