@@ -16,6 +16,7 @@ for _mod in (
     "relational2",
     "udf_q",
     "scalar_q",
+    "scalar2_q",
     "events_q",
     "text_q",
     "dedup_q",
