@@ -44,6 +44,11 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
+        # saveAsTable target for bucketed tables (static conf)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("ARKFLOW_WAREHOUSE", "/tmp/arkflow-warehouse"),
+        )
         .config("spark.driver.memory", os.environ.get("ARKFLOW_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():
