@@ -144,6 +144,40 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouping_sets_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '*') AS rf,
+           COALESCE(l_linestatus, '*') AS ls,
+           GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, rf, ls
+    """,
+)
+def grouping_sets_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2^k grouping sets (reference exposes grouping sets via the
+    grouping aggregate, docs/docs/sql/5-aggregate_functions.md:226)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.grouping("l_returnflag") + 2 * F.grouping("l_linestatus")
+            ).alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("*")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("*")).alias("ls"),
+            "gid",
+            "n",
+        )
+        .orderBy("gid", "rf", "ls")
+    )
+
+
+@query(
     "events_asof_join",
     oracle="""
     SELECT event_id, user_id,

@@ -89,6 +89,37 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udtf_word_explode",
+    oracle="""
+    SELECT r_regionkey, w.word AS word, length(w.word) AS word_len
+    FROM region, LATERAL unnest(string_split(lower(r_name), ' ')) AS w(word)
+    ORDER BY r_regionkey, word
+    """,
+)
+def udtf_word_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, Spark 3.5+): one input row -> N output
+    rows — the Python counterpart of the reference's table-function slot
+    (DataFusion UDTFs are Rust-only; this exceeds the YAML surface)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, word_len int")
+    class WordSplit:
+        def eval(self, name: str):
+            for w in name.lower().split(" "):
+                yield (w, len(w))
+
+    spark.udtf.register("word_split", WordSplit)
+    load(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql(
+        """
+        SELECT r_regionkey, s.word, s.word_len
+        FROM region, LATERAL word_split(r_name) s
+        ORDER BY r_regionkey, word
+        """
+    )
+
+
+@query(
     "udf_sql_registered",
     oracle="""
     SELECT p_partkey, upper(substr(p_name, 1, 3)) || '-' ||
