@@ -13,6 +13,7 @@ from arkflow_spark.queries import stats  # noqa: F401,E402
 from arkflow_spark.queries import windows_q  # noqa: F401,E402
 
 for _mod in (
+    "tpch",
     "relational2",
     "udf_q",
     "scalar_q",

@@ -21,6 +21,11 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q13_order_count_distribution",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
     "agg_stats_family",
     "window_ranking",
     "events_tumbling_window",
