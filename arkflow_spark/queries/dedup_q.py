@@ -225,11 +225,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(md5c, 1, 15), 16, 10).cast("bigint").alias("h1"),
         F.conv(F.substring(md5c, 16, 10), 16, 10).cast("bigint").alias("h2"),
     )
+    # one aggregation pass yields the 16 signature slots AND the shingle
+    # count (sh is already distinct), saving a second 260k-row shuffle that
+    # the separate `sizes` aggregation would cost — at 100 TB that second
+    # pass is a full extra scan of the shingle set
     sig = hashed.groupBy("doc_id").agg(
         *[
             F.min(F.col("h1") + i * F.col("h2")).alias(f"s{i}")
             for i in range(N_HASHES)
-        ]
+        ],
+        F.count("*").alias("n"),
     )
     band_structs = F.array(
         *[
@@ -271,9 +276,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     jac = F.col("shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return (
         verified.join(sa, "doc_a")

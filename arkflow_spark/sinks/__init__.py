@@ -161,3 +161,8 @@ class SqlOutput:
         for k, v in self.options.items():
             w = w.option(k, v)
         w.save()
+
+
+# client-library sinks register on import (mongodb/influxdb/redis/mqtt/
+# nats/pulsar); serialization is pure-python, clients import-gated
+from arkflow_spark.sinks import clients as _clients  # noqa: E402,F401
