@@ -100,3 +100,60 @@ class JdbcTemporary(_BaseTemporary):
             .option("dbtable", self.table)
             .load()
         )
+
+
+@TEMPORARIES.register("redis")
+class RedisTemporary(_BaseTemporary):
+    """Redis KV lookup — direct parity with the reference's only temporary
+    impl (temporary/redis.rs:177; keyed GET/MGET fetch :59-122).
+
+    Per batch: evaluate ``key_expr`` over the batch, MGET the distinct keys
+    (driver-side, exactly the reference's fetch shape — lookup keys per
+    micro-batch are bounded, unlike the data itself), register the hits as
+    a broadcast temp view ``name`` with columns (``key_column``, value).
+
+    At 100 TB batch sizes prefer FileTemporary/JdbcTemporary (distributed
+    semi join) or a mapInPandas client pool; this type is for genuinely
+    small per-batch key sets. ``client`` conf injects any object with
+    ``mget(keys) -> list[bytes|None]`` (redis-py compatible) for tests;
+    otherwise redis-py is constructed from ``url`` (import-gated).
+    """
+
+    def __init__(self, conf: dict):
+        super().__init__(conf)
+        self.key_column = self.key_column or "key"
+        self.value_column = conf.get("value_column", "value")
+        self.url = conf.get("url", "redis://localhost:6379")
+        self.client = conf.get("client")
+
+    def _get_client(self):
+        if self.client is not None:
+            return self.client
+        try:  # pragma: no cover - redis-py absent in container
+            import redis
+        except ImportError as e:
+            raise NotImplementedError(
+                "redis temporary needs redis-py (or inject 'client')"
+            ) from e
+        return redis.Redis.from_url(self.url)  # pragma: no cover
+
+    def register(self, session: SparkSession, batch_df: DataFrame) -> None:
+        if not self.key_expr:
+            raise ValueError("redis temporary requires key_expr")
+        keys = [
+            r[0]
+            for r in batch_df.select(F.expr(self.key_expr).alias("k"))
+            .distinct()
+            .collect()
+            if r[0] is not None
+        ]
+        client = self._get_client()
+        vals = client.mget([str(k) for k in keys]) if keys else []
+        rows = [
+            (str(k), v.decode() if isinstance(v, (bytes, bytearray)) else str(v))
+            for k, v in zip(keys, vals)
+            if v is not None
+        ]
+        schema = f"{self.key_column} string, {self.value_column} string"
+        lookup = session.createDataFrame(rows, schema)
+        F.broadcast(lookup).createOrReplaceTempView(self.name)

@@ -91,3 +91,43 @@ def test_multimodal_pipeline(spark):
     # 240 bytes -> 3 frames; 4 bytes -> 1 frame (minimum)
     assert sorted(by_id[1]) == [0, 1, 2]
     assert by_id[2] == [0]
+
+
+class FakeRedis:
+    """mget-compatible fake (redis-py contract) for RedisTemporary."""
+
+    def __init__(self, data):
+        self.data = data
+        self.calls = []
+
+    def mget(self, keys):
+        self.calls.append(list(keys))
+        return [self.data.get(k) for k in keys]
+
+
+def test_redis_temporary_mget_lookup(spark):
+    """Parity with examples/redis_temporary_example.yaml: fetch by key expr,
+    register as view, join from SQL (temporary/redis.rs:59-122)."""
+    from arkflow_spark.registry import TEMPORARIES, load_all
+
+    load_all()
+    fake = FakeRedis({"s1": b"celsius", "s2": b"kelvin"})
+    temp = TEMPORARIES.build(
+        {"type": "redis", "name": "redis_table", "key_expr": "sensor",
+         "key_column": "sensor", "value_column": "unit", "client": fake}
+    )
+    batch = spark.createDataFrame(
+        [("s1", 21.5), ("s2", 300.1), ("s3", 7.0), ("s1", 22.0)],
+        "sensor string, reading double",
+    )
+    temp.register(spark, batch)
+    batch.createOrReplaceTempView("flow")
+    out = spark.sql(
+        "SELECT f.sensor, f.reading, r.unit FROM flow f "
+        "JOIN redis_table r ON f.sensor = r.sensor ORDER BY f.sensor, f.reading"
+    ).collect()
+    assert [(r.sensor, r.unit) for r in out] == [
+        ("s1", "celsius"), ("s1", "celsius"), ("s2", "kelvin"),
+    ]
+    # one MGET of the distinct non-null keys
+    assert len(fake.calls) == 1 and sorted(fake.calls[0]) == ["s1", "s2", "s3"]

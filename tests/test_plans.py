@@ -78,3 +78,49 @@ def test_events_scan_prunes_columns(spark):
     plan = plan_of(spark, "agg_count_distinct")
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "props" not in read, "unused props column must be pruned from scan"
+
+
+def test_q6_pure_scan_pushdown(spark):
+    """Q6 is the pushdown litmus test: all three predicates reach the scan
+    and only the four needed columns are read."""
+    plan = plan_of(spark, "q6_forecast_revenue")
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read and "l_tax" not in read
+    import re
+
+    # single final-agg gather, no joins (each node appears twice in
+    # formatted explain: tree line + detail header)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_q10_topk_no_global_sort(spark):
+    plan = plan_of(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q18_semi_join_for_in_subquery(spark):
+    plan = plan_of(spark, "q18_large_volume_customers")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q21_exists_become_semi_and_anti_joins(spark):
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q2_correlated_min_decorrelated(spark):
+    """The correlated MIN subquery must decorrelate to an aggregate+join,
+    never a per-row nested-loop re-execution."""
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q8_fixed_dims_broadcast(spark):
+    plan = plan_of(spark, "q8_market_share")
+    assert "BroadcastHashJoin" in plan
