@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from arkflow_spark import registry
 from arkflow_spark.config import EngineConfig, StreamConfig, parse_duration_ms
-from arkflow_spark.registry import BUFFERS, INPUTS, OUTPUTS, PROCESSORS
+from arkflow_spark.registry import (
+    BUFFERS,
+    INPUTS,
+    OUTPUTS,
+    PROCESSORS,
+    TEMPORARIES,
+)
 
 
 class Stream:
@@ -39,9 +45,15 @@ class Stream:
         self.error_output = (
             OUTPUTS.build(conf.error_output) if conf.error_output else None
         )
+        # stream-level lookup tables (reference: temporary section of the
+        # stream YAML, resolved by name from SQL processors —
+        # processor/sql.rs:148-183); refreshed against every batch
+        self.temporaries = [TEMPORARIES.build(t) for t in conf.temporaries]
 
     # -- shared transform chain ------------------------------------------
     def _transform(self, df: DataFrame) -> DataFrame:
+        for t in self.temporaries:
+            t.register(self.spark, df)
         if self.buffer is not None:
             df = self.buffer.apply(self.spark, df)
         for p in self.processors:

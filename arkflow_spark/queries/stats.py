@@ -236,3 +236,64 @@ def agg_first_last_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
         .limit(100)
     )
+
+
+@query(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH ordered AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+             SUM(l_quantity) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ) AS cum_w,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot_w
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(l_extendedprice) FILTER (WHERE cum_w >= 0.5 * tot_w)
+             AS weighted_median,
+           MIN(l_extendedprice) FILTER (WHERE cum_w >= 0.9 * tot_w)
+             AS weighted_p90
+    FROM ordered
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted percentiles (median, p90) of price weighted by
+    quantity — closes the approx_percentile_cont_with_weight gap
+    (docs/docs/sql/5-aggregate_functions.md:820) with the exact
+    cumulative-weight construction: first value whose running weight
+    crosses q * total_weight.
+
+    Scale notes: one window sort per group (same shuffle for both running
+    and total sums, and quantities are integral doubles so sums are exact);
+    the final aggregation is a conditional MIN — no second sort. At 100 TB
+    swap in approx_percentile on pre-weighted expansion only if exactness
+    can be traded away.
+    """
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    part = Window.partitionBy("l_returnflag")
+    ordered = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity")
+        .over(part.orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
+        .alias("cum_w"),
+        F.sum("l_quantity").over(part).alias("tot_w"),
+    )
+    return (
+        ordered.groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.when(F.col("cum_w") >= 0.5 * F.col("tot_w"), F.col("l_extendedprice"))
+            ).alias("weighted_median"),
+            F.min(
+                F.when(F.col("cum_w") >= 0.9 * F.col("tot_w"), F.col("l_extendedprice"))
+            ).alias("weighted_p90"),
+        )
+        .orderBy("l_returnflag")
+    )

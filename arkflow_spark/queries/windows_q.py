@@ -198,3 +198,64 @@ def window_agg_over(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("l_extendedprice").over(w), 4).alias("max_line_price"),
         F.count("*").over(w).alias("n_lines"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "window_groups_frame_emulated",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority, o_orderdate,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS gsum,
+             COUNT(*) AS gn
+      FROM orders WHERE o_custkey < 50
+      GROUP BY o_orderpriority, o_orderdate
+    ), gg AS (
+      SELECT o_orderpriority, o_orderdate,
+             gsum + COALESCE(LAG(gsum) OVER w, 0) AS fsum,
+             gn + COALESCE(LAG(gn) OVER w, 0) AS fn
+      FROM g
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)
+    )
+    SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice,
+           CAST(gg.fsum AS DOUBLE) AS grp_frame_sum,
+           gg.fn AS grp_frame_n
+    FROM orders o
+    JOIN gg ON o.o_orderpriority = gg.o_orderpriority
+           AND o.o_orderdate = gg.o_orderdate
+    WHERE o.o_custkey < 50
+    ORDER BY o.o_orderpriority, o.o_orderkey
+    """,
+)
+def window_groups_frame_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS frames (docs/docs/sql/6-window_functions.md:91-124), which
+    Spark SQL does not parse, emulated EXACTLY: ``GROUPS BETWEEN n PRECEDING
+    AND CURRENT ROW`` over ORDER BY k == ``RANGE BETWEEN n PRECEDING AND
+    CURRENT ROW`` over ORDER BY dense_rank(k) — peer rows share a dense
+    rank, so rank-distance counts whole peer groups. DuckDB doesn't
+    implement GROUPS frames either, so the oracle verifies through an
+    independent construction: per-peer-group aggregation + group-level LAG
+    joined back to rows.
+
+    Scale notes: two window passes over the same partitioning — the second
+    reuses the first's sort/shuffle (no extra Exchange in the plan).
+    """
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    part = Window.partitionBy("o_orderpriority")
+    rnk = F.dense_rank().over(part.orderBy("o_orderdate"))
+    frame = (
+        part.orderBy("grp_rnk").rangeBetween(-1, Window.currentRow)
+    )
+    return (
+        orders.withColumn("grp_rnk", rnk)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .over(frame)
+            .cast("double")
+            .alias("grp_frame_sum"),
+            F.count("*").over(frame).alias("grp_frame_n"),
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+    )

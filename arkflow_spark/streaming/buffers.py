@@ -153,16 +153,22 @@ class WindowJoinBuffer(_WindowBuffer):
     def __init__(self, conf: dict):
         super().__init__(conf)
         from arkflow_spark.functions.compat import assert_query_only, translate_sql
+        from arkflow_spark.registry import CODECS
 
         self.sources: list[str] = conf["sources"]
         self.query = translate_sql(conf["query"])
         assert_query_only(self.query)
+        # per-source __value__ decode before the join, exactly as the
+        # reference decodes via the configured codec (buffer/join.rs:132-145)
+        self.codec = CODECS.build(dict(conf["codec"])) if conf.get("codec") else None
 
     def apply(self, spark: SparkSession, df: DataFrame) -> DataFrame:
         session = df.sparkSession  # foreachBatch clones the session
         present = {
             r[0] for r in df.select("__meta_source").distinct().collect()
         }
+        if self.codec is not None:
+            df = self.codec.decode(session, df)
         for name in self.sources:
             df.filter(F.col("__meta_source") == name).createOrReplaceTempView(name)
         joined = session.sql(self.query)

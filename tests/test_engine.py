@@ -343,3 +343,75 @@ def test_tumbling_window_buffer_batch(spark):
     rows = buf.apply(spark, df).orderBy("window_start").collect()
     assert [r["total"] for r in rows] == [3, 4]
     assert [r["n"] for r in rows] == [2, 1]
+
+
+def test_window_join_with_codec_through_engine(spark):
+    """Full engine chain: the buffer decodes each source's __value__ via its
+    configured codec before joining (buffer/join.rs:132-145) — no manual
+    processor reordering needed."""
+    eng = make_engine(
+        spark,
+        textwrap.dedent(
+            """
+            streams:
+              - input:
+                  type: multiple_inputs
+                  inputs:
+                    - name: readings
+                      type: memory
+                      messages: ['{"id": 1, "value": 10}', '{"id": 2, "value": 20}']
+                    - name: sensors
+                      type: memory
+                      messages: ['{"id": 1, "sensor": "a"}']
+                buffer:
+                  type: window_join
+                  sources: [readings, sensors]
+                  codec: {type: json}
+                  query: >
+                    SELECT readings.id AS id, readings.value AS value,
+                           sensors.sensor AS sensor
+                    FROM readings JOIN sensors ON readings.id = sensors.id
+                output:
+                  type: memory
+            """
+        ),
+    )
+    eng.run_batch_all()
+    rows = eng.streams[0].output.batches[0]
+    assert len(rows) == 1
+    assert (rows[0]["id"], rows[0]["value"], rows[0]["sensor"]) == (1, 10, "a")
+
+
+def test_stream_level_temporary_registration(spark):
+    """Stream-level `temporary:` section registered per batch and joinable
+    from any sql processor (reference: stream YAML temporary section +
+    processor/sql.rs:148-183)."""
+    eng = make_engine(
+        spark,
+        textwrap.dedent(
+            """
+            streams:
+              - input:
+                  type: memory
+                  messages: ['{"sensor": "s1", "v": 1.5}', '{"sensor": "s9", "v": 2.5}']
+                temporary:
+                  - type: static
+                    name: units
+                    schema: "sensor string, unit string"
+                    rows:
+                      - {sensor: s1, unit: celsius}
+                pipeline:
+                  processors:
+                    - type: json_to_arrow
+                    - type: sql
+                      query: "SELECT f.sensor, f.v, u.unit FROM flow f
+                              LEFT JOIN units u ON f.sensor = u.sensor
+                              ORDER BY f.sensor"
+                output:
+                  type: memory
+            """
+        ),
+    )
+    eng.run_batch_all()
+    rows = eng.streams[0].output.batches[0]
+    assert [(r["sensor"], r["unit"]) for r in rows] == [("s1", "celsius"), ("s9", None)]
