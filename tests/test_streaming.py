@@ -192,3 +192,58 @@ def test_stream_dlq_keeps_stream_alive(spark, tmp_path, events_stream_dir):
     s = eng.streams[0]
     assert s.output.batches == []
     assert sum(len(b) for b in s.error_output.batches) == 20
+
+
+def test_stream_sliding_count_window_tws(spark, tmp_path, events_stream_dir):
+    """Same sliding-window semantics on the modern transformWithStateInPandas
+    API (incremental ListState + amortized head-pointer dequeue).
+
+    Requires google.protobuf (pyspark's transformWithState state-server
+    protocol dependency), absent in this container — skipped here, runs on
+    any standard cluster image."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs the protobuf package (absent here)",
+    )
+    from arkflow_spark.streaming.state import sliding_count_window_tws
+
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    sdf = (
+        spark.readStream.schema("id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE")
+        .parquet(events_stream_dir)
+    )
+    out = sliding_count_window_tws(
+        sdf,
+        window_size=3,
+        slide_size=2,
+        key_col="k",
+        value_cols=["id", "v"],
+        output_schema="k STRING, window_id BIGINT, pos_in_window BIGINT,"
+        " id BIGINT, v DOUBLE",
+    )
+    collected = []
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, eid: collected.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    by_key = {}
+    for r in collected:
+        by_key.setdefault(r["k"], set()).add(r["window_id"])
+    assert by_key == {"a": {0, 1, 2, 3}, "b": {0, 1, 2, 3}}
+    a_w0 = sorted(
+        (r["pos_in_window"], r["id"]) for r in collected
+        if r["k"] == "a" and r["window_id"] == 0
+    )
+    ids = [i for _, i in a_w0]
+    assert len(ids) == 3 and ids == sorted(ids)
