@@ -70,6 +70,39 @@ FUNCTION_ALIASES: dict[str, str] = {
     "string_to_array": "split",
     "bit_count": "bit_count",
     "digest": "sha2",
+    # remaining list_* aliases (docs/docs/sql/7-scalar_functions.md:2510+
+    # documents list_* as synonyms of array_*)
+    "list_has": "array_contains",
+    "list_indexof": "array_position",
+    "list_position": "array_position",
+    "list_to_string": "array_join",
+    "list_join": "array_join",
+    "list_push_back": "array_append",
+    "list_push_front": "array_prepend",
+    "list_prepend": "array_prepend",
+    "list_length": "size",
+    "list_ndims": "size",
+    "list_repeat": "array_repeat",
+    "list_slice": "slice",
+    "array_slice": "slice",
+    "list_union": "array_union",
+    "list_intersect": "array_intersect",
+    "list_except": "array_except",
+    "list_reverse": "reverse",
+    "array_reverse": "reverse",
+    "array_position": "array_position",
+    "array_union": "array_union",
+    # temporal epoch constructors
+    "to_timestamp_seconds": "timestamp_seconds",
+    "to_timestamp_millis": "timestamp_millis",
+    "to_timestamp_micros": "timestamp_micros",
+    # misc scalars
+    "random": "rand",
+    "octet_length": "octet_length",
+    "levenshtein": "levenshtein",
+    "find_in_set": "find_in_set",
+    "overlay": "overlay",
+    "translate": "translate",
 }
 
 _FN_RE = re.compile(
