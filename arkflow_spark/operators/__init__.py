@@ -169,3 +169,36 @@ class FilterProcessor:
 
     def process(self, spark: SparkSession, df: DataFrame) -> DataFrame:
         return df.filter(self.predicate)
+
+
+@PROCESSORS.register("remap")
+class RemapProcessor:
+    """Row-wise field remapping — the capability the reference's VRL
+    processor provides (processor/vrl.rs:26: per-row parse/enrich/reshape
+    DSL), expressed as named Spark SQL expressions instead of a bespoke
+    language, so every assignment stays JVM-side in whole-stage codegen.
+
+    conf:
+      ``fields``: ordered mapping output_column -> SQL expression (may
+        reference input columns and earlier outputs via subexpressions);
+      ``keep`` (default true): keep untouched input columns;
+      ``drop``: list of columns to remove after remapping.
+
+    VRL programs that parse JSON / route / type-convert translate 1:1:
+    ``.level = upcase(string!(.level))`` -> ``level: upper(level)``.
+    """
+
+    def __init__(self, conf: dict):
+        self.fields: dict[str, str] = dict(conf.get("fields", {}))
+        self.keep = bool(conf.get("keep", True))
+        self.drop = list(conf.get("drop", []))
+
+    def process(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        out = df
+        for name, expr in self.fields.items():
+            out = out.withColumn(name, F.expr(expr))
+        if not self.keep:
+            out = out.select(*self.fields.keys(), *meta_columns(df))
+        for c in self.drop:
+            out = out.drop(c)
+        return out

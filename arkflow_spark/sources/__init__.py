@@ -95,6 +95,11 @@ class FileInput:
         self.options = dict(conf.get("options", {}))
         self.schema = conf.get("schema")  # DDL string, required for streaming
         self.sql = conf.get("sql")
+        # ingest rate limit: the reference bounds in-flight messages at 1024
+        # (stream/mod.rs:37 backpressure); the micro-batch analog caps how
+        # much each trigger pulls
+        if conf.get("max_files_per_trigger"):
+            self.options["maxFilesPerTrigger"] = str(conf["max_files_per_trigger"])
 
     def _reader(self, spark: SparkSession, streaming: bool):
         r = spark.readStream if streaming else spark.read
@@ -132,13 +137,18 @@ class KafkaInput:
         self.brokers = conf.get("brokers", ["localhost:9092"])
         self.topics = conf.get("topics", [])
         self.start = conf.get("start", "latest")
+        # backpressure analog (stream/mod.rs:37): bound per-trigger pull
+        self.max_offsets = conf.get("max_offsets_per_trigger")
 
     def _opts(self, r):
-        return (
+        r = (
             r.option("kafka.bootstrap.servers", ",".join(self.brokers))
             .option("subscribe", ",".join(self.topics))
             .option("startingOffsets", self.start)
         )
+        if self.max_offsets:
+            r = r.option("maxOffsetsPerTrigger", str(self.max_offsets))
+        return r
 
     @staticmethod
     def _project(df: DataFrame) -> DataFrame:

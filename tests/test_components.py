@@ -131,3 +131,32 @@ def test_redis_temporary_mget_lookup(spark):
     ]
     # one MGET of the distinct non-null keys
     assert len(fake.calls) == 1 and sorted(fake.calls[0]) == ["s1", "s2", "s3"]
+
+
+def test_remap_processor_vrl_capability(spark):
+    """VRL-capability parity (processor/vrl.rs): enrich/reshape/drop as
+    named SQL expressions, JVM-side."""
+    from arkflow_spark.registry import PROCESSORS, load_all
+
+    load_all()
+    p = PROCESSORS.build(
+        {
+            "type": "remap",
+            "fields": {
+                "level": "upper(level)",
+                "service": "split(host, '\\\\.')[0]",
+                "is_error": "level IN ('ERROR', 'FATAL')",
+                "ts_hour": "date_trunc('hour', ts)",
+            },
+            "drop": ["host"],
+        }
+    )
+    df = spark.createDataFrame(
+        [("error", "api.prod.example", "2024-01-01 10:34:56")],
+        "level string, host string, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    out = p.process(spark, df).collect()[0]
+    assert out["level"] == "ERROR" and out["service"] == "api"
+    assert out["is_error"] is True
+    assert str(out["ts_hour"]) == "2024-01-01 10:00:00"
+    assert "host" not in out.asDict()

@@ -247,3 +247,39 @@ def test_stream_sliding_count_window_tws(spark, tmp_path, events_stream_dir):
     )
     ids = [i for _, i in a_w0]
     assert len(ids) == 3 and ids == sorted(ids)
+
+
+def test_file_input_rate_limit_option(spark, tmp_path):
+    """max_files_per_trigger bounds per-trigger ingest (the reference's
+    in-flight backpressure threshold analog, stream/mod.rs:37)."""
+    from arkflow_spark.registry import INPUTS, load_all
+
+    load_all()
+    src = str(tmp_path / "multi_src")
+    # three separate files so the cap is observable
+    for i in range(3):
+        spark.createDataFrame([(i, float(i))], "id BIGINT, v DOUBLE").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    inp = INPUTS.build(
+        {
+            "type": "file",
+            "path": src,
+            "format": "parquet",
+            "schema": "id BIGINT, v DOUBLE",
+            "max_files_per_trigger": 1,
+        }
+    )
+    batches = []
+    q = (
+        inp.read_stream(spark)
+        .writeStream.foreachBatch(lambda df, eid: batches.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the fixture writes multiple files; with the cap each trigger pulls 1
+    assert len(batches) >= 2 and all(b > 0 for b in batches)
