@@ -375,3 +375,36 @@ def struct_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "b").alias("m_b"),
         F.size(m).alias("m_card"),
     ).orderBy("n_nationkey")
+
+
+@query(
+    "scalar_date_bin",
+    oracle="""
+    SELECT time_bucket(INTERVAL 15 MINUTE, ts, TIMESTAMP '2024-01-01 00:00:00')
+             AS bucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY bucket
+    ORDER BY bucket
+    LIMIT 200
+    """,
+)
+def scalar_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_bin (docs/docs/sql/7-scalar_functions.md:1979) — absent from
+    Spark 4 by name, provided as exact long-microsecond arithmetic in
+    arkflow_spark.functions.date_bin; oracled against DuckDB time_bucket.
+
+    Scale notes: the bin is a deterministic narrow expression (no UDF, no
+    shuffle); the groupBy aggregates map-side into ~96 buckets/day.
+    """
+    from arkflow_spark.functions import date_bin
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            date_bin("15m", F.col("ts"), "2024-01-01 00:00:00").alias("bucket")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+        .limit(200)
+    )

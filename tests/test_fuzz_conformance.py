@@ -1,0 +1,134 @@
+"""Property-based SQL conformance fuzz: random predicates and aggregations
+executed by BOTH Catalyst and DuckDB over the same parquet, results
+compared exactly.
+
+The reference ships no conformance corpus (SURVEY.md §5); this is the
+"add what the reference lacks" piece — randomized evidence that the
+relational surface behaves identically across engines, beyond the 90+
+hand-written oracle queries.
+
+Determinism rules mirror queries/base.py: counts are exact; sums go
+through DECIMAL(18,6); constants are drawn from the columns' real value
+domains so predicates exercise both selective and vacuous paths.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SF_DIR = "/root/testdata/sf0.001"
+
+NUM_COLS = {
+    "l_quantity": (1, 50),
+    "l_extendedprice": (900.0, 105000.0),
+    "l_discount": (0.0, 0.1),
+    "l_tax": (0.0, 0.08),
+    "l_suppkey": (1, 100),
+    "l_partkey": (1, 2000),
+}
+STR_COLS = {
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["F", "O"],
+}
+
+
+def _num_cmp():
+    def render(col, op, frac):
+        lo, hi = NUM_COLS[col]
+        v = lo + (hi - lo) * frac
+        return f"({col} {op} {v!r})"
+
+    return st.builds(
+        render,
+        st.sampled_from(sorted(NUM_COLS)),
+        st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]),
+        st.floats(0, 1, allow_nan=False),
+    )
+
+
+def _str_cmp():
+    def render(col, op, idx):
+        vals = STR_COLS[col]
+        if op == "IN":
+            chosen = vals[: 1 + idx % len(vals)]
+            inner = ", ".join(f"'{v}'" for v in chosen)
+            return f"({col} IN ({inner}))"
+        return f"({col} {op} '{vals[idx % len(vals)]}')"
+
+    return st.builds(
+        render,
+        st.sampled_from(sorted(STR_COLS)),
+        st.sampled_from(["=", "<>", "IN"]),
+        st.integers(0, 5),
+    )
+
+
+_leaf = st.one_of(_num_cmp(), _str_cmp())
+
+
+def _combine(children):
+    return st.one_of(
+        st.builds(lambda a, b: f"({a} AND {b})", children, children),
+        st.builds(lambda a, b: f"({a} OR {b})", children, children),
+        st.builds(lambda a: f"(NOT {a})", children),
+    )
+
+
+_predicate = st.recursive(_leaf, _combine, max_leaves=6)
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df.createOrReplaceTempView("li")
+    df.persist().count()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW li AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    yield spark, con
+    df.unpersist()
+    con.close()
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=_predicate)
+def test_fuzz_predicate_counts_match(engines, pred):
+    spark, con = engines
+    sql = f"SELECT COUNT(*) AS n FROM li WHERE {pred}"
+    n_spark = spark.sql(sql).collect()[0]["n"]
+    n_duck = con.execute(sql).fetchone()[0]
+    assert n_spark == n_duck, f"count mismatch for {pred}"
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pred=_predicate,
+    group=st.sampled_from(sorted(STR_COLS)),
+    val=st.sampled_from(sorted(NUM_COLS)),
+)
+def test_fuzz_filtered_aggregation_matches(engines, pred, group, val):
+    from arkflow_spark.plans.oracle import canonicalize
+
+    spark, con = engines
+    sql = (
+        f"SELECT {group} AS g, COUNT(*) AS n, "
+        f"CAST(SUM(CAST({val} AS DECIMAL(18,6))) AS DOUBLE) AS s "
+        f"FROM li WHERE {pred} GROUP BY {group}"
+    )
+    s_rows = [tuple(r) for r in spark.sql(sql).collect()]
+    d_rows = con.execute(sql).fetchall()
+    assert canonicalize(["g", "n", "s"], s_rows) == canonicalize(
+        ["g", "n", "s"], d_rows
+    ), f"aggregation mismatch for {pred} group={group} val={val}"
