@@ -144,3 +144,51 @@ def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM part WHERE p_partkey <= 100 ORDER BY p_partkey
         """
     )
+
+
+def _gcd_lcm_udfs():
+    @pandas_udf("long")
+    def gcd_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(np.gcd(a.astype("int64"), b.astype("int64")))
+
+    @pandas_udf("long")
+    def lcm_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(np.lcm(a.astype("int64"), b.astype("int64")))
+
+    return gcd_udf, lcm_udf
+
+
+@query(
+    "udf_gcd_lcm",
+    oracle="""
+    SELECT l_partkey, l_suppkey,
+           gcd(l_partkey, l_suppkey) AS g,
+           lcm(l_partkey, l_suppkey) AS l
+    FROM lineitem
+    WHERE l_orderkey <= 100
+    ORDER BY l_partkey, l_suppkey
+    """,
+)
+def udf_gcd_lcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gcd/lcm (docs/docs/sql/7-scalar_functions.md math surface) — no
+    Spark builtin, closed with Arrow-vectorized numpy pandas UDFs and
+    oracled against DuckDB's native gcd/lcm.
+
+    Scale notes: numpy's np.gcd is a vectorized ufunc over the Arrow batch
+    — the one sanctioned shape for Python in the hot path (no per-row
+    Python, no shuffle; a narrow projection)."""
+    gcd_udf, lcm_udf = _gcd_lcm_udfs()
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            gcd_udf("l_partkey", "l_suppkey").alias("g"),
+            lcm_udf("l_partkey", "l_suppkey").alias("l"),
+        )
+        .orderBy("l_partkey", "l_suppkey")
+    )
