@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arkflow_spark.queries.base import query
+from arkflow_spark.queries.base import QUERIES, query
 from arkflow_spark.tables import load
 
 N_QUERIES = 5
@@ -235,4 +235,164 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 6).alias("max_norm"),
         )
         .orderBy("label")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_ORACLE_EXPLODED},
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
+      FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN nrm na ON na.vec_id = vec_a
+    JOIN nrm nb ON nb.vec_id = vec_b
+    WHERE dot / (na.nrm * nb.nrm) >= 0.40
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.40) — the
+    semantic-dedup member of the dedup family (exact / n-gram / MinHash /
+    SimHash / embedding).
+
+    This is the exact all-pairs baseline, correct-by-construction for
+    verification. The 100 TB path replaces the cross join with an
+    LSH-bucketed candidate join (random-hyperplane signatures bucket
+    near-parallel vectors together, exactly like dedup_minhash_lsh caps
+    the shingle join), or reuses ann_ivf_assign's buckets — then runs THIS
+    exact cosine only on candidates.
+
+    Scale notes (as written): query side streams through one narrow stage
+    (broadcast self-join at test scale); dot products are JVM-side
+    zip_with/aggregate folds — no Python, no shuffle before the pair
+    aggregation.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    raw = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                _dot(F.col("e_a"), F.col("e_b"))
+                / (_norm(F.col("e_a")) * _norm(F.col("e_b")))
+            ).alias("raw_cos"),
+        )
+    )
+    return (
+        raw.filter(F.col("raw_cos") >= 0.40)
+        .select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query(
+    "ann_ivf_search",
+    oracle=f"""
+    WITH {_ORACLE_EXPLODED},
+    cent AS (
+      SELECT label, i,
+             CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+      FROM x GROUP BY label, i
+    ),
+    cnrm AS (SELECT label, sqrt(SUM(cv * cv)) AS cn FROM cent GROUP BY label),
+    cdots AS (
+      SELECT x.vec_id, c.label AS cand_label, SUM(x.v * c.cv) AS dot
+      FROM x JOIN cent c ON c.i = x.i
+      GROUP BY 1, 2
+    ),
+    assigned AS (
+      SELECT vec_id, cand_label AS bucket
+      FROM (
+        SELECT cdots.vec_id, cand_label,
+               row_number() OVER (PARTITION BY cdots.vec_id
+                 ORDER BY dot / (n.nrm * cn.cn) DESC, cand_label) AS rnk
+        FROM cdots
+        JOIN nrm n ON n.vec_id = cdots.vec_id
+        JOIN cnrm cn ON cn.label = cand_label
+      ) WHERE rnk = 1
+    ),
+    probe AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, SUM(q.v * c.v) AS dot
+      FROM x q
+      JOIN assigned qa ON qa.vec_id = q.vec_id
+      JOIN assigned ca ON ca.bucket = qa.bucket AND ca.vec_id <> q.vec_id
+      JOIN x c ON c.vec_id = ca.vec_id AND c.i = q.i
+      WHERE q.vec_id < {N_QUERIES}
+      GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id,
+           ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine, rnk
+    FROM (
+      SELECT query_id, cand_id, dot,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dot DESC, cand_id) AS rnk
+      FROM probe
+    )
+    JOIN nrm nq ON nq.vec_id = query_id
+    JOIN nrm nc ON nc.vec_id = cand_id
+    WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF search: assign every vector to its nearest centroid
+    bucket (the index build), then answer each query by scanning ONLY its
+    own bucket — corpus/nlist of the data instead of everything.
+
+    This is the scale path ann_cosine_topk is the baseline for: at 100 TB
+    the probe join touches one bucket's worth of candidates per query
+    (partition the index by bucket; the probe becomes a co-partitioned
+    join). Ranking inside a bucket is by raw dot DESC (norms are
+    per-vector constants joined after ranking) — deterministic because
+    dots are exact-enough sums with gaps >> reduction noise.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    assigned = QUERIES["ann_ivf_assign"](spark, sf_dir).select(
+        "vec_id", F.col("assigned_label").alias("bucket")
+    )
+    withb = e.join(assigned, "vec_id")
+    q = withb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = withb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    probe = (
+        F.broadcast(q)
+        .join(c, (F.col("c_bucket") == F.col("q_bucket")))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _dot(F.col("q_emb"), F.col("c_emb")).alias("dot"),
+            (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))).alias("nn"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("cand_id"))
+    return (
+        probe.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(F.col("dot") / F.col("nn"), 6).alias("cosine"),
+            "rnk",
+        )
+        .orderBy("query_id", "rnk")
     )
