@@ -160,3 +160,27 @@ def test_remap_processor_vrl_capability(spark):
     assert out["is_error"] is True
     assert str(out["ts_hour"]) == "2024-01-01 10:00:00"
     assert "host" not in out.asDict()
+
+
+def test_date_bin_pre_origin_floors_correctly(spark):
+    """date_bin must floor toward -inf for timestamps before the origin
+    (pmod construction), matching PostgreSQL/DataFusion semantics."""
+    from arkflow_spark.functions import date_bin
+
+    df = spark.createDataFrame(
+        [("2023-12-31 23:59:00",), ("2024-01-01 00:00:00",),
+         ("2024-01-01 00:14:59",), ("2024-01-01 00:15:00",)],
+        "s string",
+    ).select(F.to_timestamp("s").alias("ts"))
+    out = [
+        str(r[0])
+        for r in df.select(
+            date_bin("15m", F.col("ts"), "2024-01-01 00:00:00")
+        ).collect()
+    ]
+    assert out == [
+        "2023-12-31 23:45:00",  # pre-origin: floored, not truncated toward 0
+        "2024-01-01 00:00:00",
+        "2024-01-01 00:00:00",
+        "2024-01-01 00:15:00",
+    ]
