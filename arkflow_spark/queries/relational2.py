@@ -243,3 +243,110 @@ def unnest_struct_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", F.col("s.key").alias("skey"), F.col("s.nm").alias("sname"))
         .orderBy("n_nationkey")
     )
+
+
+@query(
+    "join_range_interval",
+    oracle="""
+    SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CAST(date_diff('second', e.ts, p.ts) AS BIGINT) AS error_lead_s
+    FROM events p
+    JOIN events e
+      ON p.user_id = e.user_id
+     AND e.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
+     AND e.event_id <> p.event_id
+    WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+    ORDER BY purchase_id, error_id
+    """,
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: purchases matched to same-user errors within
+    ±1 hour (equi key + range residual).
+
+    Scale notes: the user_id equi-key keeps this a hash join — the range
+    predicate is a residual filter, NOT a nested-loop driver. A pure range
+    join (no equi key) would need time-bucketing both sides
+    (date_bin(bucket, ts) as an equi key joining adjacent buckets); with a
+    natural key present, plain hash partitioning scales. (Beyond the
+    reference's surface — DataFusion exposes no range-join operator.)
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    return (
+        p.join(
+            e,
+            (F.col("user_id") == F.col("e_user"))
+            & F.col("e_ts").between(
+                F.col("p_ts") - F.expr("INTERVAL 1 HOUR"),
+                F.col("p_ts") + F.expr("INTERVAL 1 HOUR"),
+            )
+            & (F.col("error_id") != F.col("purchase_id")),
+        )
+        .select(
+            "purchase_id",
+            "error_id",
+            "user_id",
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("e_ts")).alias(
+                "error_lead_s"
+            ),
+        )
+        .orderBy("purchase_id", "error_id")
+    )
+
+
+@query(
+    "events_asof_join_tolerance",
+    oracle="""
+    WITH enriched AS (
+      SELECT event_id, user_id, ts,
+             last_value(CASE WHEN event_type = 'error' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_error_ts
+      FROM events
+      WHERE user_id < 30
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           strftime(CASE WHEN prior_error_ts >= ts - INTERVAL 10 MINUTE
+                         THEN prior_error_ts END,
+                    '%Y-%m-%d %H:%M:%S') AS recent_error_ts
+    FROM enriched
+    ORDER BY user_id, event_id
+    """,
+)
+def events_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with tolerance (pandas merge_asof semantics): the prior
+    error only matches when within 10 minutes, else NULL.
+
+    Scale notes: identical O(n log n) window plan as events_asof_join —
+    the tolerance is a post-window predicate, free at any scale."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marker = F.when(F.col("event_type") == "error", F.col("ts"))
+    prior = F.last(marker, ignorenulls=True).over(w)
+    within = F.when(
+        prior >= F.col("ts") - F.expr("INTERVAL 10 MINUTES"), prior
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format(within, "yyyy-MM-dd HH:mm:ss").alias("recent_error_ts"),
+    ).orderBy("user_id", "event_id")
