@@ -244,3 +244,50 @@ def events_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_skew_salted_agg",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n,
+           {o_dsum('value', 'total_value')},
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (functions/skew.salted_agg) surfaced
+    through the correctness gate: event_type has only 5 values — at 100 TB
+    each key's partition would exceed executor memory, so phase 1
+    aggregates on (key, salt) [both phases map-side combinable] and phase 2
+    recombines per key. The oracle is the PLAIN single-phase GROUP BY —
+    hash equality proves salting changes the plan, not the answer.
+    """
+    from arkflow_spark.functions.skew import salted_agg
+
+    ev = load(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": F.count("*"),
+            "total_value": F.sum(dec),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+        },
+        n_salts=16,
+        deterministic_by="event_id",
+    )
+    return (
+        out.select(
+            "event_type",
+            "n",
+            F.col("total_value").cast("double").alias("total_value"),
+            "min_value",
+            "max_value",
+        )
+        .orderBy("event_type")
+    )
