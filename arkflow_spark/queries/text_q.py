@@ -202,3 +202,64 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(norm), 1, 8).alias("short_fp"),
         F.length("text").alias("raw_len"),
     ).orderBy("doc_id")
+
+
+@query(
+    "documents_clean_corpus",
+    oracle=rf"""
+    WITH fp AS (
+      SELECT doc_id, lang, text,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f,
+             len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens
+      FROM documents
+    ), canon AS (
+      SELECT *,
+             doc_id = MIN(doc_id) OVER (PARTITION BY f) AS is_canonical,
+             COUNT(*) OVER (PARTITION BY f) AS n_copies
+      FROM fp
+    )
+    SELECT doc_id, lang, n_tokens, n_copies
+    FROM canon
+    WHERE is_canonical
+      AND n_tokens BETWEEN 20 AND 2000
+      AND length(trim(text)) > 0
+    ORDER BY doc_id
+    """,
+)
+def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning — the composition every training-data
+    pipeline runs: exact dedup (keep the canonical copy), token-count
+    quality gate (20..2000 BPE-ish tokens), non-empty guard. One oracled
+    query so the whole pipeline, not just its parts, is hash-verified.
+
+    Scale notes: one shuffle on the content fingerprint (uniform 128-bit
+    key) does the dedup; the token gate is a narrow JVM-side regexp — at
+    100 TB this is a single wide stage plus a window over fingerprint
+    groups (group sizes are tiny: duplicate multiplicity)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("f"),
+        _tok_count(F.col("text")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("f")
+    canon = fp.select(
+        "*",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+        F.count("*").over(w).alias("n_copies"),
+    )
+    return (
+        canon.filter(
+            F.col("is_canonical")
+            & F.col("n_tokens").between(20, 2000)
+            & (F.length(F.trim(F.col("text"))) > 0)
+        )
+        .select("doc_id", "lang", "n_tokens", "n_copies")
+        .orderBy("doc_id")
+    )
