@@ -24,6 +24,7 @@ for _mod in (
     "vector_q",
     "multimodal_q",
     "streaming_q",
+    "ml_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")

@@ -1,0 +1,72 @@
+"""MLlib integration tests: TF-IDF pipeline, KMeans IVF, and model scoring
+over Structured Streaming (the north star's "ML integration via MLlib")."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from arkflow_spark.ml import (
+    array_to_vector,
+    assign_buckets,
+    fit_kmeans_ivf,
+    score_stream,
+    tfidf_pipeline,
+    vector_to_array,
+)
+from arkflow_spark.tables import load
+from tests.conftest import SF_SMOKE
+
+
+def test_tfidf_pipeline_fit_transform(spark):
+    docs = load(spark, SF_SMOKE, "documents")
+    model = tfidf_pipeline(num_features=1 << 12).fit(docs)
+    out = model.transform(docs).select(
+        "doc_id", vector_to_array("features").alias("f")
+    )
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    # every non-empty document gets a non-zero feature vector
+    assert all(len(r.f) == 1 << 12 for r in rows)
+    assert any(sum(r.f) > 0 for r in rows)
+
+
+def test_kmeans_ivf_assign_covers_all_vectors(spark):
+    emb = load(spark, SF_SMOKE, "embeddings")
+    model = fit_kmeans_ivf(emb, k=4, seed=7)
+    assigned = assign_buckets(model, emb)
+    assert assigned.count() == emb.count()
+    buckets = {r.bucket for r in assigned.select("bucket").distinct().collect()}
+    assert buckets <= set(range(4)) and len(buckets) >= 2
+    # deterministic under a fixed seed: refit reproduces the assignment
+    model2 = fit_kmeans_ivf(emb, k=4, seed=7)
+    a1 = sorted((r.vec_id, r.bucket) for r in assigned.collect())
+    a2 = sorted(
+        (r.vec_id, r.bucket) for r in assign_buckets(model2, emb).collect()
+    )
+    assert a1 == a2
+
+
+def test_score_stream_applies_model_per_microbatch(spark):
+    emb = load(spark, SF_SMOKE, "embeddings")
+    model = fit_kmeans_ivf(emb, k=3, seed=11)
+    with tempfile.TemporaryDirectory() as d:
+        emb.write.parquet(f"{d}/in")
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .parquet(f"{d}/in")
+            .withColumn("__vec", array_to_vector(F.col("embedding")))
+        )
+        scored = score_stream(model, stream).drop("__vec")
+        q = (
+            scored.writeStream.format("memory")
+            .queryName("ml_scored")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "SELECT COUNT(*) AS n, COUNT(DISTINCT bucket) AS nb FROM ml_scored"
+        ).collect()[0]
+        assert got.n == emb.count() and 1 <= got.nb <= 3
