@@ -295,6 +295,157 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PLANES = 16
+PLANE_BAND = 4  # 4 bands x 4 bits: one intact band => candidate
+
+
+def _plane_coef_sql() -> str:
+    # deterministic pseudo-random coefficient in [-1000, 1000] from md5 of
+    # (plane, dim) — identical text input => identical coefficient in both
+    # engines (md5 + base-16 parse + modulo are engine-portable)
+    return (
+        "CAST(('0x' || substr(md5('rp-' || p || '-' || i), 1, 8)) AS BIGINT)"
+        " % 2001 - 1000"
+    )
+
+
+@query(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH {_ORACLE_EXPLODED},
+    planes AS (
+      SELECT p.p AS p, g.i AS i, {_plane_coef_sql()} AS coef
+      FROM generate_series(0, {N_PLANES - 1}) p(p)
+      CROSS JOIN generate_series(1, 64) g(i)
+    ),
+    bits AS (
+      SELECT x.vec_id, pl.p,
+             CASE WHEN SUM(CAST(ROUND(x.v * 1000000) AS BIGINT) * pl.coef)
+                  > 0 THEN 1 ELSE 0 END AS bit
+      FROM x JOIN planes pl ON pl.i = x.i
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT vec_id, p // {PLANE_BAND} AS band,
+             string_agg(CAST(bit AS VARCHAR), '' ORDER BY p) AS band_key
+      FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT c.vec_a, c.vec_b, SUM(a.v * b.v) AS dot
+      FROM cand c
+      JOIN x a ON a.vec_id = c.vec_a
+      JOIN x b ON b.vec_id = c.vec_b AND b.i = a.i
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN nrm na ON na.vec_id = vec_a
+    JOIN nrm nb ON nb.vec_id = vec_b
+    WHERE dot / (na.nrm * nb.nrm) >= 0.40
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH semantic near-dup — the 100 TB path promised
+    by `dedup_embedding_cosine`: {N_PLANES} signed projections, banded
+    {N_PLANES // PLANE_BAND}x{PLANE_BAND}, exact cosine (>= 0.40) verified
+    on bucket-collision candidates only.
+
+    Determinism: hyperplane coefficients come from md5("rp-p-i") (portable
+    across engines) and projections are exact int64 sums of
+    round(v*1e6)*coef — the sign (the LSH bit) is bit-identical in Spark
+    and DuckDB, so both engines build the same buckets.
+
+    Scale notes: signatures are one narrow pass + one groupBy(vec_id,
+    plane) with map-side partials (or a single mapInPandas at width 64);
+    the candidate join is capped by band-bucket size exactly like
+    dedup_minhash_lsh; the exact-cosine verify touches candidates only.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "vf")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("vf").cast("double") * 1000000).cast("bigint").alias("vs"),
+    )
+    planes = (
+        spark.range(N_PLANES)
+        .select(F.col("id").alias("p"))
+        .crossJoin(spark.range(1, 65).select(F.col("id").alias("i")))
+        .select(
+            "p",
+            "i",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("rp-"), "p", F.lit("-"), "i")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2001
+                - 1000
+            ).alias("coef"),
+        )
+    )
+    bits = (
+        x.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "p")
+        .agg(
+            F.when(F.sum(F.col("vs") * F.col("coef")) > 0, 1)
+            .otherwise(0)
+            .alias("bit")
+        )
+    )
+    bands = (
+        bits.groupBy(
+            "vec_id", (F.col("p") / PLANE_BAND).cast("bigint").alias("band")
+        )
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list(F.struct("p", "bit"))), lambda s: s["bit"].cast("string"))
+            ).alias("band_key")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    raw = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                _dot(F.col("e_a"), F.col("e_b"))
+                / (_norm(F.col("e_a")) * _norm(F.col("e_b")))
+            ).alias("raw_cos"),
+        )
+    )
+    return (
+        raw.filter(F.col("raw_cos") >= 0.40)
+        .select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 @query(
     "ann_ivf_search",
     oracle=f"""
