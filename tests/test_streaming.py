@@ -283,3 +283,57 @@ def test_file_input_rate_limit_option(spark, tmp_path):
         q.stop()
     # the fixture writes multiple files; with the cap each trigger pulls 1
     assert len(batches) >= 2 and all(b > 0 for b in batches)
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """True stream-stream inner join: two watermarked file streams joined on
+    key + event-time range — the Spark-native superset of the reference's
+    window-join buffer (buffer/join.rs registers each source's batch and
+    joins with SQL; here the state store holds both sides, bounded by the
+    watermark + time-range condition, which is the 100 TB-safe shape)."""
+    left_dir = str(tmp_path / "left")
+    right_dir = str(tmp_path / "right")
+    left_rows = [(i, f"2024-01-01 00:{i:02d}:00", f"k{i % 3}") for i in range(10)]
+    # right side lags the left by 30s — inside the join tolerance
+    right_rows = [(i, f"2024-01-01 00:{i:02d}:30", f"k{i % 3}") for i in range(10)]
+    spark.createDataFrame(
+        left_rows, "l_id BIGINT, l_ts STRING, k STRING"
+    ).withColumn("l_ts", F.col("l_ts").cast("timestamp")).coalesce(1).write.parquet(
+        left_dir
+    )
+    spark.createDataFrame(
+        right_rows, "r_id BIGINT, r_ts STRING, k STRING"
+    ).withColumn("r_ts", F.col("r_ts").cast("timestamp")).coalesce(1).write.parquet(
+        right_dir
+    )
+    left = (
+        spark.readStream.schema("l_id BIGINT, l_ts TIMESTAMP, k STRING")
+        .parquet(left_dir)
+        .withWatermark("l_ts", "2 minutes")
+    )
+    right = (
+        spark.readStream.schema("r_id BIGINT, r_ts TIMESTAMP, k STRING")
+        .parquet(right_dir)
+        .withWatermark("r_ts", "2 minutes")
+    )
+    joined = left.join(
+        right,
+        (left.k == right.k)
+        & (right.r_ts >= left.l_ts)
+        & (right.r_ts <= left.l_ts + F.expr("INTERVAL 1 MINUTE")),
+        "inner",
+    ).select("l_id", "r_id", left.k)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {(r.l_id, r.r_id) for r in spark.sql("SELECT * FROM ss_join").collect()}
+    # each left row matches exactly its same-id right row (+30s, same key)
+    assert got == {(i, i) for i in range(10)}
