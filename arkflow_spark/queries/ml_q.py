@@ -72,7 +72,10 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower("text"), F.lit(TERM_RE), 0)
         ).alias("term"),
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the df aggregation and the scoring join; persist it so
+    # the shingle-style DAG computes the (doc_id, term) shuffle once (at
+    # 100 TB: a staging table — Spark has no cross-subtree CSE)
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     scored = (

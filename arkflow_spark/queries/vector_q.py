@@ -510,8 +510,13 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "embeddings")
-    assigned = QUERIES["ann_ivf_assign"](spark, sf_dir).select(
-        "vec_id", F.col("assigned_label").alias("bucket")
+    # the assignment feeds both the query and candidate sides of the probe
+    # join; persist it so the index build runs once, not once per side (at
+    # 100 TB the assignment IS the stored index — a bucket-partitioned table)
+    assigned = (
+        QUERIES["ann_ivf_assign"](spark, sf_dir)
+        .select("vec_id", F.col("assigned_label").alias("bucket"))
+        .persist()
     )
     withb = e.join(assigned, "vec_id")
     q = withb.filter(F.col("vec_id") < N_QUERIES).select(
