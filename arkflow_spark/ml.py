@@ -70,8 +70,10 @@ def fit_kmeans_ivf(
     """Learn ``k`` IVF centroids from an ``array<float>`` column with MLlib
     KMeans (fixed seed → deterministic local runs). Use when no label/bucket
     structure exists; ``ann_ivf_assign`` covers the labeled case."""
-    vec = df.withColumn("__vec", array_to_vector(F.col(embedding_col)))
-    km = KMeans(k=k, seed=seed, featuresCol="__vec", predictionCol="bucket")
+    vec = df.withColumn(embedding_col, array_to_vector(F.col(embedding_col)))
+    km = KMeans(
+        k=k, seed=seed, featuresCol=embedding_col, predictionCol="bucket"
+    )
     return km.fit(vec)
 
 
@@ -80,8 +82,8 @@ def assign_buckets(
 ) -> DataFrame:
     """Assign every vector to its nearest learned centroid (the IVF index
     build). Narrow stage: centroids ship with the plan, no shuffle."""
-    vec = df.withColumn("__vec", array_to_vector(F.col(embedding_col)))
-    return model.transform(vec).drop("__vec")
+    vec = df.withColumn(embedding_col, array_to_vector(F.col(embedding_col)))
+    return model.transform(vec)
 
 
 def score_stream(model, stream_df: DataFrame) -> DataFrame:

@@ -171,6 +171,54 @@ class FilterProcessor:
         return df.filter(self.predicate)
 
 
+@PROCESSORS.register("ml_score")
+class MlScoreProcessor:
+    """Apply a saved MLlib model/pipeline to each batch — the "AI
+    integration" the reference advertises but has no operator for
+    (SURVEY §2.3), expressed Spark-natively per the north star
+    ("Structured Streaming with ML integration via MLlib").
+
+    conf:
+      ``model_path``: directory of a saved fitted model;
+      ``model_class`` (default ``pyspark.ml.PipelineModel``): import path
+        of the model class to ``.load`` with;
+      ``vector_cols``: array<numeric> columns converted via
+        ``array_to_vector`` before transform (MLlib expects VectorUDT);
+      ``drop``: columns to drop after scoring.
+
+    The model loads lazily on first batch (a SparkSession must be active)
+    and is reused across micro-batches; MLlib transforms are row-local, so
+    scoring stays a narrow stage in both batch and streaming pipelines.
+    """
+
+    def __init__(self, conf: dict):
+        self.model_path = conf["model_path"]
+        self.model_class = conf.get("model_class", "pyspark.ml.PipelineModel")
+        self.vector_cols = list(conf.get("vector_cols", []) or [])
+        self.drop = list(conf.get("drop", []) or [])
+        self._model = None
+
+    def _load(self):
+        if self._model is None:
+            import importlib
+
+            mod, _, name = self.model_class.rpartition(".")
+            cls = getattr(importlib.import_module(mod), name)
+            self._model = cls.load(self.model_path)
+        return self._model
+
+    def process(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        from pyspark.ml.functions import array_to_vector
+
+        out = df
+        for c in self.vector_cols:
+            out = out.withColumn(c, array_to_vector(F.col(c)))
+        out = self._load().transform(out)
+        for c in self.drop:
+            out = out.drop(c)
+        return out
+
+
 @PROCESSORS.register("remap")
 class RemapProcessor:
     """Row-wise field remapping — the capability the reference's VRL

@@ -56,9 +56,9 @@ def test_score_stream_applies_model_per_microbatch(spark):
         stream = (
             spark.readStream.schema(emb.schema)
             .parquet(f"{d}/in")
-            .withColumn("__vec", array_to_vector(F.col("embedding")))
+            .withColumn("embedding", array_to_vector(F.col("embedding")))
         )
-        scored = score_stream(model, stream).drop("__vec")
+        scored = score_stream(model, stream)
         q = (
             scored.writeStream.format("memory")
             .queryName("ml_scored")
@@ -70,3 +70,47 @@ def test_score_stream_applies_model_per_microbatch(spark):
             "SELECT COUNT(*) AS n, COUNT(DISTINCT bucket) AS nb FROM ml_scored"
         ).collect()[0]
         assert got.n == emb.count() and 1 <= got.nb <= 3
+
+
+def test_ml_score_processor_in_engine_pipeline(spark, tmp_path):
+    """YAML-surface AI integration: a saved KMeans model scored by the
+    engine's ml_score processor over a parquet file input."""
+    import textwrap
+
+    import yaml as _y
+
+    from arkflow_spark.config import EngineConfig
+    from arkflow_spark.engine import Engine
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    model = fit_kmeans_ivf(emb, k=3, seed=5)
+    mpath = str(tmp_path / "kmeans_model")
+    model.save(mpath)
+    cfg = EngineConfig.from_dict(
+        _y.safe_load(
+            textwrap.dedent(
+                f"""
+                streams:
+                  - name: score
+                    input:
+                      type: file
+                      format: parquet
+                      path: {SF_SMOKE}/embeddings.parquet
+                    pipeline:
+                      processors:
+                        - type: ml_score
+                          model_path: {mpath}
+                          model_class: pyspark.ml.clustering.KMeansModel
+                          vector_cols: [embedding]
+                        - type: sql
+                          query: "SELECT bucket, COUNT(*) AS n FROM flow GROUP BY bucket"
+                    output:
+                      type: memory
+                """
+            )
+        )
+    )
+    eng = Engine(spark, cfg)
+    out = eng.streams[0].run_batch()
+    rows = {r["bucket"]: r["n"] for r in out.collect()}
+    assert sum(rows.values()) == emb.count() and set(rows) <= {0, 1, 2}
