@@ -263,3 +263,45 @@ def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tokens", "n_copies")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_vocab_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+    )
+    SELECT token, n,
+           row_number() OVER (ORDER BY n DESC, token) AS rnk
+    FROM counts
+    ORDER BY rnk
+    LIMIT 100
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-100 tokens by global frequency
+    (tokenizer-vocabulary construction statistics; deterministic tie-break
+    by token).
+
+    Scale notes: token counts are one shuffle with map-side partial
+    aggregation (uniform-ish key space; stopword skew is absorbed by the
+    partial agg); the top-100 is TakeOrderedAndProject — no global sort."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+        ).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    # rank AFTER the top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition heaps, no global sort); the rank window then touches
+    # only 100 rows instead of the whole vocabulary
+    topk = counts.orderBy(F.desc("n"), F.asc("token")).limit(100)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return topk.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")
