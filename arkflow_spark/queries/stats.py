@@ -297,3 +297,44 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rnk
+      FROM counts
+    )
+    SELECT user_id, event_type AS mode_event, n AS mode_count
+    FROM ranked WHERE rnk = 1
+    ORDER BY user_id
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mode()` aggregate (DataFusion aggregate docs surface; Spark 4
+    `mode(col, deterministic=true)` = lowest value among ties, replicated
+    in the oracle with an explicit count + deterministic-rank construction
+    so both engines break frequency ties identically)."""
+    e = load(spark, sf_dir, "events")
+    modes = e.groupBy("user_id").agg(
+        F.mode("event_type", True).alias("mode_event")
+    )
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("mode_count")
+    )
+    return (
+        modes.join(
+            counts,
+            (modes.user_id == counts.user_id)
+            & (modes.mode_event == counts.event_type),
+        )
+        .select(modes.user_id, "mode_event", "mode_count")
+        .orderBy("user_id")
+    )
