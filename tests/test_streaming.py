@@ -337,3 +337,39 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
     got = {(r.l_id, r.r_id) for r in spark.sql("SELECT * FROM ss_join").collect()}
     # each left row matches exactly its same-id right row (+30s, same key)
     assert got == {(i, i) for i in range(10)}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps the first
+    arrival per key and bounds the dedup state by the watermark — the
+    streaming counterpart of the batch `dedup_exact` operator (at 100 TB
+    the state store holds only keys younger than the watermark, not the
+    full corpus)."""
+    src = str(tmp_path / "dedup_src")
+    rows = [
+        (i % 5, f"2024-01-01 00:{i:02d}:00", f"payload-{i % 5}")
+        for i in range(15)
+    ]  # 5 distinct keys, each arriving 3 times
+    spark.createDataFrame(
+        rows, "k BIGINT, ts STRING, payload STRING"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("k BIGINT, ts TIMESTAMP, payload STRING")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = spark.sql("SELECT k, COUNT(*) AS n FROM dedup_stream GROUP BY k").collect()
+    assert {r.k for r in got} == {0, 1, 2, 3, 4}
+    assert all(r.n == 1 for r in got)
