@@ -192,3 +192,43 @@ def udf_gcd_lcm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey", "l_suppkey")
     )
+
+
+@query(
+    "udf_pandas_window",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS rolling_avg
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def udf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python *window* UDF — the one UDF flavor the reference registers
+    (udf/window_udf.rs:14-40) that has no direct Spark registry: expressed
+    as applyInPandas over the partition key, computing a rolling aggregate
+    with pandas inside the group, oracled against DuckDB's windowed AVG
+    (ROWS 4 PRECEDING). 4dp rounding absorbs pandas' sliding-sum vs fresh
+    5-term-sum FP difference.
+
+    Scale notes: one shuffle on the window partition key (user_id), then
+    Arrow-batched per-group pandas — group sizes are per-user event counts
+    (bounded); this is the sanctioned shape for custom window logic Spark
+    lacks, and exactly how a python window UDF would run on a cluster."""
+    e = load(spark, sf_dir, "events")
+
+    def rolling(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf["rolling_avg"] = (
+            pdf["value"].rolling(5, min_periods=1).mean().round(4)
+        )
+        return pdf[["user_id", "event_id", "rolling_avg"]]
+
+    return (
+        e.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(rolling, "user_id BIGINT, event_id BIGINT, rolling_avg DOUBLE")
+        .orderBy("user_id", "event_id")
+    )
