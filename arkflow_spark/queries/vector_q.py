@@ -295,8 +295,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 4 bands x 4 bits. Hyperplane-LSH bit-agreement p = 1 - arccos(cos)/pi,
+# so recall = 1-(1-p^4)^4: ~59% at cosine 0.5, ~97% at 0.9. Banding must be
+# tuned to the threshold: near-dup thresholds (>=0.9) support 8-bit bands
+# (256 buckets/band, tiny verify); this query's 0.40 threshold (this
+# corpus has no >0.52 pair) needs short bands for recall, at the price of
+# wider buckets in the exact-cosine verify.
 N_PLANES = 16
-PLANE_BAND = 4  # 4 bands x 4 bits: one intact band => candidate
+PLANE_BAND = 4
 
 
 def _plane_coef_sql() -> str:

@@ -33,8 +33,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality_score",
+    "text_tfidf",
     "ann_cosine_topk",
     "ann_ivf_assign",
+    "ann_ivf_search",
 ]
 
 
