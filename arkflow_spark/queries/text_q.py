@@ -305,3 +305,56 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = counts.orderBy(F.desc("n"), F.asc("token")).limit(100)
     w = Window.orderBy(F.desc("n"), F.asc("token"))
     return topk.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")
+
+
+# common-subset regex (Java + RE2): no backrefs, no lookaround
+PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_PHONE_RE = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS n_phones,
+             regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}',
+                 '[EMAIL]', 'g'), '{PII_PHONE_RE}', '[PHONE]', 'g')
+               AS redacted
+      FROM documents
+    )
+    SELECT doc_id, n_emails, n_phones,
+           md5(redacted) AS redacted_fp,
+           length(redacted) AS redacted_len,
+           n_emails + n_phones > 0 AS has_pii
+    FROM r
+    ORDER BY doc_id
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (emails, phone numbers) — the compliance pass a
+    training-data pipeline runs before tokenization. Patterns are in the
+    Java/RE2 common subset so both engines match identical spans; the
+    redacted text is emitted as md5 so the full transform, not just the
+    counts, is hash-verified.
+
+    Scale notes: pure narrow JVM regexp stage (whole-stage codegen), no
+    shuffle except the output ordering; at 100 TB this is a map-only pass.
+    """
+    d = load(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", PII_EMAIL_RE, "[EMAIL]"),
+        PII_PHONE_RE,
+        "[PHONE]",
+    )
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all("text", F.lit(PII_PHONE_RE), 0))
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+        F.length(redacted).alias("redacted_len"),
+        ((n_emails + n_phones) > 0).alias("has_pii"),
+    ).orderBy("doc_id")
