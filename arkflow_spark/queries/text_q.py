@@ -358,3 +358,58 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(redacted).alias("redacted_len"),
         ((n_emails + n_phones) > 0).alias("has_pii"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_bigram_entropy",
+    oracle="""
+    WITH bi AS (
+      SELECT doc_id, substr(text, g.i, 2) AS bg
+      FROM documents CROSS JOIN generate_series(1, 4000) g(i)
+      WHERE g.i <= length(text) - 1
+    ),
+    c AS (SELECT doc_id, bg, COUNT(*) AS n FROM bi GROUP BY 1, 2),
+    t AS (SELECT doc_id, SUM(n) AS tot, COUNT(*) AS n_distinct FROM c GROUP BY 1)
+    SELECT c.doc_id,
+           ROUND(-SUM((n * 1.0 / tot) * log2(n * 1.0 / tot)), 4)
+             AS bigram_entropy,
+           MAX(n_distinct) AS n_distinct_bigrams
+    FROM c JOIN t ON t.doc_id = c.doc_id
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def text_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram Shannon entropy per document — the cheap
+    gibberish/boilerplate detector quality pipelines run alongside
+    length/stopword gates (low entropy = repeated boilerplate, high =
+    random noise). 4dp rounding absorbs summation-order FP noise.
+
+    Scale notes: the bigram explode is a narrow JVM stage; counts shuffle
+    once on (doc_id, bigram) with map-side partials, then a doc-level
+    reduce — the same two-level aggregation shape as TF-IDF."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(0))),
+                lambda i: t.substr(i, F.lit(2)),
+            )
+        ).alias("bg"),
+    )
+    c = bi.groupBy("doc_id", "bg").agg(F.count("*").alias("n"))
+    tt = c.groupBy("doc_id").agg(
+        F.sum("n").alias("tot"), F.count("*").alias("n_distinct")
+    )
+    p = F.col("n") * 1.0 / F.col("tot")
+    return (
+        c.join(tt, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(p * F.log2(p)), 4).alias("bigram_entropy"),
+            F.max("n_distinct").alias("n_distinct_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
