@@ -38,7 +38,11 @@ STR_COLS = {
 def _num_cmp():
     def render(col, op, frac):
         lo, hi = NUM_COLS[col]
-        v = lo + (hi - lo) * frac
+        # 12 significant digits: beyond ~16 the engines' DECIMAL->DOUBLE
+        # literal conversions diverge (DuckDB routes the decimal mantissa
+        # through int64 > 2^53 and rounds 0.09999999999999999 to 0.1;
+        # Spark converts correctly-rounded) — found by this fuzzer
+        v = round(lo + (hi - lo) * frac, 12)
         return f"({col} {op} {v!r})"
 
     return st.builds(
@@ -81,14 +85,20 @@ _predicate = st.recursive(_leaf, _combine, max_leaves=6)
 
 
 @pytest.fixture(scope="module")
-def engines(spark):
-    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    df.createOrReplaceTempView("li")
-    df.persist().count()
+def engines(spark, tmp_path_factory):
+    # materialize ONE canonical copy with a unique rid: the synthetic
+    # lineitem has duplicate (l_orderkey, l_linenumber) pairs, so ROWS
+    # frames need rid as a deterministic total order both engines share
+    src = str(tmp_path_factory.mktemp("fuzz") / "li.parquet")
     con = duckdb.connect()
     con.execute(
-        f"CREATE VIEW li AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+        f"COPY (SELECT *, row_number() OVER () AS rid "
+        f"FROM read_parquet('{SF_DIR}/lineitem.parquet')) TO '{src}' (FORMAT PARQUET)"
     )
+    con.execute(f"CREATE VIEW li AS SELECT * FROM read_parquet('{src}')")
+    df = spark.read.parquet(src)
+    df.createOrReplaceTempView("li")
+    df.persist().count()
     yield spark, con
     df.unpersist()
     con.close()
@@ -132,3 +142,38 @@ def test_fuzz_filtered_aggregation_matches(engines, pred, group, val):
     assert canonicalize(["g", "n", "s"], s_rows) == canonicalize(
         ["g", "n", "s"], d_rows
     ), f"aggregation mismatch for {pred} group={group} val={val}"
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    part=st.sampled_from(sorted(STR_COLS)),
+    val=st.sampled_from(sorted(NUM_COLS)),
+    prec=st.integers(0, 4),
+    foll=st.integers(0, 4),
+    fn=st.sampled_from(["COUNT", "SUM", "MIN", "MAX"]),
+)
+def test_fuzz_window_frames_match(engines, part, val, prec, foll, fn):
+    """Random ROWS frames over a deterministic total order: both engines
+    must agree on COUNT/SUM/MIN/MAX for every (partition, frame) draw.
+    Frame-sensitive SUM goes through decimal for bit-equality; rid (added
+    by the fixture) is unique so frames are well-defined."""
+    from arkflow_spark.plans.oracle import canonicalize
+
+    spark, con = engines
+    arg = f"CAST({val} AS DECIMAL(18,6))" if fn == "SUM" else val
+    out = f"CAST({fn}({arg}) OVER w AS DOUBLE)" if fn == "SUM" else f"{fn}({arg}) OVER w"
+    sql = (
+        f"SELECT rid, {out} AS x FROM li "
+        f"WINDOW w AS (PARTITION BY {part} ORDER BY rid "
+        f"ROWS BETWEEN {prec} PRECEDING AND {foll} FOLLOWING)"
+    )
+    s_rows = [tuple(r) for r in spark.sql(sql).collect()]
+    d_rows = con.execute(sql).fetchall()
+    cols = ["rid", "x"]
+    assert canonicalize(cols, s_rows) == canonicalize(cols, d_rows), (
+        f"window mismatch: {fn}({val}) part={part} rows {prec}p/{foll}f"
+    )
