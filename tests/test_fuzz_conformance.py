@@ -96,9 +96,15 @@ def engines(spark, tmp_path_factory):
         f"FROM read_parquet('{SF_DIR}/lineitem.parquet')) TO '{src}' (FORMAT PARQUET)"
     )
     con.execute(f"CREATE VIEW li AS SELECT * FROM read_parquet('{src}')")
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    )
     df = spark.read.parquet(src)
     df.createOrReplaceTempView("li")
     df.persist().count()
+    odf = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    odf.createOrReplaceTempView("orders")
     yield spark, con
     df.unpersist()
     con.close()
@@ -177,3 +183,38 @@ def test_fuzz_window_frames_match(engines, part, val, prec, foll, fn):
     assert canonicalize(cols, s_rows) == canonicalize(cols, d_rows), (
         f"window mismatch: {fn}({val}) part={part} rows {prec}p/{foll}f"
     )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pred=_predicate,
+    jtype=st.sampled_from(["JOIN", "LEFT JOIN", "SEMI", "ANTI"]),
+)
+def test_fuzz_join_counts_match(engines, pred, jtype):
+    """Random join shapes (inner/left/semi/anti) between the filtered fact
+    and its order keys: per-shape row counts must match across engines.
+    Exercises join + filter interaction (pushdown through joins) that the
+    single-table fuzzes cannot."""
+    spark, con = engines
+    if jtype == "SEMI":
+        sql = (
+            f"SELECT COUNT(*) AS n FROM orders o WHERE EXISTS "
+            f"(SELECT 1 FROM li l WHERE l.l_orderkey = o.o_orderkey AND {pred})"
+        )
+    elif jtype == "ANTI":
+        sql = (
+            f"SELECT COUNT(*) AS n FROM orders o WHERE NOT EXISTS "
+            f"(SELECT 1 FROM li l WHERE l.l_orderkey = o.o_orderkey AND {pred})"
+        )
+    else:
+        sql = (
+            f"SELECT COUNT(*) AS n FROM orders o {jtype} "
+            f"(SELECT * FROM li WHERE {pred}) l ON l.l_orderkey = o.o_orderkey"
+        )
+    n_spark = spark.sql(sql).collect()[0]["n"]
+    n_duck = con.execute(sql).fetchone()[0]
+    assert n_spark == n_duck, f"join count mismatch: {jtype} {pred}"
