@@ -75,12 +75,21 @@ class Stream:
             raise
 
     # -- streaming mode ---------------------------------------------------
-    def start(self, checkpoint_dir: str, trigger_ms: int | None = None):
+    def start(
+        self,
+        checkpoint_dir: str,
+        trigger_ms: int | None = None,
+        once: bool = False,
+    ):
         """Start the stream: readStream -> foreachBatch(transform+write).
 
         foreachBatch (not a native sink) because the reference's per-batch
         SQL/table-registration model (processor/sql.rs:117-119) needs a
         concrete DataFrame per micro-batch.
+
+        ``once=True`` uses the availableNow trigger: process everything
+        currently available (respecting per-trigger ingest caps), then stop
+        — the drain-and-exit mode for backfills and bounded demo runs.
         """
         sdf = self.input.read_stream(self.spark)
 
@@ -99,6 +108,9 @@ class Stream:
             .option("checkpointLocation", checkpoint_dir)
             .queryName(self.name or "arkflow-stream")
         )
+        if once:
+            writer = writer.trigger(availableNow=True)
+            return writer.start()
         interval = trigger_ms
         if interval is None and self.buffer is not None:
             interval = getattr(self.buffer, "timeout_ms", None) or getattr(
@@ -123,27 +135,34 @@ class Engine:
     def run_batch_all(self) -> list[DataFrame]:
         return [s.run_batch() for s in self.streams]
 
-    def start_all(self, checkpoint_root: str) -> list:
+    def start_all(self, checkpoint_root: str, once: bool = False) -> list:
         return [
-            s.start(f"{checkpoint_root}/{i}_{s.name}")
+            s.start(f"{checkpoint_root}/{i}_{s.name}", once=once)
             for i, s in enumerate(self.streams)
         ]
 
 
 def main() -> None:  # pragma: no cover
-    """CLI: python -m arkflow_spark.engine <config.yaml> [--stream]"""
+    """CLI: python -m arkflow_spark.engine <config.yaml> [--stream [--once]]
+
+    ``--stream`` runs Structured Streaming; add ``--once`` to drain what
+    is currently available (availableNow trigger) and exit.
+    """
     import sys
 
     from arkflow_spark.session import get_spark
 
     path = sys.argv[1]
     streaming = "--stream" in sys.argv
+    once = "--once" in sys.argv
     spark = get_spark("arkflow-engine")
     eng = Engine.from_file(spark, path)
     if streaming:
         import tempfile
 
-        queries = eng.start_all(tempfile.mkdtemp(prefix="arkflow-ckpt-"))
+        queries = eng.start_all(
+            tempfile.mkdtemp(prefix="arkflow-ckpt-"), once=once
+        )
         for q in queries:
             q.awaitTermination()
     else:

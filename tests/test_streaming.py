@@ -373,3 +373,44 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = spark.sql("SELECT k, COUNT(*) AS n FROM dedup_stream GROUP BY k").collect()
     assert {r.k for r in got} == {0, 1, 2, 3, 4}
     assert all(r.n == 1 for r in got)
+
+
+def test_stream_available_now_drains_and_stops(spark, tmp_path, events_stream_dir):
+    """once=True (availableNow): process everything currently available,
+    honoring per-trigger caps, then terminate — the drain/backfill mode."""
+    import textwrap
+
+    import yaml as _y
+
+    from arkflow_spark.config import EngineConfig
+    from arkflow_spark.engine import Engine
+
+    cfg = EngineConfig.from_dict(
+        _y.safe_load(
+            textwrap.dedent(
+                f"""
+                streams:
+                  - name: drain
+                    input:
+                      type: file
+                      path: {events_stream_dir}
+                      format: parquet
+                      schema: "id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE"
+                    pipeline:
+                      processors:
+                        - type: sql
+                          query: "SELECT k, count(*) AS n FROM flow GROUP BY k"
+                    output:
+                      type: memory
+                """
+            )
+        )
+    )
+    eng = Engine(spark, cfg)
+    q = eng.streams[0].start(str(tmp_path / "ckpt_once"), once=True)
+    assert q.awaitTermination(120), "availableNow query did not terminate"
+    merged = {}
+    for batch in eng.streams[0].output.batches:
+        for r in batch:
+            merged[r["k"]] = merged.get(r["k"], 0) + r["n"]
+    assert merged == {"a": 10, "b": 10}
