@@ -114,3 +114,20 @@ def test_ml_score_processor_in_engine_pipeline(spark, tmp_path):
     out = eng.streams[0].run_batch()
     rows = {r["bucket"]: r["n"] for r in out.collect()}
     assert sum(rows.values()) == emb.count() and set(rows) <= {0, 1, 2}
+
+
+def test_ivf_index_partitioned_write_prunes_probe(spark, tmp_path):
+    """The stored-IVF-index shape from SCALE.md: write assignments
+    partitionBy(bucket), probe one bucket — the scan must carry a
+    PartitionFilter on bucket (file pruning: a probe touches one bucket's
+    files, corpus/nlist of the data, not everything)."""
+    emb = load(spark, SF_SMOKE, "embeddings")
+    model = fit_kmeans_ivf(emb, k=4, seed=7)
+    assigned = assign_buckets(model, emb).select("vec_id", "bucket")
+    idx = str(tmp_path / "ivf_index")
+    assigned.write.partitionBy("bucket").parquet(idx)
+    probe = spark.read.parquet(idx).filter(F.col("bucket") == 2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    expected = {r.vec_id for r in assigned.filter(F.col("bucket") == 2).collect()}
+    assert {r.vec_id for r in probe.collect()} == expected
