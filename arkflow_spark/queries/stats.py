@@ -338,3 +338,35 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(modes.user_id, "mode_event", "mode_count")
         .orderBy("user_id")
     )
+
+
+@query("agg_sketches")  # rows-only: sketch binaries are engine-specific
+def agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch surface (Spark 4 datasketches): per-group HLL
+    sketches unioned into a global distinct estimate, theta sketch
+    estimate, and approx_top_k frequent items — the 100 TB distinct-count
+    shape (sketches partial-aggregate map-side and merge associatively,
+    so the shuffle carries kilobyte sketches, not raw keys; the exact
+    counterpart is `agg_count_distinct`/`agg_approx_distinct`).
+
+    Rows-only check: sketch binaries differ across engines by design;
+    estimate accuracy is asserted in tests/test_components.py."""
+    e = load(spark, sf_dir, "events")
+    e.createOrReplaceTempView("ev_sk")
+    return spark.sql(
+        """
+        WITH per_group AS (
+          SELECT event_type, hll_sketch_agg(user_id) AS hll
+          FROM ev_sk GROUP BY event_type
+        )
+        SELECT
+          (SELECT hll_sketch_estimate(hll_union_agg(hll)) FROM per_group)
+            AS hll_distinct_users,
+          (SELECT hll_sketch_estimate(hll_sketch_agg(user_id)) FROM ev_sk)
+            AS hll_direct,
+          (SELECT theta_sketch_estimate(theta_sketch_agg(user_id)) FROM ev_sk)
+            AS theta_distinct_users,
+          (SELECT size(approx_top_k(event_type, 3)) FROM ev_sk)
+            AS topk_size
+        """
+    )

@@ -184,3 +184,23 @@ def test_date_bin_pre_origin_floors_correctly(spark):
         "2024-01-01 00:00:00",
         "2024-01-01 00:15:00",
     ]
+
+
+def test_sketch_estimates_close_to_exact(spark):
+    """HLL/theta union-of-parts must estimate within ~2% of the exact
+    distinct count (mergeability = the distributed distinct-count path)."""
+    from arkflow_spark.queries import QUERIES
+    from tests.conftest import SF_CORRECT
+
+    row = QUERIES["agg_sketches"](spark, SF_CORRECT).collect()[0]
+    exact = (
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    for est in (row.hll_distinct_users, row.hll_direct, row.theta_distinct_users):
+        assert abs(est - exact) / exact < 0.02, (est, exact)
+    # unioned per-group sketches == direct sketch estimate (associativity)
+    assert row.hll_distinct_users == row.hll_direct
+    assert row.topk_size == 3
