@@ -112,22 +112,48 @@ class PythonProcessor:
     """User Python function over Arrow batches via mapInArrow
     (reference: processor/python.rs:179 — PyArrow RecordBatch in, 0..N out).
 
-    conf: ``module``/``function`` (import path) or ``function_ref`` (direct
-    callable, for tests); ``schema`` = output DDL. The callable receives an
-    iterator of pyarrow.RecordBatch and yields RecordBatches — identical
-    contract to the reference's Python plugin, but vectorized and
-    distributed (one call per partition, not per batch on one node).
+    conf: ``script``/``function`` (inline source, the reference's YAML
+    surface), ``module``/``function`` (import path, with optional
+    ``python_path`` prepended to sys.path — processor/python.rs config), or
+    ``function_ref`` (direct callable, for tests); ``schema`` = output DDL
+    (Spark streams need a static schema, unlike the reference's inferred
+    one). Script-mode functions use the reference contract — one
+    RecordBatch in, list of 0..N RecordBatches out (ProcessResult::
+    Multiple/None, lib.rs:186-193); module/function_ref mode uses the
+    mapInArrow iterator contract (iterator of batches in, yield batches
+    out). Set ``per_batch`` explicitly to override. Either way the work is
+    vectorized and distributed (per partition, not per batch on one node).
     """
 
     def __init__(self, conf: dict):
         self.schema = conf["schema"]
+        per_batch = conf.get("per_batch")
         if "function_ref" in conf:
-            self.fn = conf["function_ref"]
+            fn = conf["function_ref"]
+        elif "script" in conf:
+            ns: dict = {}
+            exec(compile(conf["script"], "<python_processor>", "exec"), ns)
+            fn = ns[conf["function"]]
+            per_batch = True if per_batch is None else per_batch
         else:
             import importlib
+            import sys as _sys
 
+            for p in conf.get("python_path", []):
+                if p not in _sys.path:
+                    _sys.path.insert(0, p)
             mod = importlib.import_module(conf["module"])
-            self.fn = getattr(mod, conf["function"])
+            fn = getattr(mod, conf["function"])
+        if per_batch:
+            inner = fn
+
+            def fn(batches):
+                for b in batches:
+                    out = inner(b)
+                    if out is not None:
+                        yield from out
+
+        self.fn = fn
 
     def process(self, spark: SparkSession, df: DataFrame) -> DataFrame:
         return df.mapInArrow(self.fn, self.schema)

@@ -415,3 +415,27 @@ def test_stream_level_temporary_registration(spark):
     eng.run_batch_all()
     rows = eng.streams[0].output.batches[0]
     assert [(r["sensor"], r["unit"]) for r in rows] == [("s1", "celsius"), ("s9", None)]
+
+
+def test_python_processor_inline_script_example(spark):
+    """The reference's python_processor_example.yaml surface: inline
+    ``script:`` + ``function:`` in YAML, per-batch RecordBatch-in /
+    list-of-batches-out contract (processor/python.rs:47-98). Runs the
+    shipped example file end to end with the sink swapped to memory."""
+    import yaml as _y
+
+    with open("examples/python_processor_example.yaml") as f:
+        conf = _y.safe_load(f)
+    conf["streams"][0]["output"] = {"type": "memory"}
+    eng = Engine(spark, EngineConfig.from_dict(conf))
+    eng.run_batch_all()
+    rows = sorted(
+        (r["sensor"], r["value"], r["value_doubled"], r["value_squared"])
+        for r in eng.streams[0].output.batches[0]
+    )
+    assert rows == [
+        ("temp_1", 10, 20, 100),
+        ("temp_1", 19, 38, 361),
+        ("temp_2", 11, 22, 121),
+        ("temp_2", 11, 22, 121),
+    ]
