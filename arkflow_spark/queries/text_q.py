@@ -413,3 +413,100 @@ def text_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_chunk_split",
+    oracle=r"""
+    WITH ch AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(floor((length(text) - 1) / 150) AS BIGINT) + 1))
+               AS chunk_id
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, chunk_id,
+           length(substring(text, CAST(chunk_id * 150 + 1 AS BIGINT), 200))
+             AS chunk_len,
+           md5(substring(text, CAST(chunk_id * 150 + 1 AS BIGINT), 200))
+             AS chunk_md5
+    FROM ch ORDER BY doc_id, chunk_id
+    """,
+)
+def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size character chunking with overlap (size 200, stride 150) —
+    the context-window chunker of an LLM ingestion pipeline. One input row
+    fans out to ceil(len/stride) chunk rows via sequence+explode, entirely
+    JVM-side: a narrow stage (no shuffle), so at 100 TB it scales with
+    input splits and the fan-out never concentrates on one executor.
+    Chunks are emitted as (len, md5) rather than raw text to keep the
+    comparison payload small; substring bounds match DuckDB's."""
+    d = load(spark, sf_dir, "documents").where(F.length("text") > 0)
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr("sequence(0L, CAST(floor((length(text) - 1) / 150) AS LONG))")
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.expr("length(substring(text, chunk_id * 150 + 1, 200))").alias(
+                "chunk_len"
+            ),
+            F.expr("md5(substring(text, chunk_id * 150 + 1, 200))").alias(
+                "chunk_md5"
+            ),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+      FROM documents
+    ), c AS (
+      SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           count(*) AS n_distinct,
+           ROUND(1.0 - count(*) * 1.0 / sum(cnt), 4) AS dup_word_ratio,
+           ROUND(max(cnt) * 1.0 / sum(cnt), 4) AS top_word_ratio,
+           (1.0 - count(*) * 1.0 / sum(cnt)) < 0.5
+             AND (max(cnt) * 1.0 / sum(cnt)) < 0.2 AS passes_repetition
+    FROM c GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction and
+    most-frequent-word fraction per document, with a pass/fail gate.
+    Two staged aggregations — (doc_id, word) counts then per-doc rollup —
+    both benefit from map-side partial aggregation; keys are (doc, word)
+    pairs so cardinality stays high and unskewed at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    )
+    c = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    n_distinct = F.count(F.lit(1))
+    total = F.sum("cnt")
+    dup = F.lit(1.0) - n_distinct / total
+    top = F.max("cnt") / total
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            total.alias("n_words"),
+            n_distinct.alias("n_distinct"),
+            F.round(dup, 4).alias("dup_word_ratio"),
+            F.round(top, 4).alias("top_word_ratio"),
+            ((dup < 0.5) & (top < 0.2)).alias("passes_repetition"),
+        )
+        .orderBy("doc_id")
+    )
