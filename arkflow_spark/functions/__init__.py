@@ -27,6 +27,9 @@ def date_bin(stride: str, source: Column | str, origin: str = _EPOCH) -> Column:
     so floor is adjusted for pre-origin timestamps).
     """
     src = F.col(source) if isinstance(source, str) else source
+    # unix_micros requires TIMESTAMP (LTZ); accept NTZ inputs too. Under a
+    # UTC session timezone the cast is value-preserving.
+    src = src.cast("timestamp")
     stride_us = parse_duration_ms(stride) * 1000
     if stride_us <= 0:
         raise ValueError(f"stride must be positive, got {stride!r}")

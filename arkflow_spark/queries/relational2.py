@@ -64,8 +64,8 @@ def select_exclude_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_array_agg",
     oracle="""
     SELECT n_regionkey AS regionkey,
-           list(n_name ORDER BY n_name) AS nations,
-           len(list(n_name)) AS n_nations
+           array_to_string(list(n_name ORDER BY n_name), '|') AS nations,
+           CAST(len(list(n_name)) AS BIGINT) AS n_nations
     FROM nation
     GROUP BY n_regionkey
     ORDER BY regionkey
@@ -73,12 +73,18 @@ def select_exclude_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array_agg with deterministic ordering
-    (reference: docs/docs/sql/5-aggregate_functions.md:34)."""
+    (reference: docs/docs/sql/5-aggregate_functions.md:34).
+
+    The aggregation is collect_list/array_agg; the array is serialized with
+    a '|' join on both sides because list-typed columns are not stable
+    through the driver's Arrow value hash (DuckDB list vs Spark array)."""
     return (
         load(spark, sf_dir, "nation")
         .groupBy(F.col("n_regionkey").alias("regionkey"))
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).alias(
+                "nations"
+            ),
             F.count("n_name").alias("n_nations"),
         )
         .orderBy("regionkey")

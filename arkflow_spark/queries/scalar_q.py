@@ -353,7 +353,8 @@ def array_construct_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS s_region,
            map_extract(map(['a','b'], [n_nationkey, n_regionkey]), 'b')[1]
              AS m_b,
-           cardinality(map(['a','b'], [n_nationkey, n_regionkey])) AS m_card
+           CAST(cardinality(map(['a','b'], [n_nationkey, n_regionkey]))
+             AS INTEGER) AS m_card
     FROM nation
     ORDER BY n_nationkey
     """,
@@ -380,8 +381,9 @@ def struct_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scalar_date_bin",
     oracle="""
-    SELECT time_bucket(INTERVAL 15 MINUTE, ts, TIMESTAMP '2024-01-01 00:00:00')
-             AS bucket,
+    SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts,
+                                TIMESTAMP '2024-01-01 00:00:00'),
+                    '%Y-%m-%d %H:%M:%S') AS bucket,
            COUNT(*) AS n
     FROM events
     GROUP BY bucket
@@ -402,7 +404,10 @@ def scalar_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            date_bin("15m", F.col("ts"), "2024-01-01 00:00:00").alias("bucket")
+            F.date_format(
+                date_bin("15m", F.col("ts"), "2024-01-01 00:00:00"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("bucket")
         )
         .agg(F.count("*").alias("n"))
         .orderBy("bucket")

@@ -47,6 +47,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif f.name == "ts" and f.dataType.simpleString() == "timestamp_ntz":
+            # Parquet micros with isAdjustedToUTC=false arrive as
+            # TIMESTAMP_NTZ; normalize to TIMESTAMP so time functions that
+            # require LTZ (unix_micros, to_utc_timestamp, ...) work. The
+            # session timezone is pinned to UTC, so wall values are
+            # unchanged and DuckDB (naive timestamps) agrees.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
