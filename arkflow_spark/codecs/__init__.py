@@ -99,28 +99,96 @@ class DebeziumJsonCodec:
 @CODECS.register("schema_registry")
 class SchemaRegistryCodec:
     """Confluent wire format ``[0x00][4-byte schema id][payload]``
-    (reference: codec/schema_registry.rs:109-118). Splits header from
-    payload JVM-side; schema resolution by id is delegated to an inner
-    codec chosen via ``payload_codec`` (default json). A live REST registry
-    client is out of scope for this container — the wire-format handling and
-    per-id dispatch plumbing are real.
+    (reference: codec/schema_registry.rs:109-126 parse_wire_format).
+
+    Two resolution modes, mirroring the reference's resolver/codec split:
+
+    * **registry mode** (``registry_url`` or an injected ``resolver``): the
+      payload schema is fetched *by id* (``GET /schemas/ids/{id}``,
+      schema_registry.rs:160-190), parsed once into a proto_wire descriptor
+      and cached per id (:59-67) — each schema version is fetched at most
+      once per driver. Distinct ids in a batch are decoded per-group and
+      unioned by name (a superset of the reference's concat, which assumes
+      compatible versions), so mixed schema-version batches work. The
+      distinct-id collect is bounded by the number of schema *versions*,
+      not rows.
+    * **legacy mode** (no registry config): header split + per-id dispatch
+      to a static inner ``payload_codec`` (default json).
+
+    Config: ``registry_url``, ``message_type``, ``auth`` (basic/bearer),
+    ``resolver`` (injectable object for tests/offline), ``payload_codec``.
     """
 
     def __init__(self, conf: dict):
+        from arkflow_spark.codecs.schema_registry import RestSchemaResolver
+
+        self.message_type = conf.get("message_type")
+        self.resolver = conf.get("resolver")
+        if self.resolver is None and conf.get("registry_url"):
+            self.resolver = RestSchemaResolver(
+                conf["registry_url"],
+                auth=conf.get("auth"),
+                transport=conf.get("transport"),
+            )
+        self._descriptor_cache: dict[int, ProtoWireCodec] = {}
         inner = conf.get("payload_codec", {"type": "json"})
         self.inner = CODECS.build(dict(inner))
 
-    def decode(self, spark: SparkSession, df: DataFrame) -> DataFrame:
-        v = F.col(VALUE_COL)
-        stripped = df.withColumn(
+    def _codec_for(self, schema_id: int) -> "ProtoWireCodec":
+        """Per-id descriptor cache (reference: schema_registry.rs:59-67)."""
+        codec = self._descriptor_cache.get(schema_id)
+        if codec is None:
+            source = self.resolver.fetch_schema(schema_id)
+            codec = ProtoWireCodec(
+                {"proto": source, "message_type": self.message_type}
+            )
+            self._descriptor_cache[schema_id] = codec
+        return codec
+
+    @staticmethod
+    def _strip_header(df: DataFrame) -> DataFrame:
+        """Validate magic byte + split header JVM-side; a bad header raises,
+        failing the batch into DLQ routing like the reference's decode error
+        (schema_registry.rs:111-122)."""
+        payload = (
+            f"CASE WHEN length({VALUE_COL}) >= 5"
+            f"          AND substring({VALUE_COL}, 1, 1) = X'00'"
+            f"     THEN substring({VALUE_COL}, 6, length({VALUE_COL}) - 5)"
+            f"     ELSE raise_error('invalid Confluent wire-format header') END"
+        )
+        return df.withColumn(
             "__schema_id__",
             F.conv(F.hex(F.expr(f"substring({VALUE_COL}, 2, 4)")), 16, 10).cast(
                 "int"
             ),
-        ).withColumn(
-            VALUE_COL, F.expr(f"substring({VALUE_COL}, 6, length({VALUE_COL}) - 5)")
+        ).withColumn(VALUE_COL, F.expr(payload))
+
+    def decode(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        stripped = self._strip_header(df)
+        if self.resolver is None:
+            return self.inner.decode(spark, stripped)
+        # registry mode: group rows by schema id, decode each group with its
+        # fetched descriptor, union by name across schema versions. The id
+        # column rides along as a meta column so decode preserves it.
+        stripped = stripped.withColumn(
+            "__meta_schema_id__", F.col("__schema_id__")
+        ).drop("__schema_id__")
+        ids = sorted(
+            r[0]
+            for r in stripped.select("__meta_schema_id__").distinct().collect()
         )
-        return self.inner.decode(spark, stripped)
+        if not ids:
+            return stripped.limit(0).drop(VALUE_COL)
+        parts = [
+            self._codec_for(sid).decode(
+                spark, stripped.filter(F.col("__meta_schema_id__") == sid)
+            )
+            for sid in ids
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     def encode(self, spark: SparkSession, df: DataFrame) -> DataFrame:
         encoded = self.inner.encode(spark, df)

@@ -27,8 +27,12 @@ def date_bin(stride: str, source: Column | str, origin: str = _EPOCH) -> Column:
     so floor is adjusted for pre-origin timestamps).
     """
     src = F.col(source) if isinstance(source, str) else source
-    # unix_micros requires TIMESTAMP (LTZ); accept NTZ inputs too. Under a
-    # UTC session timezone the cast is value-preserving.
+    # unix_micros requires TIMESTAMP (LTZ); accept NTZ/date inputs too. Under
+    # a UTC session timezone the cast is value-preserving. Try-expression
+    # semantics are deliberately NOT used: a non-castable input (e.g. a
+    # malformed VARCHAR) raises under ANSI mode rather than silently binning
+    # to NULL; with ANSI off, string inputs are coerced with
+    # null-on-parse-failure semantics (documented contract).
     src = src.cast("timestamp")
     stride_us = parse_duration_ms(stride) * 1000
     if stride_us <= 0:

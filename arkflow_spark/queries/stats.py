@@ -164,39 +164,103 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # no oracle: HLL sketches differ per engine
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS users_within_bound,
+           COUNT(DISTINCT value) AS exact_values,
+           TRUE AS values_within_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++)
     (reference: docs/docs/sql/5-aggregate_functions.md:749 approx_distinct).
 
-    Sketch-based => engine-specific estimates: no value oracle (driver
-    rows-only check). At 100 TB this is the right default for distincts —
-    HLL is mergeable map-side, exact distinct is a full shuffle of the keys.
+    Sketch estimates are engine-specific, so the hashable output is the
+    exact distinct plus a deterministic ``within_bound`` verdict: the HLL
+    estimate must land within 3x its configured rsd of the exact count
+    (0.15 for the default rsd=0.05, 0.03 for rsd=0.01). The oracle asserts
+    the same exact counts and expects every verdict TRUE — an out-of-bound
+    sketch hash-mismatches the driver row. At 100 TB HLL is the right
+    default for distincts: it partial-aggregates map-side and merges
+    associatively, while exact distinct shuffles all the keys.
     """
     ev = load(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
-            F.approx_count_distinct("value", rsd=0.01).alias("approx_values"),
-        )
-        .orderBy("event_type")
+    g = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("_ap_u"),
+        F.countDistinct("value").alias("exact_values"),
+        F.approx_count_distinct("value", rsd=0.01).alias("_ap_v"),
     )
+    return g.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_ap_u") - F.col("exact_users"))
+            <= 0.15 * F.col("exact_users")
+        ).alias("users_within_bound"),
+        "exact_values",
+        (
+            F.abs(F.col("_ap_v") - F.col("exact_values"))
+            <= 0.03 * F.col("exact_values")
+        ).alias("values_within_bound"),
+    ).orderBy("event_type")
 
 
-@query("agg_approx_percentile")  # no oracle: sketch-based
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT event_type,
+           ROUND(CAST(quantile_disc(value, 0.5) AS DOUBLE), 4) AS p50_exact,
+           TRUE AS p50_within_bound,
+           ROUND(CAST(quantile_disc(value, 0.99) AS DOUBLE), 4) AS p99_exact,
+           TRUE AS p99_within_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (KLL-style sketch)
-    (reference: docs/docs/sql/5-aggregate_functions.md:795)."""
+    """approx_percentile (GK sketch)
+    (reference: docs/docs/sql/5-aggregate_functions.md:795).
+
+    Hashable output = exact discrete percentile + a deterministic
+    ``within_bound`` verdict: percentile_approx (which, like
+    quantile_disc, returns an actual data value) must land within 5%
+    relative of the exact discrete percentile. The oracle computes the
+    same exact values and expects TRUE verdicts.
+    """
     ev = load(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
-            F.percentile_approx("value", 0.99, 10000).alias("p99_approx"),
-        )
-        .orderBy("event_type")
+
+    def _disc(q: float) -> F.Column:
+        return F.expr(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY value)"
+        ).cast("double")
+
+    g = ev.groupBy("event_type").agg(
+        _disc(0.5).alias("_p50_exact"),
+        F.percentile_approx("value", 0.5, 10000).alias("_p50_ap"),
+        _disc(0.99).alias("_p99_exact"),
+        F.percentile_approx("value", 0.99, 10000).alias("_p99_ap"),
     )
+
+    def _ok(ap: str, ex: str) -> F.Column:
+        return F.abs(F.col(ap) - F.col(ex)) <= (
+            0.05 * (F.abs(F.col(ex)) + F.lit(1e-6))
+        )
+
+    return g.select(
+        "event_type",
+        F.round("_p50_exact", 4).alias("p50_exact"),
+        _ok("_p50_ap", "_p50_exact").alias("p50_within_bound"),
+        F.round("_p99_exact", 4).alias("p99_exact"),
+        _ok("_p99_ap", "_p99_exact").alias("p99_within_bound"),
+    ).orderBy("event_type")
 
 
 @query(
@@ -340,7 +404,17 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_sketches")  # rows-only: sketch binaries are engine-specific
+@query(
+    "agg_sketches",
+    oracle="""
+    SELECT COUNT(DISTINCT user_id) AS exact_users,
+           CAST(LEAST(3, COUNT(DISTINCT event_type)) AS INTEGER) AS topk_size,
+           TRUE AS hll_union_within_bound,
+           TRUE AS hll_direct_within_bound,
+           TRUE AS theta_within_bound
+    FROM events
+    """,
+)
 def agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch surface (Spark 4 datasketches): per-group HLL
     sketches unioned into a global distinct estimate, theta sketch
@@ -349,8 +423,12 @@ def agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the shuffle carries kilobyte sketches, not raw keys; the exact
     counterpart is `agg_count_distinct`/`agg_approx_distinct`).
 
-    Rows-only check: sketch binaries differ across engines by design;
-    estimate accuracy is asserted in tests/test_components.py."""
+    Hashable output = exact distinct count + per-sketch deterministic
+    ``within_bound`` verdicts (5% relative of exact, ~3x the default HLL
+    lgK=12 error) and the exact expected top-k size; the oracle asserts
+    the same exact values with every verdict TRUE, so a drifting sketch
+    hash-mismatches the driver row. Estimate accuracy is additionally
+    asserted numerically in tests/test_components.py."""
     e = load(spark, sf_dir, "events")
     e.createOrReplaceTempView("ev_sk")
     return spark.sql(
@@ -358,15 +436,27 @@ def agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH per_group AS (
           SELECT event_type, hll_sketch_agg(user_id) AS hll
           FROM ev_sk GROUP BY event_type
+        ),
+        est AS (
+          SELECT
+            (SELECT COUNT(DISTINCT user_id) FROM ev_sk) AS exact_users,
+            (SELECT hll_sketch_estimate(hll_union_agg(hll)) FROM per_group)
+              AS hll_union,
+            (SELECT hll_sketch_estimate(hll_sketch_agg(user_id)) FROM ev_sk)
+              AS hll_direct,
+            (SELECT theta_sketch_estimate(theta_sketch_agg(user_id))
+             FROM ev_sk) AS theta,
+            (SELECT size(approx_top_k(event_type, 3)) FROM ev_sk)
+              AS topk_size_raw
         )
-        SELECT
-          (SELECT hll_sketch_estimate(hll_union_agg(hll)) FROM per_group)
-            AS hll_distinct_users,
-          (SELECT hll_sketch_estimate(hll_sketch_agg(user_id)) FROM ev_sk)
-            AS hll_direct,
-          (SELECT theta_sketch_estimate(theta_sketch_agg(user_id)) FROM ev_sk)
-            AS theta_distinct_users,
-          (SELECT size(approx_top_k(event_type, 3)) FROM ev_sk)
-            AS topk_size
+        SELECT exact_users,
+               CAST(topk_size_raw AS INT) AS topk_size,
+               abs(hll_union - exact_users) <= 0.05 * exact_users
+                 AS hll_union_within_bound,
+               abs(hll_direct - exact_users) <= 0.05 * exact_users
+                 AS hll_direct_within_bound,
+               abs(theta - exact_users) <= 0.05 * exact_users
+                 AS theta_within_bound
+        FROM est
         """
     )

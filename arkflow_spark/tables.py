@@ -39,6 +39,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # defaults — set the nanos knob dynamically so TIMESTAMP(NANOS) parquet
     # (events.ts) is readable under any session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ->LTZ ts cast below (and every epoch-aligned consumer: F.window,
+    # session_window, unix_micros in date_bin) is value-preserving only under
+    # a UTC session timezone; pin it here so any driver-provided session
+    # matches DuckDB's naive-timestamp arithmetic.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # TIMESTAMP(NANOS) parquet columns arrive as int64 nanos (see
     # spark.sql.legacy.parquet.nanosAsLong in session.py); convert to

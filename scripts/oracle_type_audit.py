@@ -4,9 +4,10 @@ The local parity check fetches Python objects (DuckDB HUGEINT -> Python
 int), which hides type drift that the driver's Arrow-based hash can see:
 HUGEINT converts to Arrow decimal128, so a value hashes as "123.000000..."
 or 123.0 while Spark emits bigint 123. CORRECTNESS_r01 q12 failed exactly
-this way. This script LIMIT-0-executes every oracle at sf0.001 and flags
-any output column whose DuckDB type is not in the Arrow-stable allowlist,
-plus any column-set mismatch against the Spark result.
+this way. This script binds every oracle lazily in DuckDB (planning only,
+no execution) and flags any output column whose DuckDB logical type is not
+in the Arrow-stable allowlist. It does not compare against Spark — the
+full Spark-vs-oracle value comparison lives in scripts/check_parity.py.
 
 Usage: python scripts/oracle_type_audit.py [sf_dir]
 """
