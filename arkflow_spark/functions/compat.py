@@ -145,3 +145,107 @@ def assert_query_only(sql: str) -> None:
             "only SELECT/WITH/VALUES statements are allowed in the sql"
             f" processor (got: {sql.strip().split()[0]})"
         )
+
+
+# --------------------------------------------------------------- VRL surface
+
+#: VRL builtin -> Spark SQL recipe (the reference's vrl processor,
+#: crates/arkflow-plugin/src/processor/vrl.rs:26,60-106, is a per-row
+#: parse/enrich/reshape DSL; each row below is the equivalent Spark
+#: expression for a `remap` processor `fields:` entry). Templates use
+#: `{x}` for the input expression; fallible VRL calls (`fn!`) abort the
+#: event on failure — the Spark analog raises (failing the batch into
+#: error_output/DLQ routing) or, for route-style programs, uses the remap
+#: processor's `where:` to drop/divert rows.
+#:
+#: Non-expression VRL idioms map to remap conf, not expressions:
+#:   del(.f)            -> drop: [f]
+#:   abort / route      -> where: <keep condition>  (dropped rows = aborted)
+#:   . = parse_json!(.) -> json_to_arrow processor (whole-event reshape)
+VRL_TO_SPARK: dict[str, str] = {
+    # permissive parse yields null-filled structs on bad input; the
+    # fallible variant uses FAILFAST so malformed input raises (aborting
+    # the batch into DLQ routing) exactly like VRL's `!`.
+    "parse_json": "from_json({x}, '{schema}')",
+    "parse_json!": "from_json({x}, '{schema}', map('mode', 'FAILFAST'))",
+    "parse_timestamp": "try_to_timestamp({x}, '{fmt}')",
+    "parse_timestamp!": (
+        "CASE WHEN try_to_timestamp({x}, '{fmt}') IS NULL"
+        " THEN raise_error('parse_timestamp failed') "
+        "ELSE try_to_timestamp({x}, '{fmt}') END"
+    ),
+    "parse_syslog!": "__see syslog_expr()__",
+    "to_int": "try_cast({x} AS BIGINT)",
+    "to_int!": (
+        "CASE WHEN try_cast({x} AS BIGINT) IS NULL"
+        " THEN raise_error('to_int failed') "
+        "ELSE try_cast({x} AS BIGINT) END"
+    ),
+    "to_float": "try_cast({x} AS DOUBLE)",
+    "to_float!": (
+        "CASE WHEN try_cast({x} AS DOUBLE) IS NULL"
+        " THEN raise_error('to_float failed') "
+        "ELSE try_cast({x} AS DOUBLE) END"
+    ),
+    "to_string": "cast({x} AS STRING)",
+    "upcase": "upper({x})",
+    "downcase": "lower({x})",
+    "strip_whitespace": "trim({x})",
+    "now": "current_timestamp()",
+    "to_unix_timestamp": "unix_timestamp({x})",
+    "format_timestamp!": "date_format({x}, '{fmt}')",
+    "md5": "md5({x})",
+    "sha2": "sha2({x}, 256)",
+    "replace": "replace({x}, '{pat}', '{sub}')",
+    "split": "split({x}, '{pat}')",
+    "join!": "array_join({x}, '{sep}')",
+    "length": "length({x})",
+    "contains": "contains({x}, '{substr}')",
+    "starts_with": "startswith({x}, '{prefix}')",
+    "slice!": "substring({x}, {start}, {len})",
+    "merge": "to_json(map_concat(from_json({x}, 'map<string,string>'),"
+             " from_json({y}, 'map<string,string>')))",
+    "exists": "{x} IS NOT NULL",
+    "is_nullish": "({x} IS NULL OR trim({x}) = '')",
+}
+
+
+def vrl_sql(builtin: str, **kw: str) -> str:
+    """Format a :data:`VRL_TO_SPARK` recipe with its placeholders —
+    ``vrl_sql('to_int!', x='port')`` -> the guarded cast expression."""
+    template = VRL_TO_SPARK[builtin]
+    if template.startswith("__"):
+        raise ValueError(f"{builtin} maps to a helper, see VRL_TO_SPARK docs")
+    return template.format(**kw)
+
+
+# RFC-3164 syslog line anatomy, one capture group per field.
+_SYSLOG_RE = (
+    r"^<(\d+)>([A-Z][a-z]{2}\s+\d+ \d\d:\d\d:\d\d) (\S+) ([^:\[]+)"
+    r"(?:\[(\d+)\])?: (.*)$"
+)
+
+
+def syslog_expr(x: str) -> str:
+    """VRL ``parse_syslog!({x})`` analog: RFC-3164 line -> named struct
+    (facility/severity from PRI, timestamp, hostname, appname, procid,
+    message). Pure regexp_extract — stays in whole-stage codegen."""
+
+    def g(i: int) -> str:
+        # Spark SQL string literals process backslash escapes; double them
+        # so the regex reaches regexp_extract intact.
+        pat = _SYSLOG_RE.replace("\\", "\\\\")
+        return f"regexp_extract({x}, '{pat}', {i})"
+
+    pri = g(1)
+    return (
+        f"CASE WHEN {pri} = '' THEN raise_error('parse_syslog failed') "
+        f"ELSE named_struct("
+        f"'facility', CAST({pri} AS INT) DIV 8, "
+        f"'severity', CAST({pri} AS INT) % 8, "
+        f"'timestamp', {g(2)}, "
+        f"'hostname', {g(3)}, "
+        f"'appname', trim({g(4)}), "
+        f"'procid', try_cast({g(5)} AS INT), "
+        f"'message', {g(6)}) END"
+    )

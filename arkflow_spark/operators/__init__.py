@@ -256,9 +256,13 @@ class RemapProcessor:
       ``fields``: ordered mapping output_column -> SQL expression (may
         reference input columns and earlier outputs via subexpressions);
       ``keep`` (default true): keep untouched input columns;
-      ``drop``: list of columns to remove after remapping.
+      ``drop``: list of columns to remove after remapping — VRL ``del(.f)``;
+      ``where``: SQL boolean keep-condition applied after remapping — rows
+        failing it are dropped, the VRL ``abort``/route analog (divert the
+        complement to another stream for full routing).
 
-    VRL programs that parse JSON / route / type-convert translate 1:1:
+    VRL programs that parse JSON / route / type-convert translate 1:1
+    via the :data:`arkflow_spark.functions.compat.VRL_TO_SPARK` table:
     ``.level = upcase(string!(.level))`` -> ``level: upper(level)``.
     """
 
@@ -266,6 +270,7 @@ class RemapProcessor:
         self.fields: dict[str, str] = dict(conf.get("fields", {}))
         self.keep = bool(conf.get("keep", True))
         self.drop = list(conf.get("drop", []))
+        self.where = conf.get("where")
 
     def process(self, spark: SparkSession, df: DataFrame) -> DataFrame:
         out = df
@@ -275,4 +280,6 @@ class RemapProcessor:
             out = out.select(*self.fields.keys(), *meta_columns(df))
         for c in self.drop:
             out = out.drop(c)
+        if self.where:
+            out = out.filter(F.expr(self.where))
         return out

@@ -75,26 +75,74 @@ class FileOutput:
 @OUTPUTS.register("kafka")
 class KafkaOutput:
     """Kafka producer (reference: output/kafka.rs:499). At-least-once via
-    foreachBatch; the reference's opt-in exactly-once (transactional
-    producer keyed per ack range, kafka.rs:79-84,191-218) maps to
-    idempotent batchId-keyed writes — see streaming/eos.py."""
+    foreachBatch by default; ``exactly_once: true`` + ``transactional_id``
+    opts into the reference's L2 transactional path (kafka.rs:79-84,
+    191-218, 341-401): per-partition transactional producers with stable
+    ``{transactional_id}-p{partition}`` ids (broker fences zombies),
+    begin -> produce all -> commit, abort-and-replay on failure. Layer
+    :class:`arkflow_spark.streaming.eos.IdempotentBatchWriter` on top for
+    replay-after-commit protection (see sinks/txn.py module docs).
+
+    ``producer_factory`` (txn_id -> producer) is injectable; the default
+    is the confluent-kafka client, import-gated."""
 
     def __init__(self, conf: dict):
         self.brokers = conf.get("brokers", ["localhost:9092"])
         self.topic = conf["topic"]
+        self.exactly_once = bool(conf.get("exactly_once", False))
+        self.transactional_id = conf.get("transactional_id")
+        if self.exactly_once and not self.transactional_id:
+            # mirrors the reference builder's validation (kafka.rs:196-198)
+            raise ValueError(
+                "kafka output: exactly_once requires a stable transactional_id"
+            )
+        self.producer_factory = conf.get("producer_factory")
 
-    def write_batch(self, df: DataFrame, epoch_id: int = 0) -> None:
+    def _payload(self, df: DataFrame) -> DataFrame:
         out = df
         if VALUE_COL not in out.columns:
             cols = [c for c in out.columns if not c.startswith("__meta_")]
             out = out.withColumn(VALUE_COL, F.to_json(F.struct(*cols)).cast("binary"))
+        return out.select(F.col(VALUE_COL).alias("value"))
+
+    def write_batch(self, df: DataFrame, epoch_id: int = 0) -> None:
+        if self.exactly_once:
+            self._write_batch_transactional(df, epoch_id)
+            return
         (
-            out.select(F.col(VALUE_COL).alias("value"))
+            self._payload(df)
             .write.format("kafka")
             .option("kafka.bootstrap.servers", ",".join(self.brokers))
             .option("topic", self.topic)
             .save()
         )
+
+    def _write_batch_transactional(self, df: DataFrame, epoch_id: int = 0) -> None:
+        """begin -> produce partition -> commit, abort-on-error (executor
+        side, one transaction per partition; kafka.rs:341-401)."""
+        from arkflow_spark.sinks.txn import confluent_producer_factory
+
+        factory = self.producer_factory or confluent_producer_factory(self.brokers)
+        topic, base = self.topic, self.transactional_id
+
+        def write_partition(rows) -> None:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            producer = factory(f"{base}-p{pid}")
+            producer.begin_transaction()
+            try:
+                for r in rows:
+                    producer.produce(topic, bytes(r["value"]))
+                producer.commit_transaction()
+            except BaseException:
+                producer.abort_transaction()
+                raise
+            finally:
+                producer.close()
+
+        self._payload(df).foreachPartition(write_partition)
 
 
 @OUTPUTS.register("http")

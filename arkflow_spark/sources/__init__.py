@@ -227,6 +227,55 @@ class SpoolDirInput:
         return self._df(spark.readStream)
 
 
+class _BrokerInput:
+    """Engine-side broker push input: subscribe -> spool -> offsets via the
+    per-broker DataSource formats (sources/brokers.py). Conf keys pass
+    through as DataSource options (client/fake_count/host/port/topic/...);
+    ``path`` is the spool landing zone."""
+
+    FORMAT = ""
+
+    def __init__(self, conf: dict):
+        self.options = {
+            k: str(v) for k, v in conf.items() if v is not None
+        }
+        self.options.setdefault("source_name", self.FORMAT)
+        if "path" not in self.options:
+            raise ValueError(f"{self.FORMAT} input needs a spool 'path'")
+
+    def _df(self, reader):
+        r = reader.format(self.FORMAT)
+        for k, v in self.options.items():
+            r = r.option(k, v)
+        return r.load()
+
+    def read_batch(self, spark: SparkSession) -> DataFrame:
+        from arkflow_spark.sources.brokers import register
+
+        register(spark)
+        return self._df(spark.read)
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        from arkflow_spark.sources.brokers import register
+
+        register(spark)
+        return self._df(spark.readStream)
+
+
+def _register_broker_inputs() -> None:
+    # reference: input/{mqtt,websocket,nats,pulsar,redis,modbus}.rs
+    for fmt in ("mqtt_broker", "websocket", "nats", "pulsar", "redis_sub", "modbus"):
+        cls = type(
+            f"{fmt.title().replace('_', '')}Input",
+            (_BrokerInput,),
+            {"FORMAT": fmt},
+        )
+        INPUTS.register(fmt)(cls)
+
+
+_register_broker_inputs()
+
+
 @INPUTS.register("multiple_inputs")
 class MultipleInputs:
     """Fan-in N child inputs, each tagged with its name
