@@ -276,6 +276,60 @@ def _register_broker_inputs() -> None:
 _register_broker_inputs()
 
 
+@INPUTS.register("http")
+class HttpInput(_BrokerInput):
+    """HTTP input, both reference modes (input/http.rs:221-245):
+
+    * **server** (``address``/``http_path``): a stdlib webhook server
+      (sources/http_ingest.py) accepts POST/PUT bodies into the spool
+      ``path``; Spark reads the spool with offset/commit semantics.
+    * **client poll** (``url`` [+ ``interval_ms``/``max_polls``]): the
+      poll client pumps response bodies through the broker reader.
+    """
+
+    FORMAT = "http_poll"
+
+    def __init__(self, conf: dict):
+        conf = dict(conf)
+        self.server_conf = None
+        if "url" not in conf:
+            self.server_conf = {
+                "address": conf.pop("address", "127.0.0.1:0"),
+                "path": conf.pop("http_path", "/ingest"),
+                "cors_enabled": bool(conf.pop("cors_enabled", False)),
+            }
+            self.FORMAT = "spooldir"
+        super().__init__(conf)
+        self._server = None
+
+    def _ensure_server(self) -> None:
+        if self.server_conf and self._server is None:
+            from arkflow_spark.sources.http_ingest import WebhookIngestServer
+
+            self._server = WebhookIngestServer(
+                self.options["path"], **self.server_conf
+            ).start()
+            self.port = self._server.port
+
+    def read_batch(self, spark: SparkSession) -> DataFrame:
+        self._ensure_server()
+        if self.server_conf:
+            from arkflow_spark.sources.push_source import register
+
+            register(spark)
+            return self._df(spark.read)
+        return super().read_batch(spark)
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        self._ensure_server()
+        if self.server_conf:
+            from arkflow_spark.sources.push_source import register
+
+            register(spark)
+            return self._df(spark.readStream)
+        return super().read_stream(spark)
+
+
 @INPUTS.register("multiple_inputs")
 class MultipleInputs:
     """Fan-in N child inputs, each tagged with its name

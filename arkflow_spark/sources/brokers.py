@@ -78,6 +78,14 @@ class BrokerStreamReader(SpoolDirStreamReader):
         self._client = resolve_client(options, default_factory)
         self._pump_started = False
 
+    def __getstate__(self):
+        # executors only run read() over the spool; the client (threads,
+        # sockets, locks) is driver-only state and must not ship
+        state = dict(self.__dict__)
+        state["_client"] = None
+        state["_pump_started"] = True
+        return state
+
     def _ensure_pump(self) -> None:
         if self._pump_started:
             return
@@ -313,12 +321,21 @@ def _broker_source(fmt_name: str, factory):
     return _Source
 
 
+def http_poll_client(options: dict):
+    """HTTP client-poll mode (input/http.rs `method`/`interval`) — stdlib,
+    no gating; see sources/http_ingest.py."""
+    from arkflow_spark.sources.http_ingest import HttpPollClient
+
+    return HttpPollClient(options)
+
+
 MqttBrokerDataSource = _broker_source("mqtt_broker", mqtt_client)
 WebSocketDataSource = _broker_source("websocket", websocket_client)
 NatsDataSource = _broker_source("nats", nats_client)
 PulsarDataSource = _broker_source("pulsar", pulsar_client)
 RedisDataSource = _broker_source("redis_sub", redis_client)
 ModbusDataSource = _broker_source("modbus", modbus_client)
+HttpPollDataSource = _broker_source("http_poll", http_poll_client)
 
 ALL_BROKER_SOURCES = (
     MqttBrokerDataSource,
@@ -327,6 +344,7 @@ ALL_BROKER_SOURCES = (
     PulsarDataSource,
     RedisDataSource,
     ModbusDataSource,
+    HttpPollDataSource,
 )
 
 

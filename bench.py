@@ -48,20 +48,25 @@ def main() -> None:
     # warm the JVM + parquet footers so timings measure the queries
     QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
 
-    # Each query runs twice: the first (cold) run pays one-time
+    # Each query runs three times: the first (cold) run pays one-time
     # whole-stage-codegen compilation (~1-4s/plan, measured), which on a
-    # real cluster amortizes over terabytes per stage; the second (warm)
-    # run is the steady-state per-query cost the 100 TB design cares
-    # about. Both totals are reported; `value` = warm.
+    # real cluster amortizes over terabytes per stage; the warm figure is
+    # the MIN of the two following runs — the steady-state per-query cost
+    # the 100 TB design cares about, robust to one-off GC/load spikes
+    # (BENCH_r02 recorded a warm run slower than its cold run purely from
+    # ambient load; min-of-two suppresses that artifact).
     per_query: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).collect()
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).collect()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        warms = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            warms.append(time.perf_counter() - t0)
+        per_query[name] = round(min(warms), 3)
     total = round(sum(per_query.values()), 3)
     print(
         json.dumps(

@@ -1,0 +1,110 @@
+"""Scale probe: run the heavy pipeline operators on a 10x corpus.
+
+Synthesizes a 10x-documents / 10x-embeddings dataset from the sf0.1 test
+tables (copies with perturbed ids/text/vectors — probe data for RUNTIME
+scaling only; correctness stays pinned to the driver's oracle tables),
+then times the bucketed-scale-path queries on sf0.1 vs 10x. Near-dup
+structure is preserved across copies so LSH candidate volume grows
+realistically (~10x), not degenerately.
+
+Usage: python scripts/scale_probe.py [out_dir]
+Prints one JSON line: {"queries": {name: {"sf0.1": s, "x10": s, "ratio": r}}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from arkflow_spark.queries import QUERIES
+from arkflow_spark.session import get_spark
+from arkflow_spark.tables import load
+
+BASE = "/root/testdata/sf0.1"
+PROBE_QUERIES = (
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "ann_ivf_assign",
+    "ann_ivf_search",
+    "text_tfidf",
+    "dedup_exact",
+    "text_quality_score",
+)
+
+
+def build(spark, out_dir: str, copies: int = 10) -> None:
+    docs = load(spark, BASE, "documents")
+    emb = load(spark, BASE, "embeddings")
+    id_cols = {f.name for f in docs.schema.fields}
+    doc_parts = []
+    for i in range(copies):
+        d = docs.withColumn("doc_id", F.concat(F.col("doc_id"), F.lit(f"#c{i}")))
+        if i > 0 and "text" in id_cols:
+            # perturb the tail so copies are near- (not exact-) duplicates
+            d = d.withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" probe variant {i}"))
+            )
+        doc_parts.append(d)
+    out = doc_parts[0]
+    for p in doc_parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+    emb_parts = []
+    for i in range(copies):
+        # ids stay numeric: ann queries select the query set via
+        # `vec_id < N` (numeric comparison) — offset, don't suffix
+        e = emb.withColumn(
+            "vec_id",
+            (F.col("vec_id").cast("long") + F.lit(i * 100_000_000)).cast(
+                "string"
+            ),
+        )
+        if i > 0:
+            # nudge one dimension so vectors are near- not exact-duplicates
+            e = e.withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, j: F.when(j == 0, x + 0.001 * i).otherwise(x),
+                ),
+            )
+        emb_parts.append(e)
+    out_e = emb_parts[0]
+    for p in emb_parts[1:]:
+        out_e = out_e.unionByName(p)
+    out_e.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_probe_x10"
+    spark = get_spark("scale-probe")
+    if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
+        build(spark, out_dir)
+
+    results = {}
+    for name in PROBE_QUERIES:
+        times = {}
+        for label, sf_dir in (("sf0.1", BASE), ("x10", out_dir)):
+            # cold-ish: fresh plan each call; min of 2 to drop codegen noise
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).collect()
+                runs.append(time.perf_counter() - t0)
+            times[label] = round(min(runs), 2)
+        times["ratio"] = round(times["x10"] / max(times["sf0.1"], 1e-9), 1)
+        results[name] = times
+        print(f"# {name}: {times}", file=sys.stderr)
+    print(json.dumps({"metric": "scale_probe_x10", "queries": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,7 @@ from arkflow_spark.sources.brokers import (
     ALL_BROKER_SOURCES,
     BrokerStreamReader,
     FakeBrokerClient,
+    http_poll_client,
     mqtt_client,
     modbus_client,
     nats_client,
@@ -22,7 +23,8 @@ from arkflow_spark.sources.brokers import (
 )
 from arkflow_spark.sources.push_source import SCHEMA, spool_write
 
-FACTORIES = {
+# gated on absent client libraries
+GATED_FACTORIES = {
     "mqtt_broker": mqtt_client,
     "websocket": websocket_client,
     "nats": nats_client,
@@ -30,6 +32,8 @@ FACTORIES = {
     "redis_sub": redis_client,
     "modbus": modbus_client,
 }
+# http_poll is stdlib-backed — never gated
+FACTORIES = {**GATED_FACTORIES, "http_poll": http_poll_client}
 
 
 @pytest.mark.parametrize("source_cls", ALL_BROKER_SOURCES)
@@ -64,7 +68,7 @@ def test_subscribe_spool_offsets_per_broker(source_cls, tmp_path):
     reader.stop()
 
 
-@pytest.mark.parametrize("name,factory", sorted(FACTORIES.items()))
+@pytest.mark.parametrize("name,factory", sorted(GATED_FACTORIES.items()))
 def test_default_adapter_is_import_gated(name, factory, tmp_path):
     """Without the client library, the default adapter raises an
     actionable NotImplementedError at construction."""
