@@ -77,19 +77,26 @@ DECODED_SCHEMA = (
 )
 
 
-def decode_image(df: DataFrame, allow_stub: bool = True) -> DataFrame:
+def decode_image(
+    df: DataFrame, allow_stub: bool = True, force_stub: bool = False
+) -> DataFrame:
     """Decode image payloads to (width, height, channels).
 
     Uses PIL when importable; otherwise a clearly-marked deterministic STUB
     (dims from the payload hash) so pipelines are testable in codec-less
     environments. The mapInPandas contract is identical either way.
+    ``force_stub`` pins the stub even when PIL exists — used by the oracled
+    pipeline-shape query, whose expected values are the stub's hash math.
     """
-    try:
-        from PIL import Image  # noqa: F401
-
-        has_pil = True
-    except ImportError:
+    if force_stub:
         has_pil = False
+    else:
+        try:
+            from PIL import Image  # noqa: F401
+
+            has_pil = True
+        except ImportError:
+            has_pil = False
     if not has_pil and not allow_stub:
         raise NotImplementedError("image decode requires PIL (not in container)")
 

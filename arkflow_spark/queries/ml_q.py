@@ -102,27 +102,77 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_kmeans_ivf")  # rows-only: iterative MLlib fit, not SQL-expressible
+@query(
+    "ml_kmeans_ivf",
+    oracle="""
+    SELECT COUNT(*) AS n_vectors,
+           TRUE AS buckets_within_k,
+           TRUE AS all_assigned_nearest
+    FROM embeddings
+    """,
+)
 def ml_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib KMeans coarse quantizer over `embeddings` (k=8, fixed seed):
-    fit centroids, assign every vector, emit per-bucket profile (size +
-    norm of the centroid). The unlabeled-data counterpart of the oracled
-    `ann_ivf_assign`; the driver records a rows-only check (k rows).
+    """MLlib KMeans coarse quantizer over `embeddings` (k=8, fixed seed).
+
+    Centroid positions are MLlib-internal (no cross-engine value oracle),
+    but the *contract* of a correct quantizer is checkable and hashed:
+    every vector is assigned (exact count), bucket ids stay within [0, k),
+    and every assignment is the argmin centroid — verified by re-computing
+    all k distances per vector against the model's own centroids (a
+    broadcast of k×dim floats, narrow stage) and expecting zero
+    violations. An MLlib regression or a drifted assignment path flips a
+    boolean and hash-mismatches the driver row.
 
     Scale notes: KMeans cost = iterations × (one pass + k×dim centroid
-    broadcast); assignment is a narrow row-local transform — the same
-    shapes MLlib runs on real clusters.
+    broadcast); assignment and the verification join are narrow row-local
+    transforms — the same shapes MLlib runs on real clusters.
     """
     from arkflow_spark.ml import assign_buckets, fit_kmeans_ivf
 
+    k = 8
     e = load(spark, sf_dir, "embeddings")
-    model = fit_kmeans_ivf(e, k=8, seed=42)
-    assigned = assign_buckets(model, e)
-    return (
-        assigned.groupBy("bucket")
-        .agg(
-            F.count("*").alias("n_vectors"),
-            F.countDistinct("label").alias("n_labels"),
+    model = fit_kmeans_ivf(e, k=k, seed=42)
+    assigned = assign_buckets(model, e).select("vec_id", "bucket")
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cid int, center array<double>",
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("center"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per_vec = (
+        e.select("vec_id", "embedding")
+        .join(assigned, "vec_id")
+        .crossJoin(F.broadcast(centers))
+        .select(
+            "vec_id",
+            "bucket",
+            "cid",
+            dist2.alias("d2"),
         )
-        .orderBy("bucket")
+        .groupBy("vec_id", "bucket")
+        .agg(
+            F.min("d2").alias("min_d2"),
+            F.min(F.when(F.col("cid") == F.col("bucket"), F.col("d2"))).alias(
+                "own_d2"
+            ),
+        )
+    )
+    return per_vec.agg(
+        F.count("*").alias("n_vectors"),
+        (
+            (F.min("bucket") >= 0) & (F.max("bucket") < k)
+        ).alias("buckets_within_k"),
+        (
+            F.count(
+                F.when(F.col("own_d2") > F.col("min_d2") + 1e-9, True)
+            )
+            == 0
+        ).alias("all_assigned_nearest"),
     )

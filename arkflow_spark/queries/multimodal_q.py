@@ -42,13 +42,27 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_stats(media).orderBy("media_id")
 
 
-@query("multimodal_decode_stub")  # no oracle: decoder is environment-dependent
+@query(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(('0x' || substr(md5(text), 1, 4)) AS INT) % 1920 + 1 AS width,
+           CAST(('0x' || substr(md5(text), 5, 4)) AS INT) % 1080 + 1 AS height,
+           3 AS channels,
+           'stub' AS decoder
+    FROM documents
+    ORDER BY media_id
+    """,
+)
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-decode pipeline shape: payload -> (width, height, channels).
-    Runs the stub decoder here (no PIL in container); rows-only check."""
+    """Image-decode pipeline shape: payload -> (width, height, channels)
+    via mapInPandas. The decoder is pinned to the deterministic stub
+    (md5-derived pseudo-dims), so the full Arrow-batch plumbing — schema,
+    batching, fan-in — is hash-verified against the oracle's identical
+    hash arithmetic; swapping in PIL changes only the per-payload kernel."""
     d = load(spark, sf_dir, "documents")
     media = attach_fake_media(d, text_col="text", id_col="doc_id")
-    return decode_image(media).orderBy("media_id")
+    return decode_image(media, force_stub=True).orderBy("media_id")
 
 
 @query(

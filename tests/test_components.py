@@ -188,19 +188,42 @@ def test_date_bin_pre_origin_floors_correctly(spark):
 
 def test_sketch_estimates_close_to_exact(spark):
     """HLL/theta union-of-parts must estimate within ~2% of the exact
-    distinct count (mergeability = the distributed distinct-count path)."""
+    distinct count (mergeability = the distributed distinct-count path).
+    Numeric accuracy asserted on raw estimates here; the registered
+    `agg_sketches` query hashes the 5%-bound verdicts via its oracle."""
     from arkflow_spark.queries import QUERIES
+    from arkflow_spark.tables import load
     from tests.conftest import SF_CORRECT
 
-    row = QUERIES["agg_sketches"](spark, SF_CORRECT).collect()[0]
+    load(spark, SF_CORRECT, "events").createOrReplaceTempView("ev_raw_sk")
+    row = spark.sql(
+        """
+        WITH per_group AS (
+          SELECT event_type, hll_sketch_agg(user_id) AS hll
+          FROM ev_raw_sk GROUP BY event_type
+        )
+        SELECT
+          (SELECT hll_sketch_estimate(hll_union_agg(hll)) FROM per_group)
+            AS hll_union,
+          (SELECT hll_sketch_estimate(hll_sketch_agg(user_id)) FROM ev_raw_sk)
+            AS hll_direct,
+          (SELECT theta_sketch_estimate(theta_sketch_agg(user_id))
+           FROM ev_raw_sk) AS theta
+        """
+    ).collect()[0]
     exact = (
         spark.read.parquet(f"{SF_CORRECT}/events.parquet")
         .select("user_id")
         .distinct()
         .count()
     )
-    for est in (row.hll_distinct_users, row.hll_direct, row.theta_distinct_users):
+    for est in (row.hll_union, row.hll_direct, row.theta):
         assert abs(est - exact) / exact < 0.02, (est, exact)
     # unioned per-group sketches == direct sketch estimate (associativity)
-    assert row.hll_distinct_users == row.hll_direct
-    assert row.topk_size == 3
+    assert row.hll_union == row.hll_direct
+
+    # the registered query's verdicts must all be TRUE with exact counts
+    q = QUERIES["agg_sketches"](spark, SF_CORRECT).collect()[0]
+    assert q.exact_users == exact and q.topk_size == 3
+    assert q.hll_union_within_bound and q.hll_direct_within_bound
+    assert q.theta_within_bound
