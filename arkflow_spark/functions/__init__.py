@@ -15,6 +15,78 @@ from arkflow_spark.config import parse_duration_ms
 _EPOCH = "1970-01-01 00:00:00"
 
 
+def asof_join(
+    left,
+    right,
+    on: str = "ts",
+    by: str | list[str] | None = None,
+    value_cols: list[str] | None = None,
+    tolerance_expr: str | None = None,
+):
+    """As-of (backward, inclusive) join: enrich each ``left`` row with the
+    latest ``right`` row whose ``on`` <= left's ``on``, per ``by`` key —
+    trades/quotes semantics, matching DuckDB's ``ASOF LEFT JOIN`` (and
+    pandas ``merge_asof``). Beyond the reference's surface (DataFusion has
+    no as-of join); fuzz-verified against DuckDB in
+    tests/test_fuzz_conformance.py.
+
+    Implementation is the scalable union+ordered-window pattern, NOT a
+    range self-join: tag right rows 0 and left rows 1, sort each ``by``
+    partition once on (on, tag), and carry the last non-null right payload
+    forward. One shuffle + one sort per key — O(n log n), no range-join
+    row blow-up; the same plan shape handles billions of rows.
+
+    ``value_cols``: right columns to bring (default: all but on/by).
+    ``tolerance_expr``: optional SQL interval/length, e.g. ``"600"`` for
+    numeric ``on`` or ``"INTERVAL 10 MINUTES"`` for timestamps — matches
+    older than ``on - tolerance`` are nulled (pandas merge_asof
+    ``tolerance``).
+    """
+    from pyspark.sql import Window
+
+    by_list = [by] if isinstance(by, str) else list(by or [])
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c != on and c not in by_list
+        ]
+    payload = F.struct(
+        F.col(on).alias("__asof_ts"), *[F.col(c) for c in value_cols]
+    )
+    r = right.select(
+        *by_list,
+        F.col(on),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+    )
+    l_cols = left.columns
+    lhs = left.select(
+        *l_cols,
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+    )
+    unioned = lhs.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*by_list)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = F.last("__payload", ignorenulls=True).over(w)
+    out = unioned.withColumn("__match", matched).filter(F.col("__side") == 1)
+    if tolerance_expr is not None:
+        out = out.withColumn(
+            "__match",
+            F.when(
+                F.col("__match.__asof_ts")
+                >= F.col(on) - F.expr(tolerance_expr),
+                F.col("__match"),
+            ),
+        )
+    return out.select(
+        *l_cols,
+        *[F.col(f"__match.{c}").alias(c) for c in value_cols],
+    )
+
+
 def date_bin(stride: str, source: Column | str, origin: str = _EPOCH) -> Column:
     """DataFusion/PostgreSQL ``date_bin(stride, source, origin)``
     (docs/docs/sql/7-scalar_functions.md:1979): floor ``source`` to the

@@ -356,3 +356,54 @@ def events_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         F.date_format(within, "yyyy-MM-dd HH:mm:ss").alias("recent_error_ts"),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "events_asof_join_two_table",
+    oracle="""
+    WITH quotes AS (
+      SELECT user_id, ts, MAX(event_id) AS error_event_id
+      FROM events WHERE event_type = 'error' AND user_id < 40
+      GROUP BY user_id, ts
+    ),
+    trades AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type <> 'error' AND user_id < 40
+    )
+    SELECT t.event_id, t.user_id,
+           strftime(t.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           q.error_event_id
+    FROM trades t ASOF LEFT JOIN quotes q
+      ON t.user_id = q.user_id AND t.ts >= q.ts
+    ORDER BY t.user_id, t.event_id
+    """,
+)
+def events_asof_join_two_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table as-of join (trades/quotes shape) through the reusable
+    `functions.asof_join` — each non-error event enriched with the id of
+    the latest error at-or-before its timestamp, oracled against DuckDB's
+    NATIVE `ASOF LEFT JOIN` (and fuzz-verified on random tables in
+    tests/test_fuzz_conformance.py). Right side pre-deduped to unique
+    (key, ts) so the backward-inclusive match is engine-deterministic.
+
+    Scale notes: asof_join is the union + ordered-window construction —
+    one shuffle + one sort per key, no range-join row blow-up.
+    """
+    from arkflow_spark.functions import asof_join
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    quotes = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("error_event_id"))
+    )
+    trades = ev.filter(F.col("event_type") != "error").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(trades, quotes, on="ts", by="user_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "error_event_id",
+    ).orderBy("user_id", "event_id")

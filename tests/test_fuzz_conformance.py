@@ -218,3 +218,57 @@ def test_fuzz_join_counts_match(engines, pred, jtype):
     n_spark = spark.sql(sql).collect()[0]["n"]
     n_duck = con.execute(sql).fetchone()[0]
     assert n_spark == n_duck, f"join count mismatch: {jtype} {pred}"
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_fuzz_asof_join_matches_duckdb(engines, data):
+    """functions.asof_join (union + ordered-window construction) must agree
+    row-for-row with DuckDB's native ASOF LEFT JOIN on random trades/quotes
+    tables — random keys, random int64 event times (unique per right key,
+    so the backward-inclusive match is well-defined in both engines)."""
+    from arkflow_spark.functions import asof_join
+
+    spark, con = engines
+    keys = ["a", "b", "c"]
+    n_left = data.draw(st.integers(1, 25))
+    left_rows = [
+        (
+            i,
+            data.draw(st.sampled_from(keys)),
+            data.draw(st.integers(0, 1000)),
+        )
+        for i in range(n_left)
+    ]
+    right_ts = data.draw(
+        st.dictionaries(
+            st.tuples(st.sampled_from(keys), st.integers(0, 1000)),
+            st.integers(-100, 100),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    right_rows = [(k, t, v) for (k, t), v in sorted(right_ts.items())]
+
+    ldf = spark.createDataFrame(left_rows, "id int, k string, ts long")
+    rdf = spark.createDataFrame(right_rows, "k string, ts long, val int")
+    got = {
+        (r["id"], r["val"])
+        for r in asof_join(ldf, rdf, on="ts", by="k").collect()
+    }
+
+    con.execute("CREATE OR REPLACE TABLE fz_l (id int, k text, ts bigint)")
+    con.execute("CREATE OR REPLACE TABLE fz_r (k text, ts bigint, val int)")
+    con.executemany("INSERT INTO fz_l VALUES (?, ?, ?)", left_rows)
+    con.executemany("INSERT INTO fz_r VALUES (?, ?, ?)", right_rows)
+    want = set(
+        con.execute(
+            "SELECT l.id, r.val FROM fz_l l ASOF LEFT JOIN fz_r r"
+            " ON l.k = r.k AND l.ts >= r.ts"
+        ).fetchall()
+    )
+    assert got == want, f"asof mismatch: left={left_rows} right={right_rows}"
