@@ -297,6 +297,8 @@ class HttpInput(_BrokerInput):
                 "address": conf.pop("address", "127.0.0.1:0"),
                 "path": conf.pop("http_path", "/ingest"),
                 "cors_enabled": bool(conf.pop("cors_enabled", False)),
+                "auth": conf.pop("auth", None),
+                "rate_limit": conf.pop("rate_limit", None),
             }
             self.FORMAT = "spooldir"
         super().__init__(conf)

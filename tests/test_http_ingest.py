@@ -113,3 +113,58 @@ def test_http_poll_input_through_engine(spark, tmp_path):
         assert vals == [b"ok", b"ok"]
     finally:
         srv.stop()
+
+
+def test_webhook_rate_limit_429(tmp_path):
+    """Token bucket (reference rate_limiter.rs): burst exhausts -> 429,
+    refill restores."""
+    import time
+
+    srv = WebhookIngestServer(
+        str(tmp_path), "127.0.0.1:0", "/i",
+        rate_limit={"requests_per_second": 50, "burst_size": 3},
+    ).start()
+    try:
+        url = f"http://127.0.0.1:{srv.port}/i"
+        for _ in range(3):
+            post(url, b"x")  # within burst
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post(url, b"x")
+        assert e.value.code == 429
+        time.sleep(0.1)  # 50 rps refill -> tokens available again
+        post(url, b"x")
+    finally:
+        srv.stop()
+
+
+def test_webhook_auth_and_lockout(tmp_path):
+    """Auth + brute-force lockout (reference auth_middleware.rs): wrong
+    credentials 401, locked after 3 failures -> 423 even with the right
+    token; success resets the counter."""
+    srv = WebhookIngestServer(
+        str(tmp_path), "127.0.0.1:0", "/i",
+        auth={"type": "bearer", "token": "s3cret"},
+    ).start()
+    try:
+        url = f"http://127.0.0.1:{srv.port}/i"
+
+        def post_auth(tok):
+            req = urllib.request.Request(url, data=b"x", method="POST")
+            if tok:
+                req.add_header("Authorization", f"Bearer {tok}")
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                return resp.status
+
+        assert post_auth("s3cret") == 200
+        for _ in range(2):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                post_auth("wrong")
+            assert e.value.code == 401
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post_auth("wrong")  # third failure locks
+        assert e.value.code in (401, 423)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post_auth("s3cret")  # locked out even with valid creds
+        assert e.value.code == 423
+    finally:
+        srv.stop()
