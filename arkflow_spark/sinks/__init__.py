@@ -88,7 +88,12 @@ class KafkaOutput:
 
     def __init__(self, conf: dict):
         self.brokers = conf.get("brokers", ["localhost:9092"])
-        self.topic = conf["topic"]
+        # per-row topic routing by SQL expression (reference Expr<String>
+        # topic, expr/mod.rs:30-60); static `topic` otherwise
+        self.topic_expr = conf.get("topic_expr")
+        self.topic = conf.get("topic")
+        if not self.topic and not self.topic_expr:
+            raise ValueError("kafka output needs 'topic' or 'topic_expr'")
         self.exactly_once = bool(conf.get("exactly_once", False))
         self.transactional_id = conf.get("transactional_id")
         if self.exactly_once and not self.transactional_id:
@@ -103,19 +108,23 @@ class KafkaOutput:
         if VALUE_COL not in out.columns:
             cols = [c for c in out.columns if not c.startswith("__meta_")]
             out = out.withColumn(VALUE_COL, F.to_json(F.struct(*cols)).cast("binary"))
-        return out.select(F.col(VALUE_COL).alias("value"))
+        cols = [F.col(VALUE_COL).alias("value")]
+        if self.topic_expr:
+            cols.append(F.expr(self.topic_expr).cast("string").alias("topic"))
+        return out.select(*cols)
 
     def write_batch(self, df: DataFrame, epoch_id: int = 0) -> None:
         if self.exactly_once:
             self._write_batch_transactional(df, epoch_id)
             return
-        (
+        w = (
             self._payload(df)
             .write.format("kafka")
             .option("kafka.bootstrap.servers", ",".join(self.brokers))
-            .option("topic", self.topic)
-            .save()
         )
+        if not self.topic_expr:  # else: Spark routes by the topic column
+            w = w.option("topic", self.topic)
+        w.save()
 
     def _write_batch_transactional(self, df: DataFrame, epoch_id: int = 0) -> None:
         """begin -> produce partition -> commit, abort-on-error (executor
@@ -124,6 +133,7 @@ class KafkaOutput:
 
         factory = self.producer_factory or confluent_producer_factory(self.brokers)
         topic, base = self.topic, self.transactional_id
+        routed = bool(self.topic_expr)
 
         def write_partition(rows) -> None:
             from pyspark import TaskContext
@@ -134,7 +144,9 @@ class KafkaOutput:
             producer.begin_transaction()
             try:
                 for r in rows:
-                    producer.produce(topic, bytes(r["value"]))
+                    producer.produce(
+                        r["topic"] if routed else topic, bytes(r["value"])
+                    )
                 producer.commit_transaction()
             except BaseException:
                 producer.abort_transaction()

@@ -29,6 +29,7 @@ from __future__ import annotations
 from typing import Any, Callable, Iterable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from arkflow_spark.registry import OUTPUTS
 from arkflow_spark.sinks.serializers import row_to_doc, to_influx_line, to_payload
@@ -55,6 +56,13 @@ class _ClientSink:
     def write_batch(self, df: DataFrame, epoch_id: int = 0) -> None:
         factory = self.client_factory or self._default_factory()
         write, conf = self._write, self.conf
+        # per-row topic routing by SQL expression (the reference's
+        # Expr<String> topic config, expr/mod.rs:30-60) — evaluated
+        # JVM-side before the partition loop, so routing stays codegen'd
+        if conf.get("topic_expr"):
+            df = df.withColumn(
+                "__meta_topic__", F.expr(conf["topic_expr"]).cast("string")
+            )
 
         def run_partition(rows) -> None:
             client = factory()
@@ -205,7 +213,9 @@ class _PublishSink(_ClientSink):
     @staticmethod
     def _write(client, rows, conf) -> None:
         topic = conf.get("topic") or conf.get("subject")
-        topic_field = conf.get("topic_field")
+        topic_field = "__meta_topic__" if conf.get("topic_expr") else conf.get(
+            "topic_field"
+        )
         for r in rows:
             t = str(r[topic_field]) if topic_field else topic
             client.publish(t, to_payload(r))

@@ -143,3 +143,19 @@ def test_pulsar_sink_raw_value_passthrough(spark, spool):
     sink.write_batch(df)
     payloads = sorted(e["args"][1] for e in _drain(spool))
     assert payloads == ["payload-a", "payload-b"]
+
+
+def test_publish_sink_topic_expr_routing(spark, spool):
+    """Per-row topic as a SQL expression (reference Expr<String> topic,
+    expr/mod.rs:30-60) — evaluated JVM-side, not leaked into payloads."""
+    sink = OUTPUTS.build(
+        {"type": "mqtt", "topic": "fallback",
+         "topic_expr": "concat('m/', host, '/', CAST(id % 2 AS STRING))",
+         "client_factory": SpoolFactory(spool)}
+    )
+    sink.write_batch(_df(spark))
+    evs = _drain(spool)
+    topics = sorted(e["args"][0] for e in evs)
+    assert topics == ["m/h1/1", "m/h1/1", "m/h2/0"]
+    payload = json.loads(evs[0]["args"][1])
+    assert "__meta_topic__" not in payload  # routing column stays meta

@@ -120,3 +120,27 @@ def test_multi_partition_transactions(spark, tmp_path):
     ).repartition(4)
     sink.write_batch(df, epoch_id=0)
     assert committed_values(spool) == sorted(f"v{i}".encode() for i in range(8))
+
+
+def test_topic_expr_routing_in_transaction(spark, tmp_path):
+    """Per-row topic expression routing through the transactional path
+    (reference Expr<String> topic, expr/mod.rs:30-60)."""
+    from arkflow_spark.sinks.txn import SpoolTransactionalProducer
+
+    spool = str(tmp_path / "spool")
+    sink = OUTPUTS.build(
+        {
+            "type": "kafka",
+            "topic_expr": "concat('t-', CAST(length(__value__) % 2 AS STRING))",
+            "exactly_once": True,
+            "transactional_id": "flow-r",
+            "producer_factory": SpoolProducerFactory(spool),
+        }
+    )
+    df = spark.createDataFrame(
+        [(b"a",), (b"bb",), (b"ccc",)], "__value__ binary"
+    ).coalesce(1)
+    sink.write_batch(df, epoch_id=0)
+    recs = SpoolTransactionalProducer.committed_records(spool)
+    by_topic = sorted((t, v) for t, _, v in recs)
+    assert by_topic == [("t-0", b"bb"), ("t-1", b"a"), ("t-1", b"ccc")]
