@@ -192,3 +192,42 @@ def test_merge_maps(spark):
     import json
 
     assert json.loads(out["m"]) == {"a": "1", "b": "2"}
+
+
+def test_fallible_vrl_raise_routes_to_dlq(spark):
+    """A fallible-`!` recipe raising at evaluation diverts the raw batch to
+    error_output — the engine-level analog of VRL's abort-on-error
+    (reference vrl.rs:659-680: failed parse surfaces an error; the stream
+    stays alive and the batch dead-letters)."""
+    import textwrap
+
+    from tests.test_engine import make_engine
+
+    eng = make_engine(
+        spark,
+        textwrap.dedent(
+            """
+            streams:
+              - input:
+                  type: memory
+                  messages: ['{"port": "not-a-number"}']
+                pipeline:
+                  processors:
+                    - type: json_to_arrow
+                      schema: "port string"
+                    - type: remap
+                      fields:
+                        port_n: "CASE WHEN try_cast(port AS BIGINT) IS NULL
+                                 THEN raise_error('to_int failed')
+                                 ELSE try_cast(port AS BIGINT) END"
+                output:
+                  type: memory
+                error_output:
+                  type: memory
+            """
+        ),
+    )
+    eng.run_batch_all()
+    s = eng.streams[0]
+    assert s.output.batches == []  # nothing delivered downstream
+    assert len(s.error_output.batches[0]) == 1  # raw row dead-lettered
