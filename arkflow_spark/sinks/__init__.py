@@ -88,9 +88,11 @@ class KafkaOutput:
 
     def __init__(self, conf: dict):
         self.brokers = conf.get("brokers", ["localhost:9092"])
-        # per-row topic routing by SQL expression (reference Expr<String>
-        # topic, expr/mod.rs:30-60); static `topic` otherwise
+        # per-row topic/key routing by SQL expression (reference
+        # Expr<String> topic + key config, expr/mod.rs:30-60,
+        # kafka.rs:69-71); static `topic` otherwise
         self.topic_expr = conf.get("topic_expr")
+        self.key_expr = conf.get("key_expr")
         self.topic = conf.get("topic")
         if not self.topic and not self.topic_expr:
             raise ValueError("kafka output needs 'topic' or 'topic_expr'")
@@ -111,6 +113,9 @@ class KafkaOutput:
         cols = [F.col(VALUE_COL).alias("value")]
         if self.topic_expr:
             cols.append(F.expr(self.topic_expr).cast("string").alias("topic"))
+        if self.key_expr:
+            # Spark's kafka sink partitions by the `key` column natively
+            cols.append(F.expr(self.key_expr).cast("binary").alias("key"))
         return out.select(*cols)
 
     def write_batch(self, df: DataFrame, epoch_id: int = 0) -> None:
@@ -133,7 +138,7 @@ class KafkaOutput:
 
         factory = self.producer_factory or confluent_producer_factory(self.brokers)
         topic, base = self.topic, self.transactional_id
-        routed = bool(self.topic_expr)
+        routed, keyed = bool(self.topic_expr), bool(self.key_expr)
 
         def write_partition(rows) -> None:
             from pyspark import TaskContext
@@ -145,7 +150,10 @@ class KafkaOutput:
             try:
                 for r in rows:
                     producer.produce(
-                        r["topic"] if routed else topic, bytes(r["value"])
+                        r["topic"] if routed else topic,
+                        bytes(r["value"]),
+                        key=bytes(r["key"]) if keyed and r["key"] is not None
+                        else None,
                     )
                 producer.commit_transaction()
             except BaseException:

@@ -144,3 +144,29 @@ def test_topic_expr_routing_in_transaction(spark, tmp_path):
     recs = SpoolTransactionalProducer.committed_records(spool)
     by_topic = sorted((t, v) for t, _, v in recs)
     assert by_topic == [("t-0", b"bb"), ("t-1", b"a"), ("t-1", b"ccc")]
+
+
+def test_key_expr_in_transaction(spark, tmp_path):
+    """Per-row key expression (reference kafka.rs key: Expr) rides through
+    the transactional producer."""
+    from arkflow_spark.sinks.txn import SpoolTransactionalProducer
+
+    spool = str(tmp_path / "spool")
+    sink = OUTPUTS.build(
+        {
+            "type": "kafka",
+            "topic": "t",
+            "key_expr": "substring(__value__, 1, 1)",
+            "exactly_once": True,
+            "transactional_id": "flow-k",
+            "producer_factory": SpoolProducerFactory(spool),
+        }
+    )
+    df = spark.createDataFrame(
+        [(b"alpha",), (b"beta",)], "__value__ binary"
+    ).coalesce(1)
+    sink.write_batch(df, epoch_id=0)
+    recs = sorted(
+        (k, v) for _, k, v in SpoolTransactionalProducer.committed_records(spool)
+    )
+    assert recs == [(b"a", b"alpha"), (b"b", b"beta")]
