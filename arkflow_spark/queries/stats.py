@@ -189,6 +189,10 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch hash-mismatches the driver row. At 100 TB HLL is the right
     default for distincts: it partial-aggregates map-side and merges
     associatively, while exact distinct shuffles all the keys.
+
+    Plan note: the two exact COUNT(DISTINCT) columns exist purely for the
+    verification gate and cost an Expand + 3 exchanges; the production
+    shape (approx columns alone) is a single partial-aggregated exchange.
     """
     ev = load(spark, sf_dir, "events")
     g = ev.groupBy("event_type").agg(

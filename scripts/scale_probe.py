@@ -37,6 +37,19 @@ PROBE_QUERIES = (
     "dedup_exact",
     "text_quality_score",
 )
+# relational shapes: facts scale 10x (offset keys keep joins consistent),
+# dims stay fixed — the realistic 100 TB growth pattern
+RELATIONAL_QUERIES = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q9_product_profit",
+    "q13_order_count_distribution",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "window_ranking",
+    "events_tumbling_window",
+)
 
 
 def build(spark, out_dir: str, copies: int = 10) -> None:
@@ -83,14 +96,58 @@ def build(spark, out_dir: str, copies: int = 10) -> None:
     out_e.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
 
+def _union_copies(df, copies, offset_cols: dict[str, int]):
+    parts = []
+    for i in range(copies):
+        d = df
+        for col, off in offset_cols.items():
+            d = d.withColumn(col, F.col(col) + i * off)
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_relational(spark, out_dir: str, copies: int = 10) -> None:
+    """10x facts (offset join keys keep referential consistency), fixed
+    dims — the realistic growth pattern: at 100 TB it is lineitem/orders/
+    events that grow, not nation/region/part."""
+    KEY = 100_000_000
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "documents", "embeddings"):
+        load(spark, BASE, t).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+    _union_copies(
+        load(spark, BASE, "orders"), copies, {"o_orderkey": KEY}
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+    _union_copies(
+        load(spark, BASE, "lineitem"), copies, {"l_orderkey": KEY}
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+    _union_copies(
+        load(spark, BASE, "events"), copies, {"event_id": KEY}
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+
+
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_probe_x10"
+    relational = "--relational" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_dir = args[0] if args else (
+        "/tmp/scale_probe_rel_x10" if relational else "/tmp/scale_probe_x10"
+    )
     spark = get_spark("scale-probe")
-    if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
-        build(spark, out_dir)
+    if relational:
+        if not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
+            build_relational(spark, out_dir)
+        probe_set = RELATIONAL_QUERIES
+    else:
+        if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
+            build(spark, out_dir)
+        probe_set = PROBE_QUERIES
 
     results = {}
-    for name in PROBE_QUERIES:
+    for name in probe_set:
         times = {}
         for label, sf_dir in (("sf0.1", BASE), ("x10", out_dir)):
             # cold-ish: fresh plan each call; min of 2 to drop codegen noise
@@ -103,7 +160,8 @@ def main() -> None:
         times["ratio"] = round(times["x10"] / max(times["sf0.1"], 1e-9), 1)
         results[name] = times
         print(f"# {name}: {times}", file=sys.stderr)
-    print(json.dumps({"metric": "scale_probe_x10", "queries": results}))
+    metric = "scale_probe_relational_x10" if relational else "scale_probe_x10"
+    print(json.dumps({"metric": metric, "queries": results}))
 
 
 if __name__ == "__main__":
