@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arkflow_spark.queries.base import query
+from arkflow_spark.queries.base import QUERIES, query
 from arkflow_spark.tables import load
 
 N_HASHES = 16
@@ -356,3 +356,82 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = th.groupBy("doc_id").agg(*bit_cols)
     simhash = sum(F.col(f"bit{b}") for b in range(32))
     return bits.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+
+
+def _cc_oracle() -> str:
+    # min-reachable-label connected components over the minhash near-dup
+    # pairs, via a recursive CTE (UNION dedups, so it terminates)
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_mh_oracle()}) p
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label
+      FROM reach r JOIN edges e ON e.src = r.doc
+    )
+    SELECT doc AS doc_id,
+           MIN(label) AS cluster_id,
+           doc = MIN(label) AS is_canonical
+    FROM reach
+    GROUP BY doc
+    ORDER BY doc_id
+    """
+
+
+@query("dedup_cluster_canonical", oracle=_cc_oracle())
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash-LSH pair
+    graph, labeling every document with its cluster id (= min doc_id
+    reachable) and flagging one canonical doc per cluster — the step a
+    training pipeline runs after pair generation to decide which duplicate
+    to KEEP. Oracled against a DuckDB recursive-CTE reachability query.
+
+    Iterative min-label propagation: each round joins current labels onto
+    the (bidirectional) edge list and takes the per-node min; converges in
+    diameter(cluster) rounds — near-dup clusters are shallow (typically
+    2-5 docs), so a handful of rounds suffice. Each round is one
+    shuffle-join + one aggregation on the EDGE list (pairs, not corpus):
+    the same per-round shape GraphX/GraphFrames connected components runs
+    at 100 TB. localCheckpoint truncates lineage so plans stay flat;
+    at cluster scale swap for checkpoint/persist-to-storage.
+    """
+    pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(15):  # >= diameter of any near-dup cluster in practice
+        neigh = (
+            edges.join(labels, edges.doc_a == labels.doc_id)
+            .select(F.col("doc_b").alias("doc_id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        # converged when the monotone non-increasing label sum is stable
+        if (
+            new_labels.agg(F.sum("label")).collect()[0][0]
+            == labels.agg(F.sum("label")).collect()[0][0]
+        ):
+            labels = new_labels
+            break
+        labels = new_labels
+    return (
+        labels.select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
