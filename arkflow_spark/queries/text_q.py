@@ -510,3 +510,105 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "documents_stratified_sample",
+    oracle="""
+    WITH rated AS (
+      SELECT doc_id, lang, source,
+             CASE lang WHEN 'en' THEN 80 WHEN 'es' THEN 50
+                       WHEN 'fr' THEN 50 ELSE 25 END AS rate_pct,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS INT) % 100 AS die
+      FROM documents
+    )
+    SELECT doc_id, lang, source, rate_pct
+    FROM rated
+    WHERE die < rate_pct
+    ORDER BY doc_id
+    """,
+)
+def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-data mixes: each
+    language stratum keeps a configured percentage, selected by a hash die
+    (md5 of doc_id), NOT rand() — so the sample is reproducible across
+    runs, engines, and cluster sizes, and any doc's membership can be
+    audited. The standard way to hit a target language/domain mixture.
+
+    Scale notes: pure narrow stage (hash + compare per row), no shuffle,
+    no sampling-state; rates are a broadcast-free CASE expression.
+    """
+    d = load(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 80)
+        .when(F.col("lang").isin("es", "fr"), 50)
+        .otherwise(25)
+    )
+    die = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    return (
+        d.select("doc_id", "lang", "source", rate.alias("rate_pct"), die.alias("_die"))
+        .filter(F.col("_die") < F.col("rate_pct"))
+        .drop("_die")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "documents_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR((cum_tokens - n_tokens) / 2048) AS BIGINT) AS pack_id,
+           CAST(cum_tokens - n_tokens
+                - FLOOR((cum_tokens - n_tokens) / 2048) * 2048 AS BIGINT)
+             AS pack_offset
+    FROM packed
+    ORDER BY lang, doc_id
+    """,
+)
+def documents_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: concatenate each language stream
+    in deterministic doc_id order and chunk the token stream into
+    2048-token context windows — every doc gets the pack (window) its
+    first token lands in plus its offset within that pack. The
+    concat-then-chunk shape standard pretraining loaders use; deterministic
+    order makes the packing reproducible across engines/cluster sizes.
+
+    Scale notes: one window sort per language partition (the same shuffle
+    a sort-within-partition write needs); everything else is arithmetic.
+    At 100 TB, substitute a repartitionByRange(lang, doc_id) +
+    sortWithinPartitions and a per-partition running offset.
+    """
+    from arkflow_spark.queries.text_q import _tok_count
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", _tok_count(F.col("text")).alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(start / 2048).cast("bigint").alias("pack_id"),
+        (start - F.floor(start / 2048) * 2048).cast("bigint").alias("pack_offset"),
+    ).orderBy("lang", "doc_id")
