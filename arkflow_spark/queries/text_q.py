@@ -612,3 +612,84 @@ def documents_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / 2048).cast("bigint").alias("pack_id"),
         (start - F.floor(start / 2048) * 2048).cast("bigint").alias("pack_offset"),
     ).orderBy("lang", "doc_id")
+
+
+@query(
+    "documents_decontaminate",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(trim(text)), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             md5(list_aggregate(w[i:i+4], 'string_agg', ' ')) AS g
+      FROM words
+      CROSS JOIN generate_series(1, 4000) t(i)
+      WHERE i + 4 <= len(w) + 1
+    ),
+    eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+    ),
+    hits AS (
+      SELECT g.doc_id, COUNT(DISTINCT g.g) AS n_overlap
+      FROM grams g JOIN eval_grams e ON g.g = e.g
+      WHERE g.doc_id % 50 <> 0
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           COALESCE(h.n_overlap, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % 50 <> 0
+    ORDER BY d.doc_id
+    """,
+)
+def documents_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 5-gram
+    with the eval set (simulated here as every 50th doc) — the standard
+    train/test-overlap gate run before pretraining. Word 5-grams are
+    md5-hashed so the check joins on 128-bit keys, not raw text.
+
+    Scale notes: the eval side is tiny (benchmarks are MBs) — its distinct
+    gram set broadcasts, so the contamination check is a broadcast semi
+    join over the training grams: one narrow fan-out (ngram explode) + one
+    broadcast join, no all-pairs and no big-side shuffle. At 100 TB the
+    eval gram set (~1e6 hashes) still fits comfortably in a broadcast.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(trim(text)), '[a-z0-9]+', 0)").alias("w"),
+    )
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("w") - 4, F.lit(0))),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("w"), i, 5))
+                ),
+            )
+        ).alias("g"),
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    )
+    train_grams = grams.filter(F.col("doc_id") % 50 != 0)
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_overlap"))
+    )
+    train_docs = d.filter(F.col("doc_id") % 50 != 0).select("doc_id")
+    return (
+        train_docs.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= 1).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
