@@ -272,3 +272,77 @@ def test_fuzz_asof_join_matches_duckdb(engines, data):
         ).fetchall()
     )
     assert got == want, f"asof mismatch: left={left_rows} right={right_rows}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_fuzz_session_windows_match_duckdb(engines, data):
+    """session_window(gap) over random per-key integer-second event sets
+    must produce exactly the gaps-and-islands sessions DuckDB derives
+    (same construction as the events_session_window oracle, randomized:
+    random gaps exercise merge/split boundaries the fixed corpus misses)."""
+    spark, con = engines
+    gap = data.draw(st.integers(2, 30))
+    n = data.draw(st.integers(1, 40))
+    rows = sorted(
+        {
+            (
+                data.draw(st.sampled_from(["u1", "u2"])),
+                data.draw(st.integers(0, 300)),
+            )
+            for _ in range(n)
+        }
+    )
+    sdf = spark.createDataFrame(rows, "k string, sec long").select(
+        "k", F_ts("sec").alias("ts")
+    )
+    got = sorted(
+        (
+            r["k"],
+            r["session_window"]["start"].timestamp(),
+            r["session_window"]["end"].timestamp(),
+            r["n"],
+        )
+        for r in sdf.groupBy(
+            __import__("pyspark.sql.functions", fromlist=["x"]).session_window(
+                "ts", f"{gap} seconds"
+            ),
+            "k",
+        )
+        .agg(__import__("pyspark.sql.functions", fromlist=["x"]).count("*").alias("n"))
+        .collect()
+    )
+
+    con.execute("CREATE OR REPLACE TABLE fz_s (k text, sec bigint)")
+    con.executemany("INSERT INTO fz_s VALUES (?, ?)", rows)
+    want = sorted(
+        con.execute(
+            f"""
+            WITH o AS (
+              SELECT k, sec, lag(sec) OVER (PARTITION BY k ORDER BY sec) AS p
+              FROM fz_s
+            ), m AS (
+              SELECT *, CASE WHEN p IS NULL OR sec - p > {gap}
+                             THEN 1 ELSE 0 END AS ns FROM o
+            ), s AS (
+              SELECT *, SUM(ns) OVER (PARTITION BY k ORDER BY sec
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m
+            )
+            SELECT k, MIN(sec) * 1.0 AS st, (MAX(sec) + {gap}) * 1.0 AS en,
+                   COUNT(*) AS n
+            FROM s GROUP BY k, sid
+            """
+        ).fetchall()
+    )
+    assert got == want, f"sessions mismatch gap={gap} rows={rows}"
+
+
+def F_ts(col):
+    from pyspark.sql import functions as F
+
+    return F.timestamp_seconds(F.col(col))
