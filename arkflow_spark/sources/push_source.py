@@ -53,12 +53,22 @@ SCHEMA = StructType(
 )
 
 
+def _read_hwm(spool_dir: str) -> int:
+    """Compaction high-water mark: offsets stay monotonic even after
+    consumed .msg files are deleted."""
+    try:
+        with open(os.path.join(spool_dir, ".hwm")) as fh:
+            return int(fh.read().strip() or -1)
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
 def spool_write(spool_dir: str, payload: bytes) -> int:
     """Producer helper: append one message, return its offset. What an
     HTTP endpoint / MQTT callback calls per message."""
     os.makedirs(spool_dir, exist_ok=True)
     existing = [int(f.split(".")[0]) for f in os.listdir(spool_dir) if f.endswith(".msg")]
-    seq = max(existing, default=-1) + 1
+    seq = max(max(existing, default=-1), _read_hwm(spool_dir)) + 1
     tmp = os.path.join(spool_dir, f".{seq}.tmp")
     with open(tmp, "wb") as fh:
         fh.write(payload)
@@ -71,7 +81,11 @@ def _max_seq(path: str) -> int:
         names = [f for f in os.listdir(path) if f.endswith(".msg")]
     except FileNotFoundError:
         return -1
-    return max((int(f.split(".")[0]) for f in names), default=-1)
+    # the hwm floor keeps latestOffset monotonic across compaction
+    return max(
+        max((int(f.split(".")[0]) for f in names), default=-1),
+        _read_hwm(path),
+    )
 
 
 @dataclass
@@ -85,6 +99,12 @@ class SpoolDirStreamReader(DataSourceStreamReader):
         self.path = options["path"]
         self.source_name = options.get("source_name", "spooldir")
         self.rows_per_partition = int(options.get("rowsperpartition", 8192))
+        # opt-in retention: delete messages once their offset range is
+        # durably committed (Spark calls commit() only after the batch is
+        # checkpointed, so compacted files are never needed for replay)
+        self.compact_on_commit = (
+            str(options.get("compact_on_commit", "false")).lower() == "true"
+        )
 
     # -- offset protocol --------------------------------------------------
     def initialOffset(self) -> dict:
@@ -121,8 +141,27 @@ class SpoolDirStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # ack contract (reference input/mod.rs:43-52): consumed messages may
-        # be compacted; retention is configurable in real brokers
-        pass
+        # be compacted once the engine has durably processed them
+        if not self.compact_on_commit:
+            return
+        committed = end["seq"]
+        try:
+            names = os.listdir(self.path)
+        except FileNotFoundError:
+            return
+        # persist the high-water mark FIRST so offsets never regress even
+        # if we crash mid-compaction (spool_write consults it)
+        if committed > _read_hwm(self.path):
+            tmp = os.path.join(self.path, ".hwm.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(str(committed))
+            os.replace(tmp, os.path.join(self.path, ".hwm"))
+        for f in names:
+            if f.endswith(".msg") and int(f.split(".")[0]) <= committed:
+                try:
+                    os.unlink(os.path.join(self.path, f))
+                except FileNotFoundError:
+                    pass  # concurrent compaction
 
 
 class SpoolDirBatchReader(DataSourceReader):

@@ -72,3 +72,43 @@ def test_spooldir_through_engine_pipeline(spark, tmp_path):
     ).process(spark, parsed)
     r = out.collect()[0]
     assert r["total"] == 60 and r["n"] == 4
+
+
+def test_compact_on_commit_keeps_offsets_monotonic(tmp_path):
+    """Opt-in retention (reference input/mod.rs:43-52 ack contract):
+    committed messages are deleted, yet offsets never regress — new writes
+    continue above the persisted high-water mark."""
+    from arkflow_spark.sources.push_source import (
+        SpoolDirStreamReader,
+        _max_seq,
+        spool_write,
+    )
+
+    spool = str(tmp_path / "spool")
+    for i in range(3):
+        assert spool_write(spool, f"m{i}".encode()) == i
+    reader = SpoolDirStreamReader({"path": spool, "compact_on_commit": "true"})
+    end = reader.latestOffset()
+    assert end == {"seq": 2}
+    reader.commit(end)
+    import os
+
+    assert [f for f in os.listdir(spool) if f.endswith(".msg")] == []
+    # offsets continue past the compacted range, never reset
+    assert _max_seq(spool) == 2
+    assert spool_write(spool, b"next") == 3
+    assert reader.latestOffset() == {"seq": 3}
+    (part,) = reader.partitions(end, {"seq": 3})
+    assert [bytes(r[0]) for r in reader.read(part)] == [b"next"]
+
+
+def test_commit_without_compaction_is_noop(tmp_path):
+    from arkflow_spark.sources.push_source import SpoolDirStreamReader, spool_write
+
+    spool = str(tmp_path / "spool")
+    spool_write(spool, b"keep")
+    reader = SpoolDirStreamReader({"path": spool})
+    reader.commit(reader.latestOffset())
+    import os
+
+    assert [f for f in os.listdir(spool) if f.endswith(".msg")] == ["0.msg"]
