@@ -74,10 +74,8 @@ _DRIVER_PRIORITY = (
     "array_functions",
     "struct_map_access",
     "scalar_date_bin",
-    "array_construct_unnest",
     "scalar_binary_encode",
     "scalar_string_utils",
-    "scalar_format_number",
     # events / streaming-shaped
     "events_sliding_window",
     "events_dedup_replay",
@@ -88,17 +86,20 @@ _DRIVER_PRIORITY = (
     "text_lang_id",
     "text_token_count",
     "text_fingerprint",
-    "documents_clean_corpus",
     "text_vocab_topk",
     "text_pii_redact",
-    "text_bigram_entropy",
     # dedup / vectors
     "dedup_simhash",
     "dedup_embedding_lsh",
-    "embedding_stats",
     # multimodal
     "multimodal_byte_stats",
     "multimodal_frame_sample",
+    # round-3 additions: as-of two-table join + training-pipeline gates
+    "events_asof_join_two_table",
+    "dedup_cluster_canonical",
+    "documents_stratified_sample",
+    "documents_pack_sequences",
+    "documents_decontaminate",
 )
 
 
