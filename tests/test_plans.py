@@ -124,3 +124,38 @@ def test_q2_correlated_min_decorrelated(spark):
 def test_q8_fixed_dims_broadcast(spark):
     plan = plan_of(spark, "q8_market_share")
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval-side gram set must broadcast (benchmarks are tiny at any
+    corpus scale); the training side must never shuffle for the join."""
+    plan = plan_of(spark, "documents_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_stratified_sample_is_narrow(spark):
+    """Hash-die sampling is a pure narrow stage: the only exchange allowed
+    is the final presentation ORDER BY."""
+    plan = plan_of(spark, "documents_stratified_sample")
+    # formatted explain names each node twice (tree + details): 1 exchange
+    assert plan.count("Exchange") <= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_pack_sequences_single_sort_per_lang(spark):
+    """Packing = one window sort per language partition + arithmetic —
+    no joins, no extra shuffles beyond window + output order."""
+    plan = plan_of(spark, "documents_pack_sequences")
+    # 2 real exchanges (window partition + output order), doubled in text
+    assert plan.count("Exchange") <= 4
+    assert "Join" not in plan
+
+
+def test_asof_join_two_table_no_range_join(spark):
+    """The as-of construction must stay union + window — a nested-loop or
+    broadcast range join here would blow up at scale."""
+    plan = plan_of(spark, "events_asof_join_two_table")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
