@@ -439,3 +439,17 @@ def test_python_processor_inline_script_example(spark):
         ("temp_2", 11, 22, 121),
         ("temp_2", 11, 22, 121),
     ]
+
+
+def test_all_example_configs_parse():
+    """Every example YAML stays structurally valid (the broker-dependent
+    ones can't execute in this container, but must always parse)."""
+    import glob
+
+    from arkflow_spark.config import EngineConfig
+
+    paths = sorted(glob.glob("examples/*.yaml"))
+    assert len(paths) >= 10
+    for p in paths:
+        cfg = EngineConfig.from_file(p)
+        assert cfg.streams, p
