@@ -205,14 +205,22 @@ class SpoolDirInput:
     def __init__(self, conf: dict):
         self.path = conf["path"]
         self.source_name = conf.get("source_name", "spooldir")
+        # passthrough knobs: compact_on_commit, rowsperpartition, ...
+        self.options = {
+            k: str(v)
+            for k, v in conf.items()
+            if k not in ("path", "source_name") and v is not None
+        }
 
     def _df(self, reader):
-        return (
+        r = (
             reader.format("spooldir")
             .option("path", self.path)
             .option("source_name", self.source_name)
-            .load()
         )
+        for k, v in self.options.items():
+            r = r.option(k, v)
+        return r.load()
 
     def read_batch(self, spark: SparkSession) -> DataFrame:
         from arkflow_spark.sources.push_source import register
