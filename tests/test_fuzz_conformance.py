@@ -346,3 +346,48 @@ def F_ts(col):
     from pyspark.sql import functions as F
 
     return F.timestamp_seconds(F.col(col))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    stride_s=st.sampled_from([1, 7, 13, 60, 300, 900, 3600, 7200]),
+    origin_off=st.integers(-7200, 7200),
+    secs=st.lists(st.integers(-86400, 86400), min_size=1, max_size=30),
+)
+def test_fuzz_date_bin_matches_time_bucket(engines, stride_s, origin_off, secs):
+    """functions.date_bin (long-microsecond floor arithmetic) must equal
+    DuckDB time_bucket for random strides, shifted origins, and pre-origin
+    timestamps — the negative-delta floor is the easy-to-get-wrong path."""
+    from pyspark.sql import functions as F
+
+    from arkflow_spark.functions import date_bin
+
+    spark, con = engines
+    origin = f"1970-01-01 00:00:00"
+    sdf = spark.createDataFrame([(s,) for s in set(secs)], "sec long").select(
+        F.timestamp_seconds((F.col("sec") + origin_off)).alias("ts")
+    )
+    got = sorted(
+        r["b"].timestamp()
+        for r in sdf.select(
+            date_bin(f"{stride_s}s", F.col("ts"), origin).alias("b")
+        ).collect()
+    )
+    con.execute("CREATE OR REPLACE TABLE fz_t (sec bigint)")
+    con.executemany("INSERT INTO fz_t VALUES (?)", [(s,) for s in set(secs)])
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"""
+            SELECT epoch(time_bucket(INTERVAL {stride_s} SECOND,
+                         to_timestamp(sec + {origin_off}),
+                         TIMESTAMP '{origin}')) * 1.0
+            FROM fz_t
+            """
+        ).fetchall()
+    )
+    assert got == want, f"stride={stride_s}s origin_off={origin_off}"
