@@ -72,6 +72,18 @@ def r4(col: Column, alias: str) -> Column:
     return F.round(col, 4).alias(alias)
 
 
+def seq1(n: Column) -> Column:
+    """``[1..n]``, EMPTY when n < 1. Spark's ``sequence(1, 0)`` returns the
+    DESCENDING ``[1, 0]`` (step defaults to -1 when start > stop), so the
+    common ``sequence(1, greatest(n, 0))`` guard still yields indices 1 and
+    0 — and index 0 crashes element_at/slice. Every 1-based fan-out must go
+    through this helper. DuckDB's generate_series(1, 0) is empty, so the
+    oracles agree."""
+    return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 # Spark: date_format(ts, SPARK_TS_FMT) ; DuckDB: strftime(ts, DUCK_TS_FMT)
 SPARK_TS_FMT = "yyyy-MM-dd HH:mm:ss"
 DUCK_TS_FMT = "%Y-%m-%d %H:%M:%S"

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arkflow_spark.queries.base import QUERIES, query
+from arkflow_spark.queries.base import QUERIES, query, seq1
 from arkflow_spark.tables import load
 
 N_HASHES = 16
@@ -44,7 +44,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = F.col("w")
     sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(0))),
+        seq1(F.size(w) - 2),
         lambda i: F.concat_ws(
             " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
         ),

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arkflow_spark.queries.base import query
+from arkflow_spark.queries.base import query, seq1
 from arkflow_spark.tables import load
 
 # tiny per-language stopword lists for the n-gram/stopword language heuristic
@@ -394,7 +394,7 @@ def text_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(0))),
+                seq1(F.length(t) - 1),
                 lambda i: t.substr(i, F.lit(2)),
             )
         ).alias("bg"),
@@ -627,7 +627,7 @@ def documents_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
              md5(list_aggregate(w[i:i+4], 'string_agg', ' ')) AS g
       FROM words
       CROSS JOIN generate_series(1, 4000) t(i)
-      WHERE i + 4 <= len(w) + 1
+      WHERE i + 4 <= len(w)
     ),
     eval_grams AS (
       SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
@@ -667,7 +667,7 @@ def documents_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("w") - 4, F.lit(0))),
+                seq1(F.size("w") - 4),
                 lambda i: F.md5(
                     F.concat_ws(" ", F.slice(F.col("w"), i, 5))
                 ),
