@@ -123,6 +123,11 @@ class SchemaRegistryCodec:
         from arkflow_spark.codecs.schema_registry import RestSchemaResolver
 
         self.message_type = conf.get("message_type")
+        # pins a stable output schema across micro-batches: its columns are
+        # always present (empty batches decode zero rows through it), so
+        # fixed-schema sinks and downstream SQL never see schema drift when
+        # batches contain different schema-id subsets
+        self.default_schema_id = conf.get("default_schema_id")
         self.resolver = conf.get("resolver")
         if self.resolver is None and conf.get("registry_url"):
             self.resolver = RestSchemaResolver(
@@ -177,14 +182,26 @@ class SchemaRegistryCodec:
             r[0]
             for r in stripped.select("__meta_schema_id__").distinct().collect()
         )
-        if not ids:
-            return stripped.limit(0).drop(VALUE_COL)
         parts = [
             self._codec_for(sid).decode(
                 spark, stripped.filter(F.col("__meta_schema_id__") == sid)
             )
             for sid in ids
         ]
+        if self.default_schema_id is not None:
+            # zero-row decode through the pinned schema: anchors the output
+            # columns for empty batches and batches missing the default id
+            parts.insert(
+                0,
+                self._codec_for(int(self.default_schema_id)).decode(
+                    spark, stripped.limit(0)
+                ),
+            )
+        if not parts:
+            # mirror the reference's empty-batch behavior (schema_registry.rs
+            # decode of []): empty frame; set default_schema_id to pin a
+            # stable schema instead
+            return stripped.limit(0).drop(VALUE_COL)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)

@@ -49,6 +49,11 @@ def asof_join(
         value_cols = [
             c for c in right.columns if c != on and c not in by_list
         ]
+    # name collisions with left columns get the merge_asof-style suffix so
+    # the output never contains ambiguous duplicate column names
+    out_names = {
+        c: (f"{c}_right" if c in left.columns else c) for c in value_cols
+    }
     payload = F.struct(
         F.col(on).alias("__asof_ts"), *[F.col(c) for c in value_cols]
     )
@@ -83,7 +88,7 @@ def asof_join(
         )
     return out.select(
         *l_cols,
-        *[F.col(f"__match.{c}").alias(c) for c in value_cols],
+        *[F.col(f"__match.{c}").alias(out_names[c]) for c in value_cols],
     )
 
 

@@ -100,8 +100,10 @@ class SpoolTransactionalProducer:
 
     Layout under ``spool_dir``:
 
-    - ``staging/{txn_id}.part`` — in-flight transaction (one ``topic\\t
-      key_b64\\tvalue_b64`` line per record); never read by consumers.
+    - ``staging/{txn_id}.{token}.part`` — in-flight transaction (one
+      ``topic\\tkey_b64\\tvalue_b64`` line per record); never read by
+      consumers, and private to one producer instance so a fenced zombie
+      cannot touch the live producer's staging.
     - ``committed/{txn_id}-{uuid}.ndjson`` — atomically renamed on commit;
       the only files a consumer reads (= read_committed).
     - ``fence/{txn_id}`` — holds the token of the newest producer for this
@@ -132,7 +134,12 @@ class SpoolTransactionalProducer:
             )
 
     def begin_transaction(self) -> None:
-        self._staging = self.dir / "staging" / f"{self.txn_id}.part"
+        # staging is keyed by (txn_id, token): a fenced zombie writes into
+        # ITS OWN file and can never truncate/pollute the live producer's
+        # in-flight transaction (commit still enforces the fence)
+        self._staging = (
+            self.dir / "staging" / f"{self.txn_id}.{self.token}.part"
+        )
         self._staging.write_bytes(b"")
 
     def produce(self, topic: str, value: bytes, key: bytes | None = None) -> None:

@@ -91,20 +91,41 @@ class BrokerStreamReader(SpoolDirStreamReader):
             return
         self._pump_started = True
         path = self.path
+        client = self._client
+        stop = self._pump_stop = threading.Event()
+
+        def deliver(payload: bytes) -> None:
+            spool_write(path, payload)
+
+        if getattr(client, "synchronous", False):
+            # deterministic for tests: messages land before offsets
+            client.subscribe(deliver)
+            return
 
         def pump() -> None:
-            self._client.subscribe(lambda payload: spool_write(path, payload))
+            # a transient broker error must not silently kill ingestion:
+            # log and resubscribe with backoff until the reader stops
+            import logging
 
-        if getattr(self._client, "synchronous", False):
-            pump()  # deterministic for tests: messages land before offsets
-        else:
-            threading.Thread(target=pump, daemon=True).start()
+            while not stop.is_set():
+                try:
+                    client.subscribe(deliver)
+                    return  # subscribe returned cleanly (client closed)
+                except Exception as e:  # noqa: BLE001 - resilience loop
+                    logging.getLogger(__name__).warning(
+                        "broker pump error (%s); resubscribing in 1s", e
+                    )
+                    stop.wait(1.0)
+
+        threading.Thread(target=pump, daemon=True).start()
 
     def latestOffset(self) -> dict:
         self._ensure_pump()
         return super().latestOffset()
 
     def stop(self) -> None:
+        if getattr(self, "_pump_stop", None) is not None:
+            self._pump_stop.set()
         self._client.close()
 
 
@@ -136,7 +157,11 @@ def mqtt_client(options: dict):  # pragma: no cover - lib absent in container
 
     class _Mqtt:
         def __init__(self):
-            self.c = mod.Client()
+            # paho-mqtt >= 2.0 requires an explicit callback API version
+            try:
+                self.c = mod.Client(mod.CallbackAPIVersion.VERSION2)
+            except AttributeError:  # paho 1.x
+                self.c = mod.Client()
             host, port = options.get("host", "localhost"), int(options.get("port", 1883))
             self.c.connect(host, port)
             self.topic = options.get("topic", "#")
@@ -194,11 +219,12 @@ def nats_client(options: dict):  # pragma: no cover
         def subscribe(self, on_message):
             import asyncio
 
+            async def handler(m):  # nats-py requires a coroutine callback
+                on_message(m.data)
+
             async def run():
                 nc = await mod.connect(self.url)
-                await nc.subscribe(
-                    self.subject, cb=lambda m: on_message(m.data)
-                )
+                await nc.subscribe(self.subject, cb=handler)
                 while not self._stop.is_set():
                     await asyncio.sleep(0.1)
                 await nc.drain()
@@ -312,6 +338,20 @@ def _broker_source(fmt_name: str, factory):
 
         def streamReader(self, schema) -> BrokerStreamReader:
             return BrokerStreamReader(self.options, factory)
+
+        def reader(self, schema):
+            # batch mode: synchronous clients (fake, bounded http poll)
+            # pump inline so `spark.read` sees their messages; async broker
+            # clients can't be drained in one shot — batch reads serve the
+            # current spool snapshot (backfill semantics), stream mode is
+            # the live path
+            from arkflow_spark.sources.push_source import SpoolDirBatchReader
+
+            stream = BrokerStreamReader(self.options, factory)
+            if getattr(stream._client, "synchronous", False):
+                stream._ensure_pump()
+            reader = SpoolDirBatchReader(self.options)
+            return reader
 
     _Source.__name__ = f"{fmt_name.capitalize()}DataSource"
     _Source.__doc__ = (

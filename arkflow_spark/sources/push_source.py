@@ -65,15 +65,47 @@ def _read_hwm(spool_dir: str) -> int:
 
 def spool_write(spool_dir: str, payload: bytes) -> int:
     """Producer helper: append one message, return its offset. What an
-    HTTP endpoint / MQTT callback calls per message."""
+    HTTP endpoint / MQTT callback calls per message.
+
+    Concurrency-safe across threads AND processes: the sequence number is
+    claimed by an O_EXCL create of ``{seq}.claim`` (atomic on POSIX), so
+    two simultaneous writers — e.g. parallel webhook POSTs into the
+    threaded ingest server — can never overwrite each other's message;
+    the loser recomputes and claims the next free slot. The payload still
+    lands via tmp-write + rename, so readers only ever see complete
+    messages; the claim marker is removed after publication.
+    """
     os.makedirs(spool_dir, exist_ok=True)
-    existing = [int(f.split(".")[0]) for f in os.listdir(spool_dir) if f.endswith(".msg")]
-    seq = max(max(existing, default=-1), _read_hwm(spool_dir)) + 1
-    tmp = os.path.join(spool_dir, f".{seq}.tmp")
-    with open(tmp, "wb") as fh:
-        fh.write(payload)
-    os.replace(tmp, os.path.join(spool_dir, f"{seq}.msg"))
-    return seq
+    while True:
+        names = os.listdir(spool_dir)
+        used = [
+            int(f.split(".")[0])
+            for f in names
+            if f.endswith((".msg", ".claim"))
+        ]
+        seq = max(max(used, default=-1), _read_hwm(spool_dir)) + 1
+        claim = os.path.join(spool_dir, f"{seq}.claim")
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the race for this slot; rescan
+        os.close(fd)
+        if os.path.exists(os.path.join(spool_dir, f"{seq}.msg")):
+            # stale winner: the slot was claimed, published, and released
+            # between our listdir and our claim — never overwrite it
+            os.unlink(claim)
+            continue
+        try:
+            tmp = os.path.join(spool_dir, f".{seq}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(payload)
+            os.replace(tmp, os.path.join(spool_dir, f"{seq}.msg"))
+        finally:
+            try:
+                os.unlink(claim)
+            except FileNotFoundError:
+                pass
+        return seq
 
 
 def _max_seq(path: str) -> int:

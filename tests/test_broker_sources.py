@@ -115,3 +115,20 @@ def test_streaming_end_to_end_fake_broker(spark, tmp_path):
     got = spark.read.schema(SCHEMA).parquet(out_dir)
     vals = sorted(bytes(r["__value__"]).decode() for r in got.collect())
     assert vals == [f"msg-{i}" for i in range(5)]
+
+
+def test_batch_read_pumps_synchronous_clients(spark, tmp_path):
+    """spark.read over a fake-fed broker source drains the synchronous
+    client inline — batch mode is no longer silently empty."""
+    from arkflow_spark.sources.brokers import register
+
+    register(spark)
+    df = (
+        spark.read.format("nats")
+        .option("path", str(tmp_path / "spool"))
+        .option("client", "fake")
+        .option("fake_count", "3")
+        .load()
+    )
+    vals = sorted(bytes(r["__value__"]).decode() for r in df.collect())
+    assert vals == ["msg-0", "msg-1", "msg-2"]

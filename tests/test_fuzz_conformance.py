@@ -391,3 +391,17 @@ def test_fuzz_date_bin_matches_time_bucket(engines, stride_s, origin_off, secs):
         ).fetchall()
     )
     assert got == want, f"stride={stride_s}s origin_off={origin_off}"
+
+
+def test_asof_join_suffixes_colliding_value_columns(engines):
+    """Right-side value columns that collide with left names get the
+    merge_asof-style _right suffix instead of duplicating the name."""
+    from arkflow_spark.functions import asof_join
+
+    spark, _ = engines
+    left = spark.createDataFrame([(1, "k", 10, 99)], "id int, k string, ts long, val int")
+    right = spark.createDataFrame([("k", 5, 7)], "k string, ts long, val int")
+    out = asof_join(left, right, on="ts", by="k")
+    assert out.columns == ["id", "k", "ts", "val", "val_right"]
+    row = out.collect()[0]
+    assert row["val"] == 99 and row["val_right"] == 7

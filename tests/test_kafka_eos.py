@@ -170,3 +170,54 @@ def test_key_expr_in_transaction(spark, tmp_path):
         (k, v) for _, k, v in SpoolTransactionalProducer.committed_records(spool)
     )
     assert recs == [(b"a", b"alpha"), (b"b", b"beta")]
+
+
+def test_zombie_staging_isolation(tmp_path):
+    """A fenced zombie's begin/produce/abort must not touch the live
+    producer's in-flight transaction (per-token staging files)."""
+    spool = str(tmp_path)
+    live = SpoolTransactionalProducer(spool, "t-p0")
+    # a zombie from an older attempt wakes up mid-flight
+    zombie = SpoolTransactionalProducer(spool, "t-p0")  # fences `live`? no:
+    # the LAST init holds the fence, so make `live` the newest
+    live2 = SpoolTransactionalProducer(spool, "t-p0")
+    live2.begin_transaction()
+    live2.produce("topic", b"keep-me")
+    zombie.begin_transaction()        # own staging file: no truncation
+    zombie.produce("topic", b"zombie")
+    zombie.abort_transaction()        # removes only its own staging
+    live2.commit_transaction()
+    vals = [v for _, _, v in SpoolTransactionalProducer.committed_records(spool)]
+    assert vals == [b"keep-me"]
+
+
+def test_concurrent_spool_writes_lose_nothing(tmp_path):
+    """spool_write under thread concurrency (the webhook server is
+    threaded): every payload must land under a unique offset."""
+    import threading
+
+    from arkflow_spark.sources.push_source import spool_write
+
+    spool = str(tmp_path / "s")
+    results = []
+    lock = threading.Lock()
+
+    def write(i):
+        seq = spool_write(spool, f"p{i}".encode())
+        with lock:
+            results.append((i, seq))
+
+    threads = [threading.Thread(target=write, args=(i,)) for i in range(32)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    seqs = sorted(s for _, s in results)
+    assert seqs == list(range(32))  # dense, unique, none lost
+    import os
+
+    payloads = set()
+    for f in os.listdir(spool):
+        if f.endswith(".msg"):
+            payloads.add(open(os.path.join(spool, f), "rb").read())
+    assert payloads == {f"p{i}".encode() for i in range(32)}

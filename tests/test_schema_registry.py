@@ -144,3 +144,28 @@ def test_bad_magic_byte_fails_batch(spark):
     bad = bytes([1, 0, 0, 0, 1]) + b"xx"
     with pytest.raises(Exception, match="wire-format"):
         codec.decode(spark, new_binary_df(spark, [bad])).collect()
+
+
+def test_default_schema_id_pins_schema_for_empty_batches(spark):
+    """Empty micro-batches (and batches missing the default id) keep the
+    pinned schema's columns, so fixed-schema sinks never see drift."""
+    from arkflow_spark.batch import new_binary_df
+    from arkflow_spark.registry import CODECS
+
+    codec = CODECS.build(
+        {
+            "type": "schema_registry",
+            "resolver": StaticSchemaResolver({1: PROTO_V1, 2: PROTO_V2}),
+            "message_type": "Event",
+            "default_schema_id": 2,
+        }
+    )
+    empty = new_binary_df(spark, []).limit(0)
+    out = codec.decode(spark, empty)
+    assert {"id", "name", "score"} <= set(out.columns)
+    assert out.count() == 0
+    # a v1-only batch still carries v2's `score` column (as nulls)
+    v1 = parse_proto(PROTO_V1)
+    df = new_binary_df(spark, [wire(1, encode_record({"id": 5, "name": "z"}, v1))])
+    rows = codec.decode(spark, df).collect()
+    assert rows[0]["id"] == 5 and rows[0]["score"] is None
