@@ -25,6 +25,8 @@ for _mod in (
     "multimodal_q",
     "streaming_q",
     "ml_q",
+    "timeseries_q",
+    "corpus_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")

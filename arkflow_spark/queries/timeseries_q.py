@@ -1,0 +1,200 @@
+"""Time-series gap-fill operators over `events`: dense-grid resampling with
+last-observation-carried-forward and linear interpolation.
+
+The reference's stream surface (tumbling/sliding/session windows,
+`date_bin`) covers *aggregation* over time; a metrics/IoT user also needs
+the inverse — densifying an irregular series onto a regular grid and
+filling the holes (Timescale `time_bucket_gapfill` + `locf()` /
+`interpolate()`, InfluxDB `fill(previous)` / `fill(linear)`). Both are
+expressed as pure DataFrame ops:
+
+  1. resample: one `row_number` pass picks the latest observation per
+     (key, bucket) — a single shuffle on (key, bucket);
+  2. grid: per-key min/max bounds -> `explode(sequence(...))` — the
+     fan-out is bounded by span/resolution, never by input rows, and is
+     generated distributed (no driver-side ranges);
+  3. fill: one window per key (`last(..., ignorenulls)` for LOCF; the
+     prev/next pair for linear interpolation).
+
+At 100 TB the plan keeps one partitioning — (user_id) — across steps 2-3;
+step 1's (user_id, bucket) shuffle is the only extra exchange, and AQE
+coalesces the small grid side. No Python, all WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arkflow_spark.queries.base import DUCK_TS_FMT, SPARK_TS_FMT, query
+from arkflow_spark.tables import load
+
+# Shared resample + dense-grid CTE prefix for the DuckDB oracles: latest
+# event value per (user, hour), then a per-user hourly grid LEFT JOINed so
+# empty buckets surface as NULL rows for the fill stage.
+_ORACLE_GRID = """
+    WITH e AS (SELECT * FROM events WHERE user_id < 8),
+    hourly AS (
+      SELECT user_id, h, value FROM (
+        SELECT user_id, date_trunc('hour', ts) AS h, value,
+               row_number() OVER (
+                 PARTITION BY user_id, date_trunc('hour', ts)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e) WHERE rn = 1
+    ),
+    bounds AS (
+      SELECT user_id, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.user_id, g.h, hv.value
+      FROM grid g LEFT JOIN hourly hv USING (user_id, h)
+    )
+"""
+
+
+def _grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_ORACLE_GRID``: (user_id, h, value-or-null)."""
+    e = load(spark, sf_dir, "events").where(F.col("user_id") < 8)
+    h = F.date_trunc("hour", F.col("ts"))
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "h").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    hourly = (
+        e.select("user_id", h.alias("h"), "value", "ts", "event_id")
+        .withColumn("rn", rn)
+        .where("rn = 1")
+        .select("user_id", "h", "value")
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    return grid.join(hourly, ["user_id", "h"], "left")
+
+
+@query(
+    "events_gapfill_locf",
+    oracle=_ORACLE_GRID
+    + f"""
+    SELECT user_id, strftime(h, '{DUCK_TS_FMT}') AS hour,
+           ROUND(last_value(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS value_locf,
+           (value IS NULL) AS was_gap
+    FROM j ORDER BY user_id, h
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample + gap-fill with last-observation-carried-forward
+    (Timescale ``locf()`` / InfluxDB ``fill(previous)``). Leading gaps
+    (before the first observation) stay NULL, matching both."""
+    j = _grid(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("h", SPARK_TS_FMT).alias("hour"),
+        F.round(F.last("value", ignorenulls=True).over(w), 4).alias(
+            "value_locf"
+        ),
+        F.col("value").isNull().alias("was_gap"),
+    ).orderBy("user_id", "h")
+
+
+@query(
+    "events_gapfill_interpolate",
+    oracle=_ORACLE_GRID
+    + f""",
+    f AS (
+      SELECT user_id, h, value,
+             last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN value IS NOT NULL THEN h END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN value IS NOT NULL THEN h END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j
+    )
+    SELECT user_id, strftime(h, '{DUCK_TS_FMT}') AS hour,
+           -- floor(x*1e4+0.5)/1e4 instead of ROUND: the interpolated
+           -- doubles are bit-identical across engines (same op order), but
+           -- ROUND tie-breaking on .00005 cases differs (HALF_UP vs
+           -- half-even); floor has exactly one answer per double.
+           floor(CASE
+             WHEN value IS NOT NULL THEN value
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * ((epoch(h) - epoch(pt))
+                                  / (epoch(nt) - epoch(pt)))
+           END * 10000 + 0.5) / 10000 AS value_interp,
+           (value IS NULL) AS was_gap
+    FROM f ORDER BY user_id, h
+    """,
+)
+def events_gapfill_interpolate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hourly resample + linear interpolation between the neighbouring
+    observations (Timescale ``interpolate()`` / InfluxDB ``fill(linear)``).
+    Edges (no prev / no next observation) fall back to the available side.
+
+    Division order is identical in both engines, so the doubles agree
+    bit-for-bit before the stabilizing ROUND(4)."""
+    j = _grid(spark, sf_dir)
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("value").isNotNull(), F.col("h"))
+    f = j.select(
+        "user_id",
+        "h",
+        "value",
+        F.last("value", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("pt"),
+        F.first("value", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(wn).alias("nt"),
+    )
+    frac = (
+        F.unix_timestamp("h") - F.unix_timestamp("pt")
+    ) / (F.unix_timestamp("nt") - F.unix_timestamp("pt"))
+    interp = (
+        F.when(F.col("value").isNotNull(), F.col("value"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return f.select(
+        "user_id",
+        F.date_format("h", SPARK_TS_FMT).alias("hour"),
+        # deterministic round: see oracle comment (ROUND tie-breaks differ)
+        (F.floor(interp * 10000 + 0.5) / 10000).alias("value_interp"),
+        F.col("value").isNull().alias("was_gap"),
+    ).orderBy("user_id", "h")
