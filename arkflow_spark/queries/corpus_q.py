@@ -145,8 +145,10 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, count(*) AS n_tokens,
            CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) AS total_nll,
-           ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 4) AS avg_nll_bits
+           -- floor-round: the exact-decimal total divided by the count can
+           -- land on a .00005 tie, where ROUND half-breaking differs
+           floor(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS avg_nll_bits
     FROM scored GROUP BY doc_id ORDER BY doc_id
     """,
 )
@@ -180,10 +182,15 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("nll").cast("decimal(18,6)"))
             .cast("double")
             .alias("total_nll"),
-            F.round(
-                F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
-                / F.count("*"),
-                4,
+            (
+                F.floor(
+                    F.sum(F.col("nll").cast("decimal(18,6)"))
+                    .cast("double")
+                    / F.count("*")
+                    * 10000
+                    + 0.5
+                )
+                / 10000
             ).alias("avg_nll_bits"),
         )
         .orderBy("doc_id")
@@ -217,8 +224,10 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            count(*) AS n_chunks,
            count(*) FILTER (WHERE is_dup) AS n_removed,
-           md5(string_agg(chunk, ' ' ORDER BY idx)
-               FILTER (WHERE NOT is_dup)) AS clean_md5
+           -- coalesce: a doc whose every chunk is removed must hash ''
+           -- (Spark's array_join over an empty array), not NULL
+           md5(coalesce(string_agg(chunk, ' ' ORDER BY idx)
+               FILTER (WHERE NOT is_dup), '')) AS clean_md5
     FROM flagged GROUP BY doc_id ORDER BY doc_id
     """,
 )
@@ -307,9 +316,10 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_sampled,
            CAST(floor(200 * min(weight)) AS BIGINT) AS n_target,
            min(n_src) AS n_available,
-           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
-               FILTER (WHERE rk <= CAST(floor(200 * weight) AS BIGINT)))
-             AS sample_md5
+           md5(coalesce(
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               FILTER (WHERE rk <= CAST(floor(200 * weight) AS BIGINT)),
+               '')) AS sample_md5
     FROM ranked GROUP BY source ORDER BY source
     """,
 )

@@ -558,3 +558,79 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+@query(
+    "embedding_normalize_quantize",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_aggregate(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+               AS nrm
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, label, nrm,
+             list_transform(embedding, x -> CAST(greatest(-127.0,
+               least(127.0, floor(CAST(x AS DOUBLE) / nrm * 127 + 0.5)))
+               AS INTEGER)) AS qv
+      FROM n
+    )
+    SELECT vec_id, label, ROUND(nrm, 6) AS norm,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'max')
+                AS INTEGER) AS q_max_abs,
+           md5(array_to_string(qv, ',')) AS q_md5
+    FROM q ORDER BY vec_id
+    """,
+)
+def embedding_normalize_quantize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """L2-normalize + symmetric int8 quantization of the embedding column
+    — the storage/bandwidth path an ANN index takes before sharding (4x
+    smaller vectors, dot products in integer SIMD). Pure array
+    expressions, zero shuffles, zero Python: quantization is a narrow map
+    that runs at parquet-split locality on any cluster size.
+
+    Determinism: the norm is a *sequential* left-fold in both engines
+    (Spark F.aggregate, DuckDB list_aggregate sum over the list order), so
+    the doubles agree bit-for-bit and floor(x*127 + 0.5) cannot straddle a
+    tie; the quantized vector is hashed whole (md5 of the joined ints)."""
+    e = load(spark, sf_dir, "embeddings")
+    nrm = _norm(F.col("embedding"))
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(
+                F.lit(127.0),
+                F.floor(x.cast("double") / F.col("nrm") * 127 + 0.5),
+            ),
+        ).cast("int"),
+    )
+    return (
+        e.withColumn("nrm", nrm)
+        .withColumn("qv", qv)
+        .select(
+            "vec_id",
+            "label",
+            F.round("nrm", 6).alias("norm"),
+            F.aggregate(
+                "qv",
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ).alias("q_sum"),
+            F.array_max(
+                F.transform(F.col("qv"), lambda x: F.abs(x))
+            ).alias("q_max_abs"),
+            F.md5(
+                F.array_join(
+                    F.transform(F.col("qv"), lambda x: x.cast("string")),
+                    ",",
+                )
+            ).alias("q_md5"),
+        )
+        .orderBy("vec_id")
+    )

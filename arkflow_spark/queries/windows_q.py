@@ -259,3 +259,41 @@ def window_groups_frame_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "o_orderkey")
     )
+
+
+@query(
+    "window_qualify_emulated",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rk
+    FROM orders
+    WHERE o_custkey < 30
+    QUALIFY rk <= 3
+    ORDER BY o_custkey, rk
+    """,
+)
+def window_qualify_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY-clause emulation: DuckDB/Snowflake/DataFusion accept
+    ``QUALIFY <predicate over window fns>``; Spark SQL does not parse the
+    clause, but the exact rewrite is mechanical — compute the window
+    column in a subquery/projection, then filter on it. The oracle runs a
+    literal QUALIFY so the rewrite is verified against the real clause.
+
+    Scale notes: the rewrite plans identically to a native QUALIFY —
+    one shuffle on the partition key, the filter applied post-window with
+    no extra exchange. For top-k per key at extreme k/key skew the
+    groupBy + min_by/slice pattern (see text_vocab_topk) avoids the full
+    sort."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    rk = F.row_number().over(
+        Window.partitionBy("o_custkey").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey")
+        )
+    )
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", rk)
+        .where("rk <= 3")
+        .orderBy("o_custkey", "rk")
+    )

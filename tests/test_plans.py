@@ -159,3 +159,48 @@ def test_asof_join_two_table_no_range_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_gapfill_no_python_and_bounded_exchanges(spark):
+    """Gap-fill = resample shuffle + bounds agg + grid join + fill window;
+    all JVM-side. The grid side is generated distributed (no driver-side
+    range materialization -> no LocalTableScan of expanded rows)."""
+    for name in ("events_gapfill_locf", "events_gapfill_interpolate"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        # explode(sequence(...)) runs as Generate, not a collected range
+        assert "Generate" in plan, name
+
+
+def test_gopher_quality_is_narrow(spark):
+    """Quality gating is a pure scan-side projection: the only exchange
+    allowed is the presentation ORDER BY."""
+    plan = plan_of(spark, "text_gopher_quality")
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_unigram_logprob_broadcasts_lm(spark):
+    """The vocabulary table must broadcast back onto the token stream —
+    a shuffle join here would re-shuffle the full corpus at 100 TB."""
+    plan = plan_of(spark, "text_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_line_dedup_broadcasts_duplicate_set(spark):
+    """Only the corpus-frequent chunk set (tiny) may broadcast; the full
+    chunk table must never be collected or broadcast."""
+    plan = plan_of(spark, "text_line_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_quantize_zero_shuffle(spark):
+    """int8 quantization is a narrow map: no exchange except the
+    presentation ORDER BY."""
+    plan = plan_of(spark, "embedding_normalize_quantize")
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
