@@ -27,6 +27,7 @@ for _mod in (
     "ml_q",
     "timeseries_q",
     "corpus_q",
+    "analytics_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")

@@ -1,0 +1,372 @@
+"""Product/stream-analytics operators over `events` and `orders`: EWMA
+smoothing, rolling z-score anomaly detection, SCD2 history build, funnel
+conversion, and retention cohorts.
+
+The reference is a stream-analytics engine; these are the standing queries
+its users run downstream of ingestion (smoothing/anomaly on metric
+streams, funnel/retention on product events, slowly-changing-dimension
+maintenance on CDC output). All are single-partitioning window/agg
+plans — one shuffle on the entity key, reused across the stages — with
+exact-decimal accumulators wherever a statistic must hash cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arkflow_spark.queries.base import (
+    DUCK_TS_FMT,
+    SPARK_TS_FMT,
+    query,
+)
+from arkflow_spark.tables import load
+
+
+def _floor4(col):
+    """Deterministic 4-decimal round (ROUND tie-breaking differs between
+    engines on exact .00005 doubles; floor has one answer per double)."""
+    return F.floor(col * 10000 + 0.5) / 10000
+
+
+# ------------------------------------------------------------------- EWMA
+
+
+@query(
+    "events_ewma",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             lag(value, 1) OVER w AS l1,
+             lag(value, 2) OVER w AS l2,
+             lag(value, 3) OVER w AS l3
+      FROM events WHERE user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, strftime(ts, '{DUCK_TS_FMT}') AS ts, value,
+           floor(
+             (((value + coalesce(0.5 * l1, 0)) + coalesce(0.25 * l2, 0))
+               + coalesce(0.125 * l3, 0))
+             / (((1.0 + CASE WHEN l1 IS NULL THEN 0 ELSE 0.5 END)
+               + CASE WHEN l2 IS NULL THEN 0 ELSE 0.25 END)
+               + CASE WHEN l3 IS NULL THEN 0 ELSE 0.125 END)
+             * 10000 + 0.5) / 10000 AS ewma
+    FROM o ORDER BY user_id, ts, value
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 0.5) over each
+    user's metric stream — the standard smoothing pass before alerting.
+
+    EWMA is a linear recurrence, so the exact infinite-history form cannot
+    be a distributed window; the standing-practice truncation (weights
+    below 2^-k are noise) makes it a fixed set of LAGs — pure window
+    arithmetic, one shuffle on the key, identical op order in both
+    engines. Streaming twin: a transformWithState accumulator carrying
+    one float per key."""
+    e = load(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l1, l2, l3 = (F.lag("value", k).over(w) for k in (1, 2, 3))
+    num = (
+        (F.col("value") + F.coalesce(0.5 * l1, F.lit(0)))
+        + F.coalesce(0.25 * l2, F.lit(0))
+    ) + F.coalesce(0.125 * l3, F.lit(0))
+    den = (
+        (
+            F.lit(1.0)
+            + F.when(l1.isNull(), 0.0).otherwise(0.5)
+        )
+        + F.when(l2.isNull(), 0.0).otherwise(0.25)
+    ) + F.when(l3.isNull(), 0.0).otherwise(0.125)
+    return (
+        e.select(
+            "user_id",
+            F.date_format("ts", SPARK_TS_FMT).alias("ts"),
+            "value",
+            _floor4(num / den).alias("ewma"),
+        )
+        .orderBy("user_id", "ts", "value")
+    )
+
+
+# ------------------------------------------------------- rolling z-score
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, ts, event_id, value,
+             count(value) OVER w AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(28,10))) OVER w
+                  AS DOUBLE) AS s2
+      FROM events WHERE user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT user_id, ts, value, n,
+             CASE WHEN n >= 5 AND (s2 - s1 * s1 / n) / (n - 1) > 1e-9
+               THEN (value - s1 / n)
+                    / sqrt((s2 - s1 * s1 / n) / (n - 1))
+             END AS zs
+      FROM s
+    )
+    SELECT user_id, strftime(ts, '{DUCK_TS_FMT}') AS ts, value, n,
+           floor(zs * 10000 + 0.5) / 10000 AS zscore,
+           coalesce(abs(zs) > 3, FALSE) AS is_anomaly
+    FROM z ORDER BY user_id, ts, value
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flag: each value scored against the mean/
+    stddev of its user's previous 20 observations (current row excluded —
+    an outlier must not suppress its own score).
+
+    Determinism across engines: the rolling sums are exact decimals
+    (sum and sum-of-squares), so mean/variance/z are identical doubles;
+    the double->decimal cast is tie-free (no finite binary double ends in
+    an exact decimal .5 at the 10th place). Variance guarded > 1e-9
+    against cancellation noise; warm-up (n < 5) scores NULL."""
+    e = load(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    n = F.count("value").over(w)
+    s1 = F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+    s2 = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,10)"))
+        .over(w)
+        .cast("double")
+    )
+    s = e.select(
+        "user_id", "ts", "value",
+        n.alias("n"), s1.alias("s1"), s2.alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    zs = F.when(
+        (F.col("n") >= 5) & (var > 1e-9),
+        (F.col("value") - F.col("s1") / F.col("n")) / F.sqrt(var),
+    )
+    return (
+        s.select(
+            "user_id",
+            F.date_format("ts", SPARK_TS_FMT).alias("ts"),
+            "value",
+            "n",
+            _floor4(zs).alias("zscore"),
+            F.coalesce(F.abs(zs) > 3, F.lit(False)).alias("is_anomaly"),
+        )
+        .orderBy("user_id", "ts", "value")
+    )
+
+
+# ------------------------------------------------------------ SCD2 build
+
+
+@query(
+    "orders_scd2_history",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+             lag(o_orderstatus) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev_status
+      FROM orders WHERE o_custkey < 100
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from
+      FROM o
+      WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+    )
+    SELECT o_custkey, o_orderstatus,
+           strftime(valid_from, '{DUCK_TS_FMT}') AS valid_from,
+           strftime(lead(valid_from) OVER (PARTITION BY o_custkey
+             ORDER BY valid_from) - INTERVAL 1 SECOND, '{DUCK_TS_FMT}')
+             AS valid_to,
+           (lead(valid_from) OVER (PARTITION BY o_custkey
+             ORDER BY valid_from) IS NULL) AS is_current
+    FROM changes ORDER BY o_custkey, valid_from
+    """,
+)
+def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build from a change
+    stream: collapse consecutive equal statuses per customer, emit
+    [valid_from, valid_to) intervals with an is_current flag — what a CDC
+    consumer (debezium codec upstream) materializes into a warehouse dim.
+
+    Two window passes over the SAME (o_custkey, date) partitioning — the
+    second sort reuses the first's shuffle, so the whole build is one
+    exchange at any scale."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.withColumn("prev_status", F.lag("o_orderstatus").over(w))
+        .where(
+            F.col("prev_status").isNull()
+            | (F.col("o_orderstatus") != F.col("prev_status"))
+        )
+        .select(
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_orderdate").alias("valid_from"),
+        )
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w2)
+    return (
+        changes.select(
+            "o_custkey",
+            "o_orderstatus",
+            F.date_format("valid_from", SPARK_TS_FMT).alias("valid_from"),
+            F.date_format(
+                nxt - F.expr("interval 1 second"), SPARK_TS_FMT
+            ).alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("o_custkey", "valid_from")
+    )
+
+
+# ---------------------------------------------------------------- funnel
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.t_view
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t_buy
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT count(*) FROM t1) AS n_view,
+           (SELECT count(*) FROM t2) AS n_view_click,
+           (SELECT count(*) FROM t3) AS n_view_click_buy
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view -> click -> purchase): each stage
+    counts users whose stage event strictly follows their previous stage's
+    first occurrence — the sessionized product-analytics staple.
+
+    Three aggregations all partitioned on user_id: one shuffle
+    establishes the partitioning and every later stage reuses it (the
+    stage tables are per-user singletons, orders of magnitude smaller
+    than the event stream)."""
+    e = load(spark, sf_dir, "events")
+    t1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    t2 = (
+        e.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    return (
+        e.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(t1.agg(F.count("*").alias("n_view")))
+        .crossJoin(t2.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(t3.agg(F.count("*").alias("n_view_click_buy")))
+    )
+
+
+# ------------------------------------------------------- retention cohort
+
+
+@query(
+    "events_retention_cohort",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN first_day f ON e.user_id = f.user_id
+    ),
+    sizes AS (
+      SELECT cohort_day, count(*) AS cohort_size
+      FROM first_day GROUP BY cohort_day
+    )
+    SELECT CAST(a.cohort_day AS VARCHAR) AS cohort_day, a.day_offset,
+           count(*) AS n_active, min(s.cohort_size) AS cohort_size,
+           floor(count(*) * 1.0 / min(s.cohort_size) * 10000 + 0.5) / 10000
+             AS retention
+    FROM activity a JOIN sizes s ON a.cohort_day = s.cohort_day
+    WHERE a.day_offset <= 7
+    GROUP BY a.cohort_day, a.day_offset
+    ORDER BY a.cohort_day, a.day_offset
+    """,
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention cohorts: users grouped by first-seen day, activity
+    counted per day-offset (0..7), retention = active / cohort size.
+
+    One user_id shuffle derives cohorts; the distinct-activity and final
+    aggregations are map-side-combinable counts. The cohort-size table is
+    date-cardinality (tiny forever) and broadcasts."""
+    e = load(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = (
+        e.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    sizes = first_day.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        activity.where(F.col("day_offset") <= 7)
+        .join(F.broadcast(sizes), "cohort_day")
+        .groupBy("cohort_day", "day_offset")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.min("cohort_size").alias("cohort_size"),
+        )
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            _floor4(F.col("n_active") * 1.0 / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -204,3 +204,44 @@ def test_quantize_zero_shuffle(spark):
     assert plan.count("Exchange") <= 2
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ewma_single_window_shuffle(spark):
+    """EWMA = fixed LAG set over one key partitioning: one shuffle plus
+    presentation order, no joins, no Python."""
+    plan = plan_of(spark, "events_ewma")
+    assert plan.count("Exchange") <= 4
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_zscore_exact_decimal_rolling_sums(spark):
+    """Rolling z-score: single window pass, decimal accumulators visible
+    in the plan (sum over decimal cast), no Python."""
+    plan = plan_of(spark, "events_anomaly_zscore")
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """Both SCD2 window passes sort within the same o_custkey
+    partitioning — the plan must contain exactly one real shuffle plus
+    the presentation ORDER BY (each named twice in formatted explain)."""
+    plan = plan_of(spark, "orders_scd2_history")
+    assert plan.count("Exchange") <= 4
+    assert plan.count("Window") >= 2
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    """Funnel stage tables are per-user aggregates joined on user_id; the
+    event scan must push the event_type filters down."""
+    plan = plan_of(spark, "events_funnel")
+    assert "PushedFilters" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_retention_broadcasts_cohort_sizes(spark):
+    plan = plan_of(spark, "events_retention_cohort")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
