@@ -28,6 +28,7 @@ for _mod in (
     "timeseries_q",
     "corpus_q",
     "analytics_q",
+    "layout_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")

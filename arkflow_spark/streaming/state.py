@@ -236,3 +236,74 @@ def sliding_count_window_tws(
             timeMode="none",
         )
     )
+
+
+def ewma_stream(
+    df: DataFrame,
+    alpha: float,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming EWMA via applyInPandasWithState: the EXACT recurrence
+    ``y = alpha*x + (1-alpha)*y_prev`` carried across micro-batches with
+    one (double, count) state cell per key — the stateful twin of the
+    batch `events_ewma` query (which, being a distributed window, uses
+    the truncated-weight form instead; a recurrence cannot be a window).
+
+    Rows are folded in ``ts_col`` order *within* each micro-batch; order
+    across batches is the source's delivery order (file streams: listing
+    order — pair with a watermarked sort upstream if the source can
+    deliver late data). State is O(1) per key forever — no watermark
+    needed for state cleanup.
+    """
+
+    out_schema = (
+        f"{key_col} STRING, {ts_col} TIMESTAMP, "
+        f"{value_col} DOUBLE, ewma DOUBLE, n BIGINT"
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            prev, n = state.get
+        else:
+            prev, n = None, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(ts_col, kind="stable")
+            ew = []
+            for v in batch[value_col]:
+                prev = (
+                    float(v)
+                    if prev is None
+                    else alpha * float(v) + (1.0 - alpha) * prev
+                )
+                n += 1
+                ew.append(prev)
+            out = pd.DataFrame(
+                {
+                    key_col: key[0],
+                    ts_col: batch[ts_col].values,
+                    value_col: batch[value_col].values,
+                    "ewma": ew,
+                    "n": range(n - len(ew) + 1, n + 1),
+                }
+            )
+            state.update((prev, n))
+            yield out
+        else:
+            yield pd.DataFrame(
+                columns=[key_col, ts_col, value_col, "ewma", "n"]
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="ewma DOUBLE, n BIGINT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

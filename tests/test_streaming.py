@@ -455,3 +455,52 @@ def test_checkpoint_restart_resumes_offsets_exactly_once(spark, tmp_path):
     assert vals == ["a0", "a1", "a2", "b0", "b1"]  # no loss, no duplicates
     offsets = sorted(r["__meta_offset"] for r in rows)
     assert offsets == [0, 1, 2, 3, 4]
+
+
+def test_stream_ewma_exact_recurrence_across_batches(spark, tmp_path):
+    """The streaming EWMA must carry its accumulator across micro-batches:
+    two file drops, one query restart boundary per drop, final values equal
+    the single-pass recurrence over the full series."""
+    from arkflow_spark.streaming.state import ewma_stream
+
+    src = str(tmp_path / "ewma_src")
+    rows1 = [(i, f"2024-01-01 00:{i:02d}:00", "a", float(i)) for i in range(5)]
+    rows2 = [
+        (i, f"2024-01-01 00:{i:02d}:00", "a", float(i)) for i in range(5, 10)
+    ]
+    mk = lambda rows: (
+        spark.createDataFrame(rows, "id BIGINT, ts STRING, k STRING, v DOUBLE")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
+    )
+    mk(rows1).write.mode("append").parquet(src)
+
+    collected = []
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema("id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE")
+            .parquet(src)
+        )
+        out = ewma_stream(sdf, 0.5, "k", "ts", "v")
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    mk(rows2).write.mode("append").parquet(src)
+    run_once()  # restart from checkpoint: state must resume, not reset
+
+    got = {r["n"]: r["ewma"] for r in collected if r["k"] == "a"}
+    # reference single-pass recurrence over 0..9
+    prev = None
+    for i, v in enumerate(float(x) for x in range(10)):
+        prev = v if prev is None else 0.5 * v + 0.5 * prev
+        assert got[i + 1] == prev, (i, got.get(i + 1), prev)
+    assert len(got) == 10
