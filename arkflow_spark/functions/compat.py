@@ -50,7 +50,6 @@ FUNCTION_ALIASES: dict[str, str] = {
     "to_unixtime": "unix_timestamp",
     "now": "current_timestamp",
     "today": "current_date",
-    "date_bin": "date_bin",
     "to_local_time": "from_utc_timestamp",
     "ifnull": "nvl",
     "iszero": "iszero",  # expanded below
@@ -103,7 +102,247 @@ FUNCTION_ALIASES: dict[str, str] = {
     "find_in_set": "find_in_set",
     "overlay": "overlay",
     "translate": "translate",
+    # remaining pure renames (docs/docs/sql/7-scalar_functions.md,
+    # 5-aggregate_functions.md)
+    "list_contains": "array_contains",
+    "list_max": "array_max",
+    "make_list": "array",
+    "row": "struct",
+    "string_to_list": "split",
+    "datetrunc": "date_trunc",
+    "covar": "covar_samp",
+    "var": "var_samp",
+    "var_population": "var_pop",
+    "var_sample": "var_samp",
+    # DataFusion array_remove_all removes EVERY occurrence — that is what
+    # Spark's array_remove does (DataFusion's array_remove = first only,
+    # handled as a structural rewrite below)
+    "array_remove_all": "array_remove",
+    "list_remove_all": "array_remove",
 }
+
+# DataFusion functions with no same-shape Spark builtin: each rewrites to a
+# Spark expression over its parsed argument list ({0}, {1}, ... = top-level
+# args). Applied before the token renames; nested rewritable calls are
+# handled by iterating to fixpoint. Names per
+# docs/docs/sql/7-scalar_functions.md (array/list sections, json section).
+REWRITE_TEMPLATES: dict[str, tuple[int, str] | list[tuple[int, str]]] = {
+    # ---- array/list predicates & accessors
+    "empty": (1, "(size({0}) = 0)"),
+    "array_empty": (1, "(size({0}) = 0)"),
+    "list_empty": (1, "(size({0}) = 0)"),
+    "array_any_value": (1, "try_element_at(array_compact({0}), 1)"),
+    "list_any_value": (1, "try_element_at(array_compact({0}), 1)"),
+    "array_has_all": (2, "(size(array_except({1}, {0})) = 0)"),
+    "list_has_all": (2, "(size(array_except({1}, {0})) = 0)"),
+    "array_has_any": (2, "arrays_overlap({0}, {1})"),
+    "list_has_any": (2, "arrays_overlap({0}, {1})"),
+    "array_pop_back": (1, "slice({0}, 1, greatest(size({0}) - 1, 0))"),
+    "list_pop_back": (1, "slice({0}, 1, greatest(size({0}) - 1, 0))"),
+    "array_pop_front": (
+        1,
+        "CASE WHEN size({0}) > 1 THEN slice({0}, 2, size({0}) - 1)"
+        " ELSE slice({0}, 1, 0) END",
+    ),
+    "list_pop_front": (
+        1,
+        "CASE WHEN size({0}) > 1 THEN slice({0}, 2, size({0}) - 1)"
+        " ELSE slice({0}, 1, 0) END",
+    ),
+    "array_positions": (
+        2,
+        "filter(transform({0}, (e, i) -> CASE WHEN e <=> {1} THEN i + 1"
+        " END), p -> p IS NOT NULL)",
+    ),
+    "list_positions": (
+        2,
+        "filter(transform({0}, (e, i) -> CASE WHEN e <=> {1} THEN i + 1"
+        " END), p -> p IS NOT NULL)",
+    ),
+    # first-occurrence remove/replace (the _all variants are renames above)
+    "array_remove": (
+        2,
+        "CASE WHEN array_position({0}, {1}) > 0 THEN concat("
+        "slice({0}, 1, array_position({0}, {1}) - 1), "
+        "slice({0}, array_position({0}, {1}) + 1,"
+        " size({0}) - array_position({0}, {1}))) ELSE {0} END",
+    ),
+    "list_remove": (
+        2,
+        "CASE WHEN array_position({0}, {1}) > 0 THEN concat("
+        "slice({0}, 1, array_position({0}, {1}) - 1), "
+        "slice({0}, array_position({0}, {1}) + 1,"
+        " size({0}) - array_position({0}, {1}))) ELSE {0} END",
+    ),
+    "array_replace": (
+        3,
+        "transform({0}, (e, i) -> CASE WHEN i + 1 ="
+        " array_position({0}, {1}) THEN {2} ELSE e END)",
+    ),
+    "list_replace": (
+        3,
+        "transform({0}, (e, i) -> CASE WHEN i + 1 ="
+        " array_position({0}, {1}) THEN {2} ELSE e END)",
+    ),
+    "array_replace_all": (
+        3,
+        "transform({0}, e -> CASE WHEN e <=> {1} THEN {2} ELSE e END)",
+    ),
+    "list_replace_all": (
+        3,
+        "transform({0}, e -> CASE WHEN e <=> {1} THEN {2} ELSE e END)",
+    ),
+    "array_resize": (
+        3,
+        "concat(slice({0}, 1, least(size({0}), {1})),"
+        " array_repeat({2}, greatest({1} - size({0}), 0)))",
+    ),
+    "list_resize": (
+        3,
+        "concat(slice({0}, 1, least(size({0}), {1})),"
+        " array_repeat({2}, greatest({1} - size({0}), 0)))",
+    ),
+    "array_dims": (1, "array(size({0}))"),  # 1-D columns (Spark arrays)
+    "list_dims": (1, "array(size({0}))"),
+    "array_distance": (
+        2,
+        "sqrt(aggregate(zip_with({0}, {1}, (a, b) ->"
+        " (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+        " * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v))",
+    ),
+    "list_distance": (
+        2,
+        "sqrt(aggregate(zip_with({0}, {1}, (a, b) ->"
+        " (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+        " * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v))",
+    ),
+    # ---- struct / map access
+    "get_field": (2, "{0}[{1}]"),
+    "map_extract": (2, "array(try_element_at({0}, {1}))"),
+    # ---- hashes
+    "sha224": (1, "sha2({0}, 224)"),
+    "sha256": (1, "sha2({0}, 256)"),
+    "sha384": (1, "sha2({0}, 384)"),
+    "sha512": (1, "sha2({0}, 512)"),
+    # ---- misc scalars
+    "iszero": (1, "({0} = 0)"),
+    "to_timestamp_nanos": (
+        1,
+        "timestamp_micros(CAST({0} AS BIGINT) div 1000)",
+    ),
+    # ---- json_get family: key-based access (DataFusion json functions);
+    # Spark's get_json_object takes a JSONPath, built from the key
+    "json_get": (2, "get_json_object({0}, concat('$.', {1}))"),
+    "json_get_json": (2, "get_json_object({0}, concat('$.', {1}))"),
+    "json_get_int": (
+        2,
+        "CAST(get_json_object({0}, concat('$.', {1})) AS BIGINT)",
+    ),
+    "json_get_float": (
+        2,
+        "CAST(get_json_object({0}, concat('$.', {1})) AS DOUBLE)",
+    ),
+    "json_get_bool": (
+        2,
+        "CAST(get_json_object({0}, concat('$.', {1})) AS BOOLEAN)",
+    ),
+    "json_contains": (
+        2,
+        "(get_json_object({0}, concat('$.', {1})) IS NOT NULL)",
+    ),
+    # ---- date_bin: Spark 4 has no builtin; exact integer-microsecond
+    # arithmetic with FLOOR semantics (pmod keeps pre-origin timestamps on
+    # the correct bin, matching DataFusion/DuckDB time_bucket and the
+    # Python helper arkflow_spark.functions.date_bin). Stride micros are
+    # derived by adding the INTERVAL literal to the epoch.
+    "date_bin": [
+        (
+            2,
+            "timestamp_micros(unix_micros(CAST({1} AS TIMESTAMP))"
+            " - pmod(unix_micros(CAST({1} AS TIMESTAMP)),"
+            " unix_micros(CAST('1970-01-01 00:00:00' AS TIMESTAMP)"
+            " + {0})))",
+        ),
+        (
+            3,
+            "timestamp_micros(unix_micros(CAST({1} AS TIMESTAMP))"
+            " - pmod(unix_micros(CAST({1} AS TIMESTAMP))"
+            " - unix_micros(CAST({2} AS TIMESTAMP)),"
+            " unix_micros(CAST('1970-01-01 00:00:00' AS TIMESTAMP)"
+            " + {0})))",
+        ),
+    ],
+}
+
+# Documented NOT mapped (no faithful Spark expression):
+#   array_remove_n / array_replace_n / list_*_n — positional n-th variants
+#     (compose the first-occurrence rewrite n times, or use a pandas UDF);
+#   union_extract — Spark has no union type;
+#   approx_percentile_cont_with_weight — use the exact cumulative-weight
+#     construction in queries/stats.py (agg_weighted_percentile);
+#   gcd / lcm — no Spark builtin: vectorized pandas UDFs are provided by
+#     arkflow_spark.queries.udf_q (udf_gcd_lcm) — register with
+#     spark.udf.register for SQL use.
+
+_REWRITE_RE = re.compile(
+    r"\b(" + "|".join(sorted(REWRITE_TEMPLATES, key=len, reverse=True)) + r")\s*\("
+)
+
+
+def _split_args(s: str, start: int) -> tuple[list[str], int] | None:
+    """Parse a balanced argument list beginning at ``s[start] == '('``;
+    return (top-level args, index past the closing paren), or None if the
+    parens never balance (malformed input is left untouched)."""
+    depth = 0
+    args: list[str] = []
+    buf: list[str] = []
+    i = start
+    while i < len(s):
+        c = s[i]
+        if c in "([":
+            depth += 1
+            if depth > 1:
+                buf.append(c)
+        elif c in ")]":
+            depth -= 1
+            if depth == 0:
+                args.append("".join(buf).strip())
+                return args, i + 1
+            buf.append(c)
+        elif c == "," and depth == 1:
+            args.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    return None
+
+
+def _rewrite_calls(body: str) -> str:
+    """Expand every REWRITE_TEMPLATES call (innermost-last via fixpoint
+    iteration; arguments keep their stashed-literal placeholders)."""
+    for _ in range(32):  # fixpoint bound: templates don't self-reference
+        m = _REWRITE_RE.search(body)
+        if m is None:
+            return body
+        name = m.group(1).lower()
+        parsed = _split_args(body, m.end() - 1)
+        if parsed is None:
+            return body
+        args, end = parsed
+        spec = REWRITE_TEMPLATES[name]
+        forms = spec if isinstance(spec, list) else [spec]
+        by_arity = {n: t for n, t in forms}
+        if len(args) not in by_arity:
+            raise ValueError(
+                f"{name} expects {sorted(by_arity)} argument(s),"
+                f" got {len(args)}"
+            )
+        template = by_arity[len(args)]
+        body = body[: m.start()] + template.format(*args) + body[end:]
+    return body
 
 _FN_RE = re.compile(
     r"\b(" + "|".join(sorted(FUNCTION_ALIASES, key=len, reverse=True)) + r")\s*\("
@@ -124,6 +363,7 @@ def translate_sql(sql: str) -> str:
         return FUNCTION_ALIASES[m.group(1).lower()] + "("
 
     body = _STRING_RE.sub(stash, sql)
+    body = _rewrite_calls(body)
     body = _FN_RE.sub(rename, body)
     for i, lit in enumerate(literals):
         body = body.replace(f"\x00L{i}\x00", lit)

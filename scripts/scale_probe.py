@@ -36,6 +36,12 @@ PROBE_QUERIES = (
     "text_tfidf",
     "dedup_exact",
     "text_quality_score",
+    # round-3 corpus operators
+    "text_line_dedup",
+    "text_unigram_logprob",
+    "text_gopher_quality",
+    "documents_domain_mixture",
+    "embedding_normalize_quantize",
 )
 # relational shapes: facts scale 10x (offset keys keep joins consistent),
 # dims stay fixed — the realistic 100 TB growth pattern
@@ -49,6 +55,14 @@ RELATIONAL_QUERIES = (
     "q21_waiting_suppliers",
     "window_ranking",
     "events_tumbling_window",
+    # round-3 analytics/timeseries/layout operators
+    "events_gapfill_locf",
+    "events_anomaly_zscore",
+    "events_ewma",
+    "events_funnel",
+    "events_retention_cohort",
+    "orders_scd2_history",
+    "lineitem_zorder_layout",
 )
 
 
@@ -132,6 +146,11 @@ def build_relational(spark, out_dir: str, copies: int = 10) -> None:
 
 def main() -> None:
     relational = "--relational" in sys.argv
+    only = [
+        a.split("=", 1)[1].split(",")
+        for a in sys.argv[1:]
+        if a.startswith("--only=")
+    ]
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     out_dir = args[0] if args else (
         "/tmp/scale_probe_rel_x10" if relational else "/tmp/scale_probe_x10"
@@ -145,6 +164,8 @@ def main() -> None:
         if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
             build(spark, out_dir)
         probe_set = PROBE_QUERIES
+    if only:
+        probe_set = tuple(n for n in probe_set if n in set(only[0]))
 
     results = {}
     for name in probe_set:

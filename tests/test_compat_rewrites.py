@@ -1,0 +1,196 @@
+"""Every DataFusion function name the reference documents must execute
+through translate_sql on Spark with DataFusion's semantics. Pure renames
+are covered by test_engine.test_translate_sql; this file drives the
+STRUCTURAL rewrites (REWRITE_TEMPLATES) end-to-end and pins their values.
+
+Expected values follow the reference's function docs
+(docs/docs/sql/7-scalar_functions.md array/json sections): array_remove /
+array_replace act on the FIRST occurrence, *_all variants on every
+occurrence, json_get_* take a key (not a JSONPath), date_bin floors
+pre-origin timestamps.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from arkflow_spark.functions.compat import translate_sql
+
+CASES = [
+    # expression, expected (as Python value after .collect()[0][0])
+    ("empty(array(1, 2))", False),
+    ("array_empty(array())", True),
+    ("list_empty(array(1))", False),
+    ("array_any_value(array(NULL, 7, 3))", 7),
+    ("list_any_value(array(CAST(NULL AS INT)))", None),
+    ("array_has_all(array(1, 2, 3), array(2, 3))", True),
+    ("list_has_all(array(1, 2), array(2, 9))", False),
+    ("array_has_any(array(1, 2), array(9, 2))", True),
+    ("list_has_any(array(1, 2), array(8, 9))", False),
+    ("array_pop_back(array(1, 2, 3))", [1, 2]),
+    ("list_pop_back(array(1))", []),
+    ("array_pop_front(array(1, 2, 3))", [2, 3]),
+    ("list_pop_front(array(1))", []),
+    ("array_positions(array(1, 2, 1, 2), 2)", [2, 4]),
+    ("list_positions(array(1, 2), 9)", []),
+    # first-occurrence remove vs remove_all
+    ("array_remove(array(1, 2, 1, 2), 1)", [2, 1, 2]),
+    ("list_remove(array(1, 2), 9)", [1, 2]),
+    ("array_remove_all(array(1, 2, 1, 2), 1)", [2, 2]),
+    ("list_remove_all(array(1, 1), 1)", []),
+    # first-occurrence replace vs replace_all
+    ("array_replace(array(1, 2, 1), 1, 9)", [9, 2, 1]),
+    ("list_replace(array(1, 2), 5, 9)", [1, 2]),
+    ("array_replace_all(array(1, 2, 1), 1, 9)", [9, 2, 9]),
+    ("array_resize(array(1, 2, 3), 2, 0)", [1, 2]),
+    ("list_resize(array(1), 3, 7)", [1, 7, 7]),
+    ("array_dims(array(1, 2, 3))", [3]),
+    ("array_distance(array(0, 0), array(3, 4))", 5.0),
+    ("list_distance(array(1.0, 1.0), array(1.0, 1.0))", 0.0),
+    ("get_field(named_struct('a', 1, 'b', 2), 'b')", 2),
+    ("map_extract(map('k', 42), 'k')", [42]),
+    ("map_extract(map('k', 42), 'missing')", [None]),
+    ("sha256('abc')",
+     "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"),
+    ("iszero(0.0)", True),
+    ("iszero(1.5)", False),
+    ("to_timestamp_nanos(1000000000)", None),  # value checked separately
+    ("json_get('{\"a\": 3}', 'a')", "3"),
+    ("json_get_int('{\"a\": 3}', 'a')", 3),
+    ("json_get_float('{\"a\": 2.5}', 'a')", 2.5),
+    ("json_get_bool('{\"a\": true}', 'a')", True),
+    ("json_get_json('{\"a\": {\"b\": 1}}', 'a')", '{"b":1}'),
+    ("json_contains('{\"a\": 1}', 'a')", True),
+    ("json_contains('{\"a\": 1}', 'z')", False),
+    # pure renames added alongside the rewrites
+    ("list_contains(array(1, 2), 2)", True),
+    ("list_max(array(3, 9, 1))", 9),
+    ("make_list(1, 2)", [1, 2]),
+    ("string_to_list('a,b', ',')", ["a", "b"]),
+    ("datetrunc('year', timestamp '2024-05-05 10:00:00')", None),
+    ("var_population(x)", None),  # aggregate: executed in its own test
+]
+
+
+@pytest.mark.parametrize("expr,expected", [
+    (e, x) for e, x in CASES
+    if x is not None or e.startswith(("list_any_value", "map_extract"))
+])
+def test_rewrite_executes_with_datafusion_semantics(spark, expr, expected):
+    got = spark.sql(translate_sql(f"SELECT {expr} AS r")).collect()[0][0]
+    if expected == [None]:
+        assert list(got) == [None]
+    else:
+        assert got == expected, (expr, translate_sql(f"SELECT {expr}"))
+
+
+def test_to_timestamp_nanos_truncates_to_micros(spark):
+    got = spark.sql(
+        translate_sql("SELECT to_timestamp_nanos(1500) AS r")
+    ).collect()[0][0]
+    assert got.microsecond == 1  # 1500 ns -> 1 us
+
+
+def test_datetrunc_rename(spark):
+    got = spark.sql(
+        translate_sql(
+            "SELECT datetrunc('year', timestamp '2024-05-05 10:00:00') AS r"
+        )
+    ).collect()[0][0]
+    assert (got.year, got.month, got.day) == (2024, 1, 1)
+
+
+def test_var_family_renames(spark):
+    row = spark.sql(
+        translate_sql(
+            "SELECT var(x) AS v, var_population(x) AS vp,"
+            " var_sample(x) AS vs, covar(x, x) AS c"
+            " FROM VALUES (1.0), (2.0), (3.0) AS t(x)"
+        )
+    ).collect()[0]
+    assert row["v"] == pytest.approx(1.0)
+    assert row["vp"] == pytest.approx(2.0 / 3.0)
+    assert row["vs"] == pytest.approx(1.0)
+    assert row["c"] == pytest.approx(1.0)
+
+
+def test_row_constructor_rename(spark):
+    got = spark.sql(translate_sql("SELECT row(1, 'x') AS r")).collect()[0][0]
+    assert tuple(got) == (1, "x")
+
+
+def test_date_bin_two_and_three_arg_floor_semantics(spark):
+    q = translate_sql(
+        "SELECT date_bin(INTERVAL '15' MINUTE,"
+        " timestamp '2024-01-01 00:37:12') AS b2,"
+        " date_bin(INTERVAL '15' MINUTE, timestamp '2024-01-01 00:37:12',"
+        " timestamp '2024-01-01 00:05:00') AS b3,"
+        " date_bin(INTERVAL '1' HOUR, timestamp '1969-12-31 23:10:00') AS pre"
+    )
+    row = spark.sql(q).collect()[0]
+    assert str(row["b2"]) == "2024-01-01 00:30:00"
+    assert str(row["b3"]) == "2024-01-01 00:35:00"
+    # pre-origin timestamps floor DOWN (pmod), never round toward zero
+    assert str(row["pre"]) == "1969-12-31 23:00:00"
+
+
+def test_nested_rewrites_reach_fixpoint(spark):
+    got = spark.sql(
+        translate_sql(
+            "SELECT array_pop_back(array_remove(array(1, 2, 1, 3), 1)) AS r"
+        )
+    ).collect()[0][0]
+    assert got == [2, 1]
+
+
+def test_rewrite_arity_mismatch_raises():
+    with pytest.raises(ValueError, match="argument"):
+        translate_sql("SELECT array_has_all(a) FROM flow")
+
+
+def test_rewrite_preserves_string_literals():
+    q = translate_sql("SELECT 'array_empty(' AS s FROM flow")
+    assert "'array_empty('" in q
+
+
+def test_every_documented_function_resolves(spark):
+    """Sweep the reference's scalar+aggregate function inventory: every
+    name must be a Spark builtin, a FUNCTION_ALIASES rename, a
+    REWRITE_TEMPLATES expansion, or on the documented-unmapped list."""
+    import re
+    from pathlib import Path
+
+    from arkflow_spark.functions.compat import (
+        FUNCTION_ALIASES,
+        REWRITE_TEMPLATES,
+    )
+
+    docs = Path("/root/reference/docs/docs/sql")
+    if not docs.exists():
+        pytest.skip("reference docs not present")
+    names = set()
+    for f in ("7-scalar_functions.md", "5-aggregate_functions.md"):
+        names |= set(
+            re.findall(r"^### `([a-z_0-9]+)`", (docs / f).read_text(), re.M)
+        )
+    registered = {
+        r.function.split(".")[-1].lower()
+        for r in spark.sql("SHOW FUNCTIONS").collect()
+    }
+    DOCUMENTED_UNMAPPED = {
+        # no faithful Spark expression; see compat.py comment block
+        "array_remove_n", "array_replace_n", "list_remove_n",
+        "list_replace_n", "union_extract",
+        "approx_percentile_cont_with_weight",
+        # no Spark builtin: vectorized pandas UDFs in queries/udf_q.py
+        "gcd", "lcm",
+    }
+    unresolved = {
+        n
+        for n in names
+        if n not in registered
+        and n not in FUNCTION_ALIASES
+        and n not in REWRITE_TEMPLATES
+        and n not in DOCUMENTED_UNMAPPED
+    }
+    assert unresolved == set(), sorted(unresolved)
