@@ -307,3 +307,79 @@ def ewma_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def rolling_zscore_stream(
+    df: DataFrame,
+    window: int,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming rolling z-score anomaly detection: each value scored
+    against the mean/std of its key's previous ``window`` observations
+    (current row excluded) — the stateful twin of the batch
+    `events_anomaly_zscore` query, with identical warm-up (< 5 prior
+    observations => NULL score) and variance-guard (> 1e-9) semantics.
+
+    State per key is a bounded ring of the last ``window`` values —
+    O(window) forever, no watermark needed. Rows fold in ``ts_col`` order
+    within each micro-batch; cross-batch order is the source's delivery
+    order, as with :func:`ewma_stream`.
+    """
+
+    out_schema = (
+        f"{key_col} STRING, {ts_col} TIMESTAMP, {value_col} DOUBLE,"
+        " n BIGINT, zscore DOUBLE, is_anomaly BOOLEAN"
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        buf: list[float] = list(state.get[0]) if state.exists else []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            yield pd.DataFrame(
+                columns=[
+                    key_col, ts_col, value_col, "n", "zscore", "is_anomaly"
+                ]
+            )
+            return
+        batch = batch.sort_values(ts_col, kind="stable")
+        ns, zs, flags = [], [], []
+        for v in batch[value_col]:
+            n = len(buf)
+            z = None
+            if n >= 5:
+                mean = sum(buf) / n
+                var = (sum(x * x for x in buf) - n * mean * mean) / (n - 1)
+                if var > 1e-9:
+                    z = (float(v) - mean) / var**0.5
+            ns.append(n)
+            zs.append(z)
+            flags.append(bool(z is not None and abs(z) > threshold))
+            buf.append(float(v))
+            if len(buf) > window:
+                buf = buf[-window:]
+        state.update((buf,))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                ts_col: batch[ts_col].values,
+                value_col: batch[value_col].values,
+                "n": ns,
+                "zscore": zs,
+                "is_anomaly": flags,
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="buf ARRAY<DOUBLE>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

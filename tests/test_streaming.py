@@ -504,3 +504,64 @@ def test_stream_ewma_exact_recurrence_across_batches(spark, tmp_path):
         prev = v if prev is None else 0.5 * v + 0.5 * prev
         assert got[i + 1] == prev, (i, got.get(i + 1), prev)
     assert len(got) == 10
+
+
+def test_stream_rolling_zscore_state_across_batches(spark, tmp_path):
+    """Streaming z-score must score against the previous-window state,
+    carrying the ring buffer across micro-batches and checkpoint restarts;
+    a deliberate outlier after the warm-up must flag."""
+    from arkflow_spark.streaming.state import rolling_zscore_stream
+
+    src = str(tmp_path / "zs_src")
+    base = [1.0, 2.0, 1.5, 2.5, 1.8, 2.2]  # warm-up: modest spread
+    rows1 = [
+        (i, f"2024-01-01 00:{i:02d}:00", "a", v) for i, v in enumerate(base)
+    ]
+    rows2 = [(6, "2024-01-01 00:06:00", "a", 50.0),   # outlier
+             (7, "2024-01-01 00:07:00", "a", 2.0)]
+    mk = lambda rows: (
+        spark.createDataFrame(rows, "id BIGINT, ts STRING, k STRING, v DOUBLE")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
+    )
+    mk(rows1).write.mode("append").parquet(src)
+
+    collected = []
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema(
+                "id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE"
+            ).parquet(src)
+        )
+        out = rolling_zscore_stream(sdf, window=20, key_col="k",
+                                    ts_col="ts", value_col="v")
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "zs_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    mk(rows2).write.mode("append").parquet(src)
+    run_once()
+
+    by_id = {int(r["ts"].minute): r for r in collected}
+    # warm-up rows (n < 5) have NULL scores
+    for i in range(5):
+        assert by_id[i]["zscore"] is None and not by_id[i]["is_anomaly"]
+    # n reflects prior-state size across the batch boundary
+    assert by_id[6]["n"] == 6
+    # the outlier flags; the normal value right after it does not
+    assert by_id[6]["is_anomaly"]
+    assert not by_id[7]["is_anomaly"]
+    # cross-check z against the batch formula over the first 6 values
+    n = 6
+    mean = sum(base) / n
+    var = (sum(x * x for x in base) - n * mean * mean) / (n - 1)
+    want = (50.0 - mean) / var**0.5
+    assert by_id[6]["zscore"] == pytest.approx(want)
