@@ -22,8 +22,17 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
+        # DuckDB binds read_parquet when the view is created, so a missing
+        # table (fuzz fixtures materialize only the tables a query reads)
+        # must be skipped rather than registered.
+        if not os.path.exists(path):
+            continue
+        # Spark writers produce a DIRECTORY named *.parquet; DuckDB wants a
+        # glob over its part files, while the driver's testdata ships plain
+        # files.
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
     return con
 

@@ -37,6 +37,12 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_ivf_assign",
     "ann_ivf_search",
+    # round-3 operators (first benched in BENCH_r03)
+    "events_gapfill_locf",
+    "events_anomaly_zscore",
+    "text_line_dedup",
+    "text_unigram_logprob",
+    "lineitem_zorder_layout",
 ]
 
 
