@@ -29,6 +29,7 @@ for _mod in (
     "corpus_q",
     "analytics_q",
     "layout_q",
+    "pq_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -67,6 +68,11 @@ _DRIVER_PRIORITY = (
     "events_funnel",
     "events_retention_cohort",
     "lineitem_zorder_layout",
+    "ann_pq_topk",
+    "events_multires_rollup",
+    "orders_merge_upsert",
+    "dedup_incremental_snapshot",
+    "events_windowed_topk",
     # prior-round additions never driver-checked
     "events_asof_join",
     "events_asof_join_tolerance",
@@ -81,13 +87,8 @@ _DRIVER_PRIORITY = (
     "scalar_regex",
     "scalar_datetime",
     "scalar_json",
-    "scalar_hashing",
-    "scalar_math",
-    "array_functions",
-    "struct_map_access",
     "scalar_date_bin",
     # events / streaming-shaped
-    "events_sliding_window",
     "events_rate_per_user",
     "events_skew_salted_agg",
     # text pipeline

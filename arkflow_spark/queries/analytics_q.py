@@ -370,3 +370,89 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# -------------------------------------------------------- SCD1 merge/upsert
+
+
+@query(
+    "orders_merge_upsert",
+    oracle=f"""
+    WITH latest AS (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ),
+    base AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+      ) WHERE rn = 1
+    ),
+    delta AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      ) WHERE rn = 1
+    )
+    SELECT coalesce(d.o_custkey, b.o_custkey) AS custkey,
+           coalesce(d.o_orderkey, b.o_orderkey) AS last_orderkey,
+           coalesce(d.o_orderstatus, b.o_orderstatus) AS last_status,
+           coalesce(d.o_totalprice, b.o_totalprice) AS last_price,
+           strftime(coalesce(d.o_orderdate, b.o_orderdate),
+                    '{DUCK_TS_FMT}') AS last_date,
+           CASE WHEN d.o_custkey IS NULL THEN 'unchanged'
+                WHEN b.o_custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM base b FULL OUTER JOIN delta d ON b.o_custkey = d.o_custkey
+    ORDER BY custkey
+    """,
+)
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-1 (latest-wins) CDC merge: compact a base snapshot and an
+    incoming delta batch to one current row per key — the MERGE INTO /
+    upsert-compaction a Debezium-fed warehouse runs every batch.
+
+    Both sides dedup to latest-per-key with the SAME (o_custkey)
+    partitioning the merge join then reuses, so the whole merge is one
+    logical co-partitioning; the delta side is typically a small fraction
+    of the base and AQE broadcast-joins it. merge_action classifies each
+    output row (inserted / updated / unchanged) — the audit column a CDC
+    apply job emits."""
+    o = load(spark, sf_dir, "orders")
+    split = F.lit("1999-01-01").cast("timestamp")
+
+    def latest(df):
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select(
+                "o_custkey", "o_orderkey", "o_orderstatus",
+                "o_totalprice", "o_orderdate",
+            )
+        )
+
+    base = latest(o.where(F.col("o_orderdate") < split))
+    delta = latest(o.where(F.col("o_orderdate") >= split))
+    d, b = delta.alias("d"), base.alias("b")
+    j = b.join(d, F.col("b.o_custkey") == F.col("d.o_custkey"), "full_outer")
+    return j.select(
+        F.coalesce("d.o_custkey", "b.o_custkey").alias("custkey"),
+        F.coalesce("d.o_orderkey", "b.o_orderkey").alias("last_orderkey"),
+        F.coalesce("d.o_orderstatus", "b.o_orderstatus").alias("last_status"),
+        F.coalesce("d.o_totalprice", "b.o_totalprice").alias("last_price"),
+        F.date_format(
+            F.coalesce("d.o_orderdate", "b.o_orderdate"), SPARK_TS_FMT
+        ).alias("last_date"),
+        F.when(F.col("d.o_custkey").isNull(), "unchanged")
+        .when(F.col("b.o_custkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
+    ).orderBy("custkey")

@@ -435,3 +435,54 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_incremental_snapshot",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+      FROM documents
+    ),
+    corpus AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 < 8),
+    batch AS (SELECT doc_id, f FROM fp WHERE doc_id % 10 >= 8)
+    SELECT b.doc_id, b.f AS fingerprint,
+           (c.f IS NOT NULL) AS seen_before
+    FROM batch b LEFT JOIN corpus c ON b.f = c.f
+    ORDER BY b.doc_id
+    """,
+)
+def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) dedup: a new ingest batch is admitted
+    only where its normalized-content fingerprint is absent from the
+    already-accepted corpus — the every-batch gate of a continuously
+    crawled training corpus (dedup_exact handles within-batch dups).
+
+    The corpus side is reduced to DISTINCT fingerprints (32 bytes/doc)
+    before the join, so at 100 TB the probe is a fingerprint-keyed
+    shuffle join of hashes, never of documents — and on a real cluster
+    the fingerprint set is exactly what a bloom-filter runtime prefilter
+    (AQE injects one for selective joins) or a bucketed fingerprint index
+    would serve; the exact join here doubles as the false-positive
+    verifier such a prefilter needs anyway. The %10 split stands in for
+    the snapshot boundary a production run takes from ingest batch ids."""
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", F.md5(_norm_text(F.col("text"))).alias("fingerprint")
+    )
+    corpus = (
+        fp.where(F.col("doc_id") % 10 < 8).select("fingerprint").distinct()
+    )
+    batch = fp.where(F.col("doc_id") % 10 >= 8)
+    return (
+        batch.join(
+            corpus.withColumn("seen", F.lit(True)), "fingerprint", "left"
+        )
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.coalesce("seen", F.lit(False)).alias("seen_before"),
+        )
+        .orderBy("doc_id")
+    )

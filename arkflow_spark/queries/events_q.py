@@ -10,10 +10,15 @@ event time so the oracle can replicate them arithmetically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arkflow_spark.queries.base import o_dsum, query
+from arkflow_spark.queries.base import (
+    DUCK_TS_FMT,
+    SPARK_TS_FMT,
+    o_dsum,
+    query,
+)
 from arkflow_spark.tables import load
 
 
@@ -290,4 +295,64 @@ def events_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value",
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "events_windowed_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket,
+             event_type, count(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(make_timestamp(bucket * 1000000),
+                    '{DUCK_TS_FMT}') AS bucket,
+           event_type, n, sum_value, rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY bucket
+                 ORDER BY n DESC, event_type) AS rnk
+      FROM b
+    )
+    WHERE rnk <= 3
+    ORDER BY bucket, rnk
+    """,
+)
+def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per 6-hour tumbling window — the standing
+    "trending items per window" query of stream dashboards (Flink's
+    windowed Top-N pattern), here as the batch/backfill twin of a
+    `tumbling window -> rank` streaming pipeline.
+
+    The aggregation is map-side combinable on (bucket, type); the rank
+    window then runs over at most |event_types| rows per bucket — the
+    heavy lifting is all in the pre-aggregation, so the plan's cost is
+    one shuffle of partial counts regardless of raw volume."""
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy(
+        (F.floor(F.unix_timestamp("ts") / 21600) * 21600).alias("bucket"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        b.withColumn("rnk", F.row_number().over(w))
+        .where("rnk <= 3")
+        .select(
+            F.date_format(F.timestamp_seconds("bucket"), SPARK_TS_FMT).alias(
+                "bucket"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+            "rnk",
+        )
+        .orderBy("bucket", "rnk")
     )

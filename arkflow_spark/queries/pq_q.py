@@ -1,0 +1,180 @@
+"""Product-quantization (PQ) approximate nearest neighbour over the
+`embeddings` table — the memory-bound scale path that complements the IVF
+coarse quantizer in :mod:`arkflow_spark.queries.vector_q`.
+
+PQ splits each 64-dim vector into M=4 subvectors of 16 dims, maps each
+subvector to the nearest of K=16 codewords per subspace, and answers
+queries with asymmetric distance computation (ADC): the query precomputes
+its distance to every codeword (M*K = 64 doubles), and a candidate's
+approximate distance is the sum of M table lookups — so the corpus is
+stored as M bytes/vector instead of 256 bytes/vector (64x compression).
+
+To keep the whole thing a hash-matchable oracle query (no RNG, no
+iterative training), the codebook is a deterministic sample: the
+subvectors of vec_id 0..K-1. Real deployments would K-means the codebook
+(``arkflow_spark.ml`` has the trainer); assignment and ADC — the parts
+that touch the full corpus — are identical either way.
+
+Determinism: every squared-distance term is (a-b)^2 of float32-backed
+doubles (exact in IEEE double: 48-bit product), accumulated as
+DECIMAL(30,10) in BOTH engines so reduction order cannot flip argmins or
+rankings; final distances are emitted rounded to 6 decimals.
+
+Scale notes (100 TB): codebook and query distance tables are O(M*K) and
+broadcast; code assignment is one narrow broadcast-join stage over the
+corpus followed by a map-side-combinable argmin agg on (vec_id, subspace);
+ADC is a broadcast lookup-join + 4-row-per-pair sum. The only wide
+operation is the final per-query top-k (here a row_number window; on a
+real cluster the per-partition local top-k + merge that
+TakeOrderedAndProject performs for global limits applies per query key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arkflow_spark.queries.base import query
+from arkflow_spark.tables import load
+
+DIM = 64
+M = 4            # subspaces
+SUB = DIM // M   # dims per subspace
+K = 16           # codewords per subspace (vec_id 0..15 donate)
+N_QUERIES = 5
+TOP_K = 10
+
+_DEC = "decimal(30,10)"
+
+
+def _d2_dec(a, b):
+    """Exact squared L2 distance of two float-array columns: per-dim
+    (a-b)^2 in double (exact), accumulated in decimal (order-free)."""
+    terms = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(
+        terms,
+        F.lit(0).cast(_DEC),
+        lambda acc, t: (acc + t.cast("decimal(20,10)")).cast(_DEC),
+    )
+
+
+def _subspaces(df: DataFrame, id_col: str) -> DataFrame:
+    """Explode a vector column into M (id, s, sub) subvector rows."""
+    return df.select(
+        F.col("vec_id").alias(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("embedding", s * SUB + 1, SUB).alias("sub"),
+                    )
+                    for s in range(M)
+                ]
+            )
+        ).alias("sp"),
+    ).select(id_col, F.col("sp.s").alias("s"), F.col("sp.sub").alias("sub"))
+
+
+_PQ_ORACLE = f"""
+    WITH x AS (
+      SELECT vec_id, (g.i - 1) // {SUB} AS s, g.i AS i,
+             CAST(embedding[g.i] AS DOUBLE) AS v
+      FROM embeddings CROSS JOIN generate_series(1, {DIM}) g(i)
+      WHERE g.i <= len(embedding)
+    ),
+    cb AS (SELECT vec_id AS code, s, i, v FROM x WHERE vec_id < {K}),
+    d AS (  -- exact decimal d2 of every vector's subvector to every codeword
+      SELECT c.vec_id, b.s, b.code,
+             SUM(CAST((c.v - b.v) * (c.v - b.v) AS DECIMAL(20,10))) AS d2
+      FROM x c JOIN cb b ON c.i = b.i
+      GROUP BY 1, 2, 3
+    ),
+    assign AS (
+      SELECT vec_id AS cand_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2, code) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT q.vec_id AS query_id, a.cand_id, SUM(q.d2) AS ad2
+      FROM assign a JOIN d q ON q.s = a.s AND q.code = a.code
+      WHERE q.vec_id < {N_QUERIES} AND a.cand_id <> q.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id,
+           ROUND(CAST(ad2 AS DOUBLE), 6) AS approx_d2, rnk
+    FROM (
+      SELECT query_id, cand_id, ad2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ad2, cand_id) AS rnk
+      FROM adc
+    )
+    WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+"""
+
+
+@query("ann_pq_topk", oracle=_PQ_ORACLE)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-k: assign every corpus vector an M-byte PQ code against
+    a deterministic codebook, then rank candidates per query by the sum of
+    M precomputed query-to-codeword distances."""
+    e = load(spark, sf_dir, "embeddings")
+    cb = _subspaces(e.filter(F.col("vec_id") < K), "code")
+
+    # corpus -> PQ codes: broadcast the M*K codebook rows, exact-decimal
+    # d2, argmin via struct-min (map-side combinable; ties -> lowest code)
+    cand = _subspaces(e, "cand_id")
+    codes = (
+        cand.join(F.broadcast(cb.withColumnRenamed("sub", "cb_sub")), "s")
+        .select(
+            "cand_id",
+            "s",
+            F.struct(
+                _d2_dec(F.col("sub"), F.col("cb_sub")).alias("d2"),
+                F.col("code").alias("code"),
+            ).alias("dc"),
+        )
+        .groupBy("cand_id", "s")
+        .agg(F.min("dc").alias("best"))
+        .select("cand_id", "s", F.col("best.code").alias("code"))
+    )
+
+    # query ADC tables: distance of each query subvector to every codeword
+    qd = (
+        _subspaces(e.filter(F.col("vec_id") < N_QUERIES), "query_id")
+        .join(F.broadcast(cb.withColumnRenamed("sub", "cb_sub")), "s")
+        .select(
+            "query_id",
+            "s",
+            "code",
+            _d2_dec(F.col("sub"), F.col("cb_sub")).alias("d2"),
+        )
+    )
+
+    adc = (
+        codes.join(F.broadcast(qd), ["s", "code"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("d2").alias("ad2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("ad2"), F.asc("cand_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(F.col("ad2").cast("double"), 6).alias("approx_d2"),
+            "rnk",
+        )
+        .orderBy("query_id", "rnk")
+    )

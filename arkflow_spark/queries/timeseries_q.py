@@ -198,3 +198,84 @@ def events_gapfill_interpolate(
         (F.floor(interp * 10000 + 0.5) / 10000).alias("value_interp"),
         F.col("value").isNull().alias("was_gap"),
     ).orderBy("user_id", "h")
+
+
+# ------------------------------------------------- multi-resolution rollup
+
+
+_ROLLUP_ORACLE = f"""
+    WITH m10 AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS b,
+             count(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    h1 AS (
+      SELECT event_type, (b // 3600) * 3600 AS b,
+             SUM(n) AS n, SUM(sv) AS sv
+      FROM m10 GROUP BY 1, 2
+    ),
+    d1 AS (
+      SELECT event_type, (b // 86400) * 86400 AS b,
+             SUM(n) AS n, SUM(sv) AS sv
+      FROM h1 GROUP BY 1, 2
+    )
+    SELECT resolution, event_type,
+           strftime(make_timestamp(b * 1000000), '{DUCK_TS_FMT}') AS bucket,
+           n, CAST(sv AS DOUBLE) AS sum_value
+    FROM (
+      SELECT '10m' AS resolution, * FROM m10
+      UNION ALL SELECT '1h', * FROM h1
+      UNION ALL SELECT '1d', * FROM d1
+    )
+    ORDER BY resolution, event_type, bucket
+"""
+
+
+@query("events_multires_rollup", oracle=_ROLLUP_ORACLE)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical continuous-aggregate rollup (Timescale caggs /
+    Influx downsampling tasks): 10-minute, hourly, and daily per-type
+    count+sum materialized in ONE pass over the raw table.
+
+    Each coarser level re-aggregates the next finer level, never the raw
+    data — the 100 TB property: the raw scan happens once, the hourly
+    level reads ~1/60th of it, the daily ~1/24th of that. Sums stay
+    decimal across levels so re-aggregation is exact (a double sum-of-sums
+    would drift from a direct group-by and break cross-engine hashing).
+    Buckets are epoch-floored longs (date_bin semantics, UTC)."""
+    e = load(spark, sf_dir, "events")
+    # persist the finest level: Catalyst does NOT reuse the union branches'
+    # identical aggregate subtrees (no ReusedExchange fires), so without
+    # this each level would rescan raw — persisting makes the "one raw
+    # pass" property real (at 100 TB: the materialized cagg table itself)
+    m10 = e.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 600) * 600).alias("b"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    ).persist()
+    h1 = m10.groupBy(
+        "event_type", (F.floor(F.col("b") / 3600) * 3600).alias("b")
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    d1 = h1.groupBy(
+        "event_type", (F.floor(F.col("b") / 86400) * 86400).alias("b")
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    levels = (
+        m10.select(F.lit("10m").alias("resolution"), "event_type", "b", "n", "sv")
+        .unionAll(
+            h1.select(F.lit("1h").alias("resolution"), "event_type", "b", "n", "sv")
+        )
+        .unionAll(
+            d1.select(F.lit("1d").alias("resolution"), "event_type", "b", "n", "sv")
+        )
+    )
+    return levels.select(
+        "resolution",
+        "event_type",
+        F.date_format(F.timestamp_seconds("b"), SPARK_TS_FMT).alias("bucket"),
+        "n",
+        F.col("sv").cast("double").alias("sum_value"),
+    ).orderBy("resolution", "event_type", "bucket")
