@@ -1,0 +1,174 @@
+"""Hypothesis fuzz of the analytics operators against the DuckDB oracle on
+generated inputs — exercises the shapes the sf tables rarely produce:
+single-event users, duplicate timestamps, funnel stages out of order,
+cohort days with one user, same-day status flips, empty delta/base sides
+of the CDC merge."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from arkflow_spark.plans.oracle import compare
+from arkflow_spark.queries import ORACLE, QUERIES
+
+EVENT_QUERIES = (
+    "events_ewma",
+    "events_anomaly_zscore",
+    "events_funnel",
+    "events_retention_cohort",
+    "events_multires_rollup",
+    "events_windowed_topk",
+)
+ORDER_QUERIES = ("orders_scd2_history", "orders_merge_upsert")
+
+event = st.tuples(
+    st.integers(min_value=0, max_value=3),              # user_id
+    st.integers(min_value=0, max_value=60 * 24 * 10),   # minutes from t0
+    st.sampled_from(["view", "click", "purchase"]),
+    st.integers(min_value=0, max_value=10_000),         # value in cents
+)
+order = st.tuples(
+    st.integers(min_value=0, max_value=2),              # custkey
+    st.integers(min_value=0, max_value=365 * 6),        # days from t0
+    st.sampled_from(["O", "F", "P"]),
+    st.integers(min_value=0, max_value=500_000),        # price in cents
+)
+
+
+def _write(spark, path, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(event, min_size=1, max_size=30, unique=True))
+def test_event_analytics_match_duckdb(spark, tmp_path_factory, rows):
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (i, t0 + dt.timedelta(minutes=m), u, typ, c / 100.0, "{}")
+        for i, (u, m, typ, c) in enumerate(sorted(rows))
+    ]
+    sf = tmp_path_factory.mktemp("anfuzz")
+    _write(
+        spark,
+        str(sf / "events.parquet"),
+        data,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    try:
+        for name in EVENT_QUERIES:
+            res = compare(name, spark, str(sf), QUERIES[name], ORACLE[name])
+            assert res.ok, (name, rows, str(res))
+    finally:
+        spark.catalog.clearCache()  # events_multires_rollup persists
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(order, min_size=1, max_size=25, unique=True))
+def test_order_analytics_match_duckdb(spark, tmp_path_factory, rows):
+    t0 = dt.datetime(1995, 1, 1)
+    data = [
+        (i, k, status, c / 100.0, t0 + dt.timedelta(days=d))
+        for i, (k, d, status, c) in enumerate(sorted(rows))
+    ]
+    sf = tmp_path_factory.mktemp("ordfuzz")
+    _write(
+        spark,
+        str(sf / "orders.parquet"),
+        data,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp",
+    )
+    for name in ORDER_QUERIES:
+        res = compare(name, spark, str(sf), QUERIES[name], ORACLE[name])
+        assert res.ok, (name, rows, str(res))
+
+
+vec = st.lists(
+    st.integers(min_value=-1000, max_value=1000).map(lambda c: c / 100.0),
+    min_size=64,
+    max_size=64,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.large_base_example,
+    ],
+)
+@given(
+    vecs=st.lists(vec, min_size=17, max_size=40),
+    dup=st.integers(min_value=0, max_value=100),
+)
+def test_pq_topk_matches_duckdb(spark, tmp_path_factory, vecs, dup):
+    # duplicate one vector somewhere to force exact distance ties through
+    # the argmin and ranking tie-breaks
+    vecs = vecs + [vecs[dup % len(vecs)]]
+    data = [(i, v, i % 3) for i, v in enumerate(vecs)]
+    sf = tmp_path_factory.mktemp("pqfuzz")
+    _write(
+        spark,
+        str(sf / "embeddings.parquet"),
+        data,
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    res = compare(
+        "ann_pq_topk",
+        spark,
+        str(sf),
+        QUERIES["ann_pq_topk"],
+        ORACLE["ann_pq_topk"],
+    )
+    assert res.ok, str(res)
+
+
+doc_text = st.text(
+    alphabet=" \t\n\r" + "abcdeé漢仮",  # whitespace runs + non-ASCII
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(doc_text, min_size=1, max_size=30))
+def test_incremental_dedup_matches_duckdb(spark, tmp_path_factory, texts):
+    data = [
+        (i, t, "en", "web", len(t)) for i, t in enumerate(texts)
+    ]
+    sf = tmp_path_factory.mktemp("docfuzz")
+    _write(
+        spark,
+        str(sf / "documents.parquet"),
+        data,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    res = compare(
+        "dedup_incremental_snapshot",
+        spark,
+        str(sf),
+        QUERIES["dedup_incremental_snapshot"],
+        ORACLE["dedup_incremental_snapshot"],
+    )
+    assert res.ok, (texts, str(res))
