@@ -383,3 +383,53 @@ def rolling_zscore_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_topk_stream(
+    df: DataFrame,
+    k: int,
+    window_duration: str,
+    key_col: str,
+    ts_col: str,
+    watermark: str = "0 seconds",
+):
+    """Streaming tumbling-window top-N (Flink's windowed Top-N pattern) —
+    the stateful twin of the batch `events_windowed_topk` query.
+
+    Returns ``(agg_stream, rank_batch)``: ``agg_stream`` is the
+    watermarked per-(window, key) count aggregate; run it in APPEND mode
+    so a window's rows emit exactly once, together, when the watermark
+    passes its end — then ``rank_batch`` (applied in foreachBatch or on
+    any finalized micro-batch) ranks within each window and keeps the
+    top ``k``. Ranking per micro-batch is correct because append-mode
+    finalization emits every surviving key of a window in the same batch.
+
+    State is bounded by the watermark (Spark evicts window state once it
+    finalizes); the rank itself runs over at most |keys| rows per window.
+    """
+    from pyspark.sql import Window
+
+    agg = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window_duration).alias("w"), F.col(key_col)
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+    def rank_batch(batch_df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("w").orderBy(
+            F.col("n").desc(), F.col(key_col)
+        )
+        return (
+            batch_df.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select(
+                F.col("w.start").alias("window_start"),
+                key_col,
+                "n",
+                "rnk",
+            )
+        )
+
+    return agg, rank_batch

@@ -565,3 +565,69 @@ def test_stream_rolling_zscore_state_across_batches(spark, tmp_path):
     var = (sum(x * x for x in base) - n * mean * mean) / (n - 1)
     want = (50.0 - mean) / var**0.5
     assert by_id[6]["zscore"] == pytest.approx(want)
+
+
+def test_stream_windowed_topk_append_mode(spark, tmp_path):
+    """Streaming windowed top-N: append-mode finalization emits each
+    window's surviving keys together, so per-batch ranking equals the
+    batch top-N over the same data."""
+    from arkflow_spark.streaming.state import windowed_topk_stream
+
+    src = str(tmp_path / "topk_src")
+    # window [00:00,00:10): a=3 b=2 c=1 ; window [00:10,00:20): b=2 a=1
+    rows1 = [
+        (0, "2024-01-01 00:01:00", "a", 1.0),
+        (1, "2024-01-01 00:02:00", "a", 1.0),
+        (2, "2024-01-01 00:03:00", "a", 1.0),
+        (3, "2024-01-01 00:04:00", "b", 1.0),
+        (4, "2024-01-01 00:05:00", "b", 1.0),
+        (5, "2024-01-01 00:06:00", "c", 1.0),
+    ]
+    # second drop advances the watermark past the first window
+    rows2 = [
+        (6, "2024-01-01 00:11:00", "b", 1.0),
+        (7, "2024-01-01 00:12:00", "b", 1.0),
+        (8, "2024-01-01 00:13:00", "a", 1.0),
+        (9, "2024-01-01 00:30:00", "d", 1.0),
+    ]
+    mk = lambda rows: (
+        spark.createDataFrame(rows, "id BIGINT, ts STRING, k STRING, v DOUBLE")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
+    )
+    mk(rows1).write.mode("append").parquet(src)
+
+    collected = []
+
+    def run_once():
+        sdf = spark.readStream.schema(
+            "id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE"
+        ).parquet(src)
+        agg, rank_batch = windowed_topk_stream(sdf, 2, "10 minutes", "k", "ts")
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, eid: collected.extend(rank_batch(df).collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "topk_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    mk(rows2).write.mode("append").parquet(src)
+    run_once()
+
+    got = {
+        (str(r["window_start"]), r["rnk"]): (r["k"], r["n"])
+        for r in collected
+    }
+    # first window finalized: top-2 = a(3), b(2); c cut
+    assert got[("2024-01-01 00:00:00", 1)] == ("a", 3)
+    assert got[("2024-01-01 00:00:00", 2)] == ("b", 2)
+    # second window finalized by the 00:30 row: top-2 = b(2), a(1)
+    assert got[("2024-01-01 00:10:00", 1)] == ("b", 2)
+    assert got[("2024-01-01 00:10:00", 2)] == ("a", 1)
+    # the 00:30 window is NOT finalized (watermark still inside it)
+    assert all(not ws.startswith("2024-01-01 00:30") for ws, _ in got)
