@@ -445,8 +445,10 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
       FROM documents
     ),
-    corpus AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 < 8),
-    batch AS (SELECT doc_id, f FROM fp WHERE doc_id % 10 >= 8)
+    corpus AS (SELECT DISTINCT f FROM fp
+                WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'),
+    batch AS (SELECT doc_id, f FROM fp
+              WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'd')
     SELECT b.doc_id, b.f AS fingerprint,
            (c.f IS NOT NULL) AS seen_before
     FROM batch b LEFT JOIN corpus c ON b.f = c.f
@@ -465,16 +467,17 @@ def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fingerprint set is exactly what a bloom-filter runtime prefilter
     (AQE injects one for selective joins) or a bucketed fingerprint index
     would serve; the exact join here doubles as the false-positive
-    verifier such a prefilter needs anyway. The %10 split stands in for
-    the snapshot boundary a production run takes from ingest batch ids."""
+    verifier such a prefilter needs anyway. The md5-of-id split (13/16
+    corpus, 3/16 batch) stands in for the snapshot boundary a production
+    run takes from ingest batch ids; hashing the id keeps the split
+    deterministic, engine-agnostic, and valid for string ids."""
     d = load(spark, sf_dir, "documents")
     fp = d.select(
         "doc_id", F.md5(_norm_text(F.col("text"))).alias("fingerprint")
     )
-    corpus = (
-        fp.where(F.col("doc_id") % 10 < 8).select("fingerprint").distinct()
-    )
-    batch = fp.where(F.col("doc_id") % 10 >= 8)
+    split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    corpus = fp.where(split < "d").select("fingerprint").distinct()
+    batch = fp.where(split >= "d")
     return (
         batch.join(
             corpus.withColumn("seen", F.lit(True)), "fingerprint", "left"

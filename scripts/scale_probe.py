@@ -42,6 +42,8 @@ PROBE_QUERIES = (
     "text_gopher_quality",
     "documents_domain_mixture",
     "embedding_normalize_quantize",
+    "ann_pq_topk",
+    "dedup_incremental_snapshot",
 )
 # relational shapes: facts scale 10x (offset keys keep joins consistent),
 # dims stay fixed — the realistic 100 TB growth pattern
@@ -63,6 +65,9 @@ RELATIONAL_QUERIES = (
     "events_retention_cohort",
     "orders_scd2_history",
     "lineitem_zorder_layout",
+    "events_multires_rollup",
+    "events_windowed_topk",
+    "orders_merge_upsert",
 )
 
 
