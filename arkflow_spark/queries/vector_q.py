@@ -85,13 +85,20 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "embeddings")
-    q = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-        )
+    # norms once per vector: the scoring stage pays one fold per pair
+    withn = e.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    q = withn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_n"),
+    )
+    c = withn.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_n"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -101,7 +108,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cand_id",
             (
                 _dot(F.col("q_emb"), F.col("c_emb"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+                / (F.col("q_n") * F.col("c_n"))
             ).alias("raw_cos"),
         )
     )
@@ -273,8 +280,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation.
     """
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    # norms once per vector (not per pair): the pair stage then pays ONE
+    # 64-term fold instead of three — same doubles, ~3x less compute
+    withn = e.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    a = withn.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
     raw = (
         F.broadcast(a)
         .crossJoin(b)
@@ -284,7 +304,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_b",
             (
                 _dot(F.col("e_a"), F.col("e_b"))
-                / (_norm(F.col("e_a")) * _norm(F.col("e_b")))
+                / (F.col("n_a") * F.col("n_b"))
             ).alias("raw_cos"),
         )
     )
@@ -431,8 +451,20 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    # norms once per vector, joined onto candidate pairs (one fold/pair)
+    withn = e.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    ea = withn.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    eb = withn.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
     raw = (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
@@ -441,7 +473,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_b",
             (
                 _dot(F.col("e_a"), F.col("e_b"))
-                / (_norm(F.col("e_a")) * _norm(F.col("e_b")))
+                / (F.col("n_a") * F.col("n_b"))
             ).alias("raw_cos"),
         )
     )
@@ -524,16 +556,20 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("assigned_label").alias("bucket"))
         .persist()
     )
-    withb = e.join(assigned, "vec_id")
+    withb = e.join(assigned, "vec_id").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
     q = withb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
+        F.col("nrm").alias("q_n"),
     )
     c = withb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
         F.col("bucket").alias("c_bucket"),
+        F.col("nrm").alias("c_n"),
     )
     probe = (
         F.broadcast(q)
@@ -543,7 +579,7 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "cand_id",
             _dot(F.col("q_emb"), F.col("c_emb")).alias("dot"),
-            (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))).alias("nn"),
+            (F.col("q_n") * F.col("c_n")).alias("nn"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("cand_id"))
