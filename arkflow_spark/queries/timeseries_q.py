@@ -223,7 +223,9 @@ _ROLLUP_ORACLE = f"""
     )
     SELECT resolution, event_type,
            strftime(make_timestamp(b * 1000000), '{DUCK_TS_FMT}') AS bucket,
-           n, CAST(sv AS DOUBLE) AS sum_value
+           CAST(n AS BIGINT) AS n,  -- SUM(BIGINT) is HUGEINT in DuckDB;
+                                    -- pin to an Arrow-stable driver type
+           CAST(sv AS DOUBLE) AS sum_value
     FROM (
       SELECT '10m' AS resolution, * FROM m10
       UNION ALL SELECT '1h', * FROM h1
