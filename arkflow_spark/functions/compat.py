@@ -350,6 +350,65 @@ _FN_RE = re.compile(
 _STRING_RE = re.compile(r"'(?:[^']|'')*'")
 
 
+_QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
+_QUALIFY_END_RE = re.compile(r"\b(ORDER\s+BY|LIMIT|OFFSET)\b", re.IGNORECASE)
+_SELECT_RE = re.compile(r"\bSELECT\b", re.IGNORECASE)
+_FROM_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
+
+
+def _depth0_find(body: str, rx: re.Pattern, start: int = 0) -> re.Match | None:
+    """First rx match at paren depth 0 from ``start``."""
+    depth = 0
+    i = start
+    while i < len(body):
+        c = body[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = rx.match(body, i)
+            if m:
+                return m
+        i += 1
+    return None
+
+
+def _rewrite_qualify(body: str) -> str:
+    """Expand a top-level QUALIFY clause (DuckDB/Snowflake/BigQuery; the
+    post-window filter Spark does not parse) into a subquery + WHERE.
+
+    Predicates with inline window functions are lifted into the inner
+    select list as a ``__qualify`` boolean (windows cannot appear in an
+    outer WHERE) and dropped again via ``SELECT * EXCEPT``; plain
+    predicates over select aliases filter the wrapped subquery directly.
+    Applies to the statement's outermost select (CTE prefixes are wrapped
+    whole — Spark allows WITH inside a subquery)."""
+    q = _depth0_find(body, _QUALIFY_RE)
+    if q is None:
+        return body
+    end_m = _depth0_find(body, _QUALIFY_END_RE, q.end())
+    clause_end = end_m.start() if end_m else len(body)
+    pre = body[: q.start()].rstrip()
+    pred = body[q.end():clause_end].strip()
+    tail = " " + body[clause_end:].lstrip() if end_m else ""
+    if re.search(r"\bOVER\b", pred, re.IGNORECASE):
+        sel = _depth0_find(pre, _SELECT_RE)  # outermost SELECT (skips CTEs)
+        frm = _depth0_find(pre, _FROM_RE, sel.end()) if sel else None
+        if frm is None:  # malformed; leave for Spark to report
+            return body
+        inner = (
+            pre[: frm.start()].rstrip()
+            + f", ({pred}) AS __qualify "
+            + pre[frm.start():]
+        )
+        return (
+            f"SELECT * EXCEPT (__qualify) FROM ({inner}) WHERE __qualify"
+            + tail
+        )
+    return f"SELECT * FROM ({pre}) WHERE {pred}" + tail
+
+
 def translate_sql(sql: str) -> str:
     """Rewrite DataFusion function names to Spark equivalents, preserving
     string literals."""
@@ -363,6 +422,7 @@ def translate_sql(sql: str) -> str:
         return FUNCTION_ALIASES[m.group(1).lower()] + "("
 
     body = _STRING_RE.sub(stash, sql)
+    body = _rewrite_qualify(body)
     body = _rewrite_calls(body)
     body = _FN_RE.sub(rename, body)
     for i, lit in enumerate(literals):

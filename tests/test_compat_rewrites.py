@@ -194,3 +194,53 @@ def test_every_documented_function_resolves(spark):
         and n not in DOCUMENTED_UNMAPPED
     }
     assert unresolved == set(), sorted(unresolved)
+
+
+# ----------------------------------------------------------------- QUALIFY
+
+
+def test_qualify_plain_predicate(spark):
+    """Alias-referencing QUALIFY becomes a subquery + WHERE."""
+    spark.createDataFrame(
+        [("a", 3), ("b", 2), ("c", 1), ("a", 1)], "k string, v int"
+    ).createOrReplaceTempView("qt")
+    got = spark.sql(
+        translate_sql(
+            "SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v)"
+            " AS rnk FROM qt QUALIFY rnk = 1 ORDER BY k"
+        )
+    ).collect()
+    assert [(r["k"], r["v"]) for r in got] == [("a", 1), ("b", 2), ("c", 1)]
+
+
+def test_qualify_inline_window_predicate(spark):
+    """Inline-window QUALIFY lifts the predicate into the select list and
+    drops it with SELECT * EXCEPT; works over GROUP BY output."""
+    spark.createDataFrame(
+        [("a", 3), ("b", 2), ("c", 1), ("a", 1)], "k string, v int"
+    ).createOrReplaceTempView("qt")
+    df = spark.sql(
+        translate_sql(
+            "SELECT k, sum(v) AS n FROM qt GROUP BY k"
+            " QUALIFY row_number() OVER (ORDER BY sum(v) DESC, k) <= 2"
+            " ORDER BY n DESC"
+        )
+    )
+    assert df.columns == ["k", "n"]  # synthetic __qualify dropped
+    assert [tuple(r) for r in df.collect()] == [("a", 4), ("b", 2)]
+
+
+def test_qualify_with_cte_and_limit(spark):
+    got = spark.sql(
+        translate_sql(
+            "WITH c AS (SELECT explode(sequence(1, 5)) AS x)"
+            " SELECT x, sum(x) OVER () AS s FROM c QUALIFY x > 2"
+            " ORDER BY x LIMIT 2"
+        )
+    ).collect()
+    assert [tuple(r) for r in got] == [(3, 15), (4, 15)]
+
+
+def test_qualify_untouched_when_absent():
+    sql = "SELECT a FROM t WHERE a > 0"
+    assert translate_sql(sql) == sql
