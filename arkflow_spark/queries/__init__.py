@@ -73,6 +73,7 @@ _DRIVER_PRIORITY = (
     "orders_merge_upsert",
     "dedup_incremental_snapshot",
     "events_windowed_topk",
+    "documents_training_mix",
     # prior-round additions never driver-checked
     "events_asof_join",
     "events_asof_join_tolerance",
@@ -89,7 +90,6 @@ _DRIVER_PRIORITY = (
     "scalar_json",
     "scalar_date_bin",
     # events / streaming-shaped
-    "events_rate_per_user",
     "events_skew_salted_agg",
     # text pipeline
     "text_lang_id",

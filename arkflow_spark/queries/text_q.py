@@ -693,3 +693,108 @@ def documents_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "documents_training_mix",
+    oracle=rf"""
+    WITH fp AS (
+      SELECT doc_id, lang, source, text,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f,
+             len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens,
+             regexp_extract_all(lower(trim(text)), '[a-z]+') AS words
+      FROM documents
+    ),
+    gated AS (
+      SELECT *,
+             doc_id = MIN(doc_id) OVER (PARTITION BY f) AS is_canonical
+      FROM fp
+      WHERE n_tokens BETWEEN 20 AND 2000
+        AND len(words) > 0
+        AND (SELECT AVG(len(w)) FROM unnest(words) t(w)) BETWEEN 2 AND 12
+    ),
+    surv AS (SELECT doc_id, lang, source, n_tokens FROM gated
+             WHERE is_canonical),
+    packed AS (
+      SELECT *,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS start_tok
+      FROM surv
+    )
+    SELECT lang, CAST(FLOOR(start_tok / 2048) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(doc_id) AS first_doc
+    FROM packed
+    GROUP BY 1, 2
+    ORDER BY lang, pack_id
+    """,
+)
+def documents_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline as ONE oracled query: exact dedup
+    (canonical copy per content fingerprint) -> quality gates (token
+    count 20..2000, mean word length 2..12 — the Gopher-style sanity
+    band) -> per-language sequence packing into 2048-token windows ->
+    per-pack manifest (doc count, token count, source diversity). This is
+    what a user runs nightly; hash-verifying the composition catches
+    gate-interaction bugs the per-operator oracles cannot.
+
+    Scale notes: one fingerprint shuffle (dedup) + one per-lang window
+    sort (packing) + one (lang, pack) aggregation — three exchanges
+    total; every gate is a narrow JVM regexp stage. At 100 TB swap the
+    per-lang window for repartitionByRange + sortWithinPartitions
+    exactly as in documents_pack_sequences."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    words = F.expr(r"regexp_extract_all(lower(trim(text)), '[a-z]+', 0)")
+    fp = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("f"),
+        _tok_count(F.col("text")).alias("n_tokens"),
+        words.alias("words"),
+    )
+    mean_wlen = F.aggregate(
+        F.transform("words", lambda w: F.length(w).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size("words")
+    gated = fp.where(
+        F.col("n_tokens").between(20, 2000)
+        & (F.size("words") > 0)
+        & mean_wlen.between(2, 12)
+    )
+    wf = Window.partitionBy("f")
+    surv = (
+        gated.withColumn(
+            "is_canonical", F.col("doc_id") == F.min("doc_id").over(wf)
+        )
+        .where("is_canonical")
+        .select("doc_id", "lang", "source", "n_tokens")
+    )
+    wp = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = surv.withColumn(
+        "start_tok", F.sum("n_tokens").over(wp) - F.col("n_tokens")
+    )
+    return (
+        packed.groupBy(
+            "lang", F.floor(F.col("start_tok") / 2048).cast("bigint").alias("pack_id")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang", "pack_id")
+    )
