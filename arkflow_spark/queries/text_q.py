@@ -760,11 +760,16 @@ def documents_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tok_count(F.col("text")).alias("n_tokens"),
         words.alias("words"),
     )
-    mean_wlen = F.aggregate(
-        F.transform("words", lambda w: F.length(w).cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ) / F.size("words")
+    # try_divide: ANSI mode throws on /0 for zero-word docs (they are
+    # filtered out, but predicate evaluation order is Catalyst's choice)
+    mean_wlen = F.try_divide(
+        F.aggregate(
+            F.transform("words", lambda w: F.length(w).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        F.size("words").cast("double"),
+    )
     gated = fp.where(
         F.col("n_tokens").between(20, 2000)
         & (F.size("words") > 0)

@@ -43,6 +43,8 @@ HEADLINE = [
     "text_line_dedup",
     "text_unigram_logprob",
     "lineitem_zorder_layout",
+    "ann_pq_topk",
+    "documents_training_mix",
 ]
 
 

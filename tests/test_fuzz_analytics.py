@@ -146,15 +146,26 @@ doc_text = st.text(
 )
 
 
+DOC_QUERIES = (
+    "dedup_incremental_snapshot",
+    "documents_pack_sequences",
+    "documents_training_mix",
+)
+
+
 @settings(
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(texts=st.lists(doc_text, min_size=1, max_size=30))
-def test_incremental_dedup_matches_duckdb(spark, tmp_path_factory, texts):
+def test_document_pipeline_matches_duckdb(spark, tmp_path_factory, texts):
+    """Fingerprinting, tokenization (TOKEN_RE regexp parity Java vs RE2),
+    packing arithmetic, and the full training-mix composition on
+    whitespace-heavy / non-ASCII generated corpora."""
     data = [
-        (i, t, "en", "web", len(t)) for i, t in enumerate(texts)
+        (i, t, ("en", "de")[i % 2], ("web", "books")[i % 3 == 0], len(t))
+        for i, t in enumerate(texts)
     ]
     sf = tmp_path_factory.mktemp("docfuzz")
     _write(
@@ -164,11 +175,6 @@ def test_incremental_dedup_matches_duckdb(spark, tmp_path_factory, texts):
         "doc_id bigint, text string, lang string, source string,"
         " n_chars bigint",
     )
-    res = compare(
-        "dedup_incremental_snapshot",
-        spark,
-        str(sf),
-        QUERIES["dedup_incremental_snapshot"],
-        ORACLE["dedup_incremental_snapshot"],
-    )
-    assert res.ok, (texts, str(res))
+    for name in DOC_QUERIES:
+        res = compare(name, spark, str(sf), QUERIES[name], ORACLE[name])
+        assert res.ok, (name, texts, str(res))
