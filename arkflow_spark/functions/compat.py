@@ -409,6 +409,46 @@ def _rewrite_qualify(body: str) -> str:
     return f"SELECT * FROM ({pre}) WHERE {pred}" + tail
 
 
+# Postgres-style operators the reference documents (docs/docs/sql/
+# 1-operators.md: regex/LIKE matches, bitwise XOR `#`, array containment
+# `@>`/`<@`) that Spark's parser rejects. Operands are matched as single
+# tokens: function call (one paren level), qualified identifier, stashed
+# string literal, parenthesized group, or number — the shapes the
+# reference's own examples use; anything more exotic should be wrapped in
+# parentheses by the caller.
+_OPERAND = (
+    r"(?:[A-Za-z_][\w.]*\s*\([^()]*\)|[A-Za-z_][\w.]*"
+    r"|\x00L\d+\x00|\([^()]*\)|[0-9][\w.]*)"
+)
+_PGOP_RE = re.compile(
+    rf"({_OPERAND})\s*(!~~\*|!~~|~~\*|~~|!~\*|!~|~\*|~|@>|<@|#)\s*({_OPERAND})"
+)
+
+
+def _rewrite_pg_operators(body: str) -> str:
+    def sub(m: re.Match) -> str:
+        left, op, right = m.group(1), m.group(2), m.group(3)
+        return {
+            "~": f"{left} RLIKE {right}",
+            "!~": f"{left} NOT RLIKE {right}",
+            "~*": f"{left} RLIKE concat('(?i)', {right})",
+            "!~*": f"{left} NOT RLIKE concat('(?i)', {right})",
+            "~~": f"{left} LIKE {right}",
+            "!~~": f"{left} NOT LIKE {right}",
+            "~~*": f"{left} ILIKE {right}",
+            "!~~*": f"{left} NOT ILIKE {right}",
+            "#": f"{left} ^ {right}",
+            "@>": f"forall({right}, __x -> array_contains({left}, __x))",
+            "<@": f"forall({left}, __x -> array_contains({right}, __x))",
+        }[op]
+
+    prev = None
+    while prev != body:  # fixpoint: `a ~ b AND c ~ d` chains
+        prev = body
+        body = _PGOP_RE.sub(sub, body)
+    return body
+
+
 def translate_sql(sql: str) -> str:
     """Rewrite DataFusion function names to Spark equivalents, preserving
     string literals."""
@@ -423,6 +463,7 @@ def translate_sql(sql: str) -> str:
 
     body = _STRING_RE.sub(stash, sql)
     body = _rewrite_qualify(body)
+    body = _rewrite_pg_operators(body)
     body = _rewrite_calls(body)
     body = _FN_RE.sub(rename, body)
     for i, lit in enumerate(literals):

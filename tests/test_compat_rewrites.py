@@ -244,3 +244,51 @@ def test_qualify_with_cte_and_limit(spark):
 def test_qualify_untouched_when_absent():
     sql = "SELECT a FROM t WHERE a > 0"
     assert translate_sql(sql) == sql
+
+
+# ------------------------------------------- Postgres-style operators
+
+
+@pytest.mark.parametrize(
+    ("expr", "want"),
+    [
+        # regex match family (reference docs/docs/sql/1-operators.md)
+        ("'datafusion' ~ '^datafusion(-cli)*'", True),
+        ("'datafusion' ~ '^DATAFUSION'", False),
+        ("'DATAFUSION' ~* '^datafusion(-cli)*'", True),
+        ("'datafusion' !~ '^DATAFUSION(-cli)*'", True),
+        ("'DATAFUSION' !~* '^datafusion(-cli)+'", True),
+        # LIKE family
+        ("'datafusion' ~~ 'data%'", True),
+        ("'DATAFUSION' ~~* 'data%'", True),
+        ("'datafusion' !~~ 'x%'", True),
+        ("'DATAFUSION' !~~* 'data%'", False),
+        # bitwise xor
+        ("5 # 3", 6),
+        # array containment
+        ("make_array(1,2,3) @> make_array(1,3)", True),
+        ("make_array(1,2,3) @> make_array(1,4)", False),
+        ("make_array(1,3) <@ make_array(1,2,3)", True),
+        ("make_array(1,4) <@ make_array(1,2,3)", False),
+    ],
+)
+def test_pg_operator_rewrites(spark, expr, want):
+    got = spark.sql(translate_sql(f"SELECT {expr} AS r")).collect()[0]["r"]
+    assert got == want, translate_sql(f"SELECT {expr} AS r")
+
+
+def test_pg_operators_ignore_string_literal_content(spark):
+    """Literal text containing operator glyphs must pass through."""
+    got = spark.sql(
+        translate_sql("SELECT 'a ~ b # c @> d' AS r")
+    ).collect()[0]["r"]
+    assert got == "a ~ b # c @> d"
+
+
+def test_pg_operator_chain_fixpoint(spark):
+    got = spark.sql(
+        translate_sql(
+            "SELECT ('ab' ~ 'a') AND ('cd' ~ 'c') AND ('x' !~ 'y') AS r"
+        )
+    ).collect()[0]["r"]
+    assert got is True
