@@ -409,6 +409,72 @@ def _rewrite_qualify(body: str) -> str:
     return f"SELECT * FROM ({pre}) WHERE {pred}" + tail
 
 
+_DISTINCT_ON_RE = re.compile(r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_LIMIT_OFFSET_RE = re.compile(r"\b(LIMIT|OFFSET)\b", re.IGNORECASE)
+
+
+def _rewrite_distinct_on(body: str) -> str:
+    """Expand Postgres/DuckDB ``SELECT DISTINCT ON (keys) ...`` (one
+    surviving row per key combination, chosen by the ORDER BY) into the
+    exact Spark equivalent: a ``row_number`` window partitioned on the
+    keys, filtered to 1. Plans as one shuffle on the keys — identical to
+    what Postgres does with a unique-on-sorted pass, and the same shape
+    Spark would use for a native deduplicating top-1.
+
+    Contract (documented in docs/MIGRATION.md): the ORDER BY must
+    reference input columns (not select aliases), and — as in Postgres —
+    its leftmost expressions should be the DISTINCT ON keys; without an
+    ORDER BY the surviving row per key is arbitrary (as in Postgres). The
+    ORDER BY is consumed by the row_number window; it is re-attached to
+    the rewritten outer query only when a LIMIT/OFFSET makes output order
+    semantic (in which case its columns must appear in the projection) —
+    otherwise output order is unspecified, as for any distributed
+    query."""
+    m = _depth0_find(body, _DISTINCT_ON_RE)
+    if m is None:
+        return body
+    i, depth = m.end(), 1
+    while i < len(body) and depth:
+        if body[i] == "(":
+            depth += 1
+        elif body[i] == ")":
+            depth -= 1
+        i += 1
+    keys = body[m.end() : i - 1].strip()
+    rest = body[i:]
+    frm = _depth0_find(rest, _FROM_RE)
+    if frm is None:  # malformed; leave for Spark to report
+        return body
+    projection = rest[: frm.start()].strip()
+    after = rest[frm.start() :]
+    ob = _depth0_find(after, _ORDER_BY_RE)
+    if ob is not None:
+        lim = _depth0_find(after, _LIMIT_OFFSET_RE, ob.end())
+        order_list = after[ob.end() : lim.start() if lim else len(after)]
+        order_list = order_list.strip()
+        from_part = after[: ob.start()].rstrip()
+        tail = " " + after[lim.start() :].lstrip() if lim else ""
+        outer_order = f" ORDER BY {order_list}" if lim else ""
+    else:
+        lim = _depth0_find(after, _LIMIT_OFFSET_RE)
+        order_list = keys
+        from_part = after[: lim.start()].rstrip() if lim else after
+        tail = " " + after[lim.start() :].lstrip() if lim else ""
+        outer_order = ""
+    pre = body[: m.start()]
+    inner = (
+        f"SELECT {projection}, row_number() OVER (PARTITION BY {keys} "
+        f"ORDER BY {order_list}) AS __don_rn {from_part}"
+    )
+    return (
+        pre
+        + f"SELECT * EXCEPT (__don_rn) FROM ({inner}) WHERE __don_rn = 1"
+        + outer_order
+        + tail
+    )
+
+
 # Postgres-style operators the reference documents (docs/docs/sql/
 # 1-operators.md: regex/LIKE matches, bitwise XOR `#`, array containment
 # `@>`/`<@`) that Spark's parser rejects. Operands are matched as single
@@ -463,6 +529,7 @@ def translate_sql(sql: str) -> str:
 
     body = _STRING_RE.sub(stash, sql)
     body = _rewrite_qualify(body)
+    body = _rewrite_distinct_on(body)
     body = _rewrite_pg_operators(body)
     body = _rewrite_calls(body)
     body = _FN_RE.sub(rename, body)

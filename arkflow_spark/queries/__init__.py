@@ -30,6 +30,8 @@ for _mod in (
     "analytics_q",
     "layout_q",
     "pq_q",
+    "relational3",
+    "text2_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -52,6 +54,14 @@ _DRIVER_PRIORITY = (
     "agg_approx_distinct",
     "agg_approx_percentile",
     "agg_sketches",
+    # round-3 second-session additions (freshest claims first)
+    "join_lateral_topk",
+    "distinct_on_latest",
+    "events_ohlc_bars",
+    "events_counter_rate",
+    "text_zipf_slope",
+    "text_hapax_ratio",
+    "sketch_rollup_hourly_daily",
     # round-3 session additions: timeseries gap-fill, corpus passes,
     # analytics, quantization, layout, QUALIFY
     "events_gapfill_locf",

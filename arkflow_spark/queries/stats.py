@@ -464,3 +464,59 @@ def agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM est
         """
     )
+
+
+@query(
+    "sketch_rollup_hourly_daily",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS merged_within_bound
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+    ORDER BY event_type, day
+    """,
+)
+def sketch_rollup_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical sketch rollup: persist HOURLY HLL sketches, answer
+    DAILY distinct-user questions by merging them — the continuous-
+    aggregate pattern for distincts, where `events_multires_rollup`'s
+    exact sums cannot work (distincts don't add across buckets; sketches
+    union losslessly). At 100 TB the hourly sketch table IS the
+    materialization: kilobytes per (series, hour), one raw-data pass,
+    every coarser rollup derived by re-merge without touching raw events.
+
+    Hashable output = exact daily distincts + a deterministic
+    within-bound verdict on the merged estimate (5% relative, ~3x HLL
+    lgK=12 error), plus the hour-bucket count that proves the daily row
+    really came from 24-ish hourly partials.
+    """
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    daily = hourly.groupBy("event_type", "day").agg(
+        F.count("*").alias("n_hours"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+    )
+    exact = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return (
+        daily.join(exact, ["event_type", "day"])
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_hours",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("merged_within_bound"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -281,3 +281,139 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("sv").cast("double").alias("sum_value"),
     ).orderBy("resolution", "event_type", "bucket")
+
+
+# ------------------------------------------------------------------- OHLC
+
+
+@query(
+    "events_ohlc_bars",
+    oracle=f"""
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '{DUCK_TS_FMT}') AS bucket,
+           first(value ORDER BY ts, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           last(value ORDER BY ts, event_id) AS close,
+           COUNT(*) AS volume,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    ORDER BY event_type, bucket
+    """,
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars per (series, hour) — the Timescale
+    ``candlestick_agg`` / kdb bar-builder shape: open/close picked by a
+    total (ts, event_id) order, high/low/volume plain aggregates.
+
+    Spark expresses ordered-first/last as ``min_by``/``max_by`` over a
+    (ts, event_id) struct — a single hash aggregate with map-side
+    partials, one shuffle on (event_type, hour), no window/sort at all.
+    That is the shape that survives 100 TB: bars re-aggregate from
+    partials, so partition-local combines do nearly all the work.
+    """
+    e = load(spark, sf_dir, "events")
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        )
+        .agg(
+            F.min_by("value", okey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", okey).alias("close"),
+            F.count("*").alias("volume"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format("h", SPARK_TS_FMT).alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "total_value",
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+# ------------------------------------------------- PromQL-style counter rate
+
+
+@query(
+    "events_counter_rate",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, ts, value,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT user_id,
+           strftime(date_trunc('hour', ts), '{DUCK_TS_FMT}') AS bucket,
+           COUNT(*) AS n_samples,
+           CAST(SUM(CAST(
+             CASE WHEN prev IS NULL THEN 0
+                  WHEN value >= prev THEN value - prev
+                  ELSE value END AS DECIMAL(18,6))) AS DOUBLE) AS increase,
+           CAST(SUM(CAST(
+             CASE WHEN prev IS NULL THEN 0
+                  WHEN value >= prev THEN value - prev
+                  ELSE value END AS DECIMAL(18,6))) AS DOUBLE) / 3600
+             AS rate_per_sec
+    FROM d
+    GROUP BY user_id, date_trunc('hour', ts)
+    ORDER BY user_id, bucket
+    """,
+)
+def events_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style ``increase()``/``rate()`` with counter-reset
+    detection: per series (user_id), each sample's delta from the
+    previous sample counts toward the bucket's increase; a negative
+    delta means the counter reset, so the post-reset absolute value is
+    the increase (Prometheus rate semantics). Exact-decimal accumulation
+    so the hash matches cross-engine.
+
+    Scale notes: one window pass partitioned on the series key computes
+    the lags, then the hourly rollup re-shuffles on (series, bucket) —
+    two exchanges total, the minimum for any ordered-delta metric. State
+    never exceeds one previous sample per series, which is why the same
+    recurrence runs as a streaming op (see streaming/state.py EWMA for
+    the template).
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    inc = (
+        F.when(prev.isNull(), F.lit(0.0))
+        .when(F.col("value") >= prev, F.col("value") - prev)
+        .otherwise(F.col("value"))
+    )
+    return (
+        e.select("user_id", "ts", "value", inc.alias("__inc"))
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum(F.col("__inc").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("increase"),
+            (
+                F.sum(F.col("__inc").cast("decimal(18,6)")).cast("double")
+                / 3600
+            ).alias("rate_per_sec"),
+        )
+        .select(
+            "user_id",
+            F.date_format("h", SPARK_TS_FMT).alias("bucket"),
+            "n_samples",
+            "increase",
+            "rate_per_sec",
+        )
+        .orderBy("user_id", "bucket")
+    )

@@ -292,3 +292,64 @@ def test_pg_operator_chain_fixpoint(spark):
         )
     ).collect()[0]["r"]
     assert got is True
+
+
+# ------------------------------------------------------------ DISTINCT ON
+
+
+def test_distinct_on_basic(spark):
+    """One surviving row per key, chosen by the ORDER BY tie-break."""
+    spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 3, 5), ("b", 4, 50)],
+        "k string, id int, v int",
+    ).createOrReplaceTempView("dot")
+    got = spark.sql(
+        translate_sql(
+            "SELECT DISTINCT ON (k) k, id, v FROM dot"
+            " ORDER BY k, v DESC, id"
+        )
+    )
+    assert got.columns == ["k", "id", "v"]  # __don_rn dropped
+    assert sorted(tuple(r) for r in got.collect()) == [
+        ("a", 2, 20),
+        ("b", 4, 50),
+    ]
+
+
+def test_distinct_on_where_and_limit(spark):
+    """WHERE stays inside the window subquery; ORDER BY+LIMIT re-attach
+    to the outer query (ordering columns are projected)."""
+    spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 3, 5), ("c", 4, 50)],
+        "k string, id int, v int",
+    ).createOrReplaceTempView("dot")
+    got = spark.sql(
+        translate_sql(
+            "SELECT DISTINCT ON (k) k, v FROM dot WHERE v > 5"
+            " ORDER BY k, v DESC LIMIT 2"
+        )
+    ).collect()
+    # b's only row has v=5, excluded by WHERE; survivors ordered by k
+    assert [tuple(r) for r in got] == [("a", 20), ("c", 50)]
+
+
+def test_distinct_on_multi_key_no_order(spark):
+    """Multiple keys; without ORDER BY the rewrite partitions on the keys
+    and any row may survive — on unique key pairs the result is exact."""
+    spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 5)],
+        "k string, g int, v int",
+    ).createOrReplaceTempView("dot")
+    got = spark.sql(
+        translate_sql("SELECT DISTINCT ON (k, g) k, g, v FROM dot")
+    ).collect()
+    assert sorted(tuple(r) for r in got) == [
+        ("a", 1, 10),
+        ("a", 2, 20),
+        ("b", 1, 5),
+    ]
+
+
+def test_distinct_on_untouched_when_absent():
+    sql = "SELECT DISTINCT k FROM t ORDER BY k"
+    assert translate_sql(sql) == sql
