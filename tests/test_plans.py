@@ -245,3 +245,40 @@ def test_retention_broadcasts_cohort_sizes(spark):
     plan = plan_of(spark, "events_retention_cohort")
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_lateral_topk_decorrelates_no_nested_loop(spark):
+    """The correlated LATERAL + LIMIT must decorrelate into a rank-pruned
+    window (WindowGroupLimit partial/final) joined hash-side — never a
+    per-row BroadcastNestedLoopJoin re-execution."""
+    plan = plan_of(spark, "join_lateral_topk")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ohlc_aggregates_with_map_side_partials_no_window(spark):
+    """OHLC bars are min_by/max_by aggregates with a partial (map-side)
+    phase — struct-ordered min_by/max_by plans as SortAggregate (struct
+    buffers aren't hash-aggregable), which is still partial+final over
+    one shuffle — and never a window/rank pass over raw events."""
+    plan = plan_of(spark, "events_ohlc_bars")
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+    assert "Window" not in plan
+
+
+def test_counter_rate_two_exchanges(spark):
+    """Lag window on the series key + hourly rollup: exactly the two
+    exchanges any ordered-delta metric needs (plus the output sort)."""
+    df = QUERIES["events_counter_rate"](spark, SF_CORRECT)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert tree.count("Exchange") <= 3
+
+
+def test_zipf_rank_window_after_reduction(spark):
+    """The rank window runs over the reduced (lang, token) counts — the
+    raw token explosion is aggregated (map-side combinable) first."""
+    plan = plan_of(spark, "text_zipf_slope")
+    lines = plan.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    # a HashAggregate (the token-count reduction) appears below the window
+    assert any("HashAggregate" in l for l in lines[win:])
