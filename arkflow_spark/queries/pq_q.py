@@ -16,9 +16,15 @@ subvectors of vec_id 0..K-1. Real deployments would K-means the codebook
 that touch the full corpus — are identical either way.
 
 Determinism: every squared-distance term is (a-b)^2 of float32-backed
-doubles (exact in IEEE double: 48-bit product), accumulated as
-DECIMAL(30,10) in BOTH engines so reduction order cannot flip argmins or
-rankings; final distances are emitted rounded to 6 decimals.
+doubles (exact in IEEE double: 48-bit product). The 16-term subvector
+sums are LEFT-ASSOCIATED double folds in BOTH engines (Spark
+``F.aggregate`` over the array; DuckDB ``list_reduce`` over a
+dimension-ordered list) — bit-identical, so argmins cannot flip — and
+the 4-term ADC sums accumulate as DECIMAL(20,10) in both engines;
+final distances are emitted rounded to 6 decimals. (Round 3: the
+previous per-dimension decimal accumulation was the headline-bench
+bottleneck — 5M decimal adds; the fixed-order double fold is equally
+deterministic and ~3x faster.)
 
 Scale notes (100 TB): codebook and query distance tables are O(M*K) and
 broadcast; code assignment is one narrow broadcast-join stage over the
@@ -44,23 +50,18 @@ K = 16           # codewords per subspace (vec_id 0..15 donate)
 N_QUERIES = 5
 TOP_K = 10
 
-_DEC = "decimal(30,10)"
-
-
-def _d2_dec(a, b):
-    """Exact squared L2 distance of two float-array columns: per-dim
-    (a-b)^2 in double (exact), accumulated in decimal (order-free)."""
+def _d2(a, b):
+    """Squared L2 distance of two float-array columns: per-dim (a-b)^2 in
+    double (exact), summed by a left-associated fold in array order —
+    deterministic, and bit-identical to the oracle's ordered
+    ``list_reduce`` fold (0.0 + t1 == t1 exactly in IEEE)."""
     terms = F.zip_with(
         a,
         b,
         lambda x, y: (x.cast("double") - y.cast("double"))
         * (x.cast("double") - y.cast("double")),
     )
-    return F.aggregate(
-        terms,
-        F.lit(0).cast(_DEC),
-        lambda acc, t: (acc + t.cast("decimal(20,10)")).cast(_DEC),
-    )
+    return F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
 
 
 def _subspaces(df: DataFrame, id_col: str) -> DataFrame:
@@ -89,9 +90,10 @@ _PQ_ORACLE = f"""
       WHERE g.i <= len(embedding)
     ),
     cb AS (SELECT vec_id AS code, s, i, v FROM x WHERE vec_id < {K}),
-    d AS (  -- exact decimal d2 of every vector's subvector to every codeword
+    d AS (  -- left-fold double d2, bit-identical to Spark's F.aggregate
       SELECT c.vec_id, b.s, b.code,
-             SUM(CAST((c.v - b.v) * (c.v - b.v) AS DECIMAL(20,10))) AS d2
+             list_reduce(list((c.v - b.v) * (c.v - b.v) ORDER BY c.i),
+                         (acc, t) -> acc + t) AS d2
       FROM x c JOIN cb b ON c.i = b.i
       GROUP BY 1, 2, 3
     ),
@@ -104,7 +106,8 @@ _PQ_ORACLE = f"""
       ) WHERE rn = 1
     ),
     adc AS (
-      SELECT q.vec_id AS query_id, a.cand_id, SUM(q.d2) AS ad2
+      SELECT q.vec_id AS query_id, a.cand_id,
+             SUM(CAST(q.d2 AS DECIMAL(20,10))) AS ad2
       FROM assign a JOIN d q ON q.s = a.s AND q.code = a.code
       WHERE q.vec_id < {N_QUERIES} AND a.cand_id <> q.vec_id
       GROUP BY 1, 2
@@ -130,8 +133,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     cb = _subspaces(e.filter(F.col("vec_id") < K), "code")
 
-    # corpus -> PQ codes: broadcast the M*K codebook rows, exact-decimal
-    # d2, argmin via struct-min (map-side combinable; ties -> lowest code)
+    # corpus -> PQ codes: broadcast the M*K codebook rows, fixed-order
+    # double-fold d2, argmin via struct-min (map-side combinable; ties ->
+    # lowest code)
     cand = _subspaces(e, "cand_id")
     codes = (
         cand.join(F.broadcast(cb.withColumnRenamed("sub", "cb_sub")), "s")
@@ -139,7 +143,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cand_id",
             "s",
             F.struct(
-                _d2_dec(F.col("sub"), F.col("cb_sub")).alias("d2"),
+                _d2(F.col("sub"), F.col("cb_sub")).alias("d2"),
                 F.col("code").alias("code"),
             ).alias("dc"),
         )
@@ -156,7 +160,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "s",
             "code",
-            _d2_dec(F.col("sub"), F.col("cb_sub")).alias("d2"),
+            _d2(F.col("sub"), F.col("cb_sub")).alias("d2"),
         )
     )
 
@@ -164,7 +168,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.join(F.broadcast(qd), ["s", "code"])
         .filter(F.col("cand_id") != F.col("query_id"))
         .groupBy("query_id", "cand_id")
-        .agg(F.sum("d2").alias("ad2"))
+        .agg(F.sum(F.col("d2").cast("decimal(20,10)")).alias("ad2"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("ad2"), F.asc("cand_id"))
     return (
