@@ -62,6 +62,9 @@ _DRIVER_PRIORITY = (
     "text_zipf_slope",
     "text_hapax_ratio",
     "sketch_rollup_hourly_daily",
+    "text_bigram_logprob",
+    "events_value_histogram",
+    "documents_quality_classifier",
     # round-3 session additions: timeseries gap-fill, corpus passes,
     # analytics, quantization, layout, QUALIFY
     "events_gapfill_locf",

@@ -456,3 +456,94 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("merge_action"),
     ).orderBy("custkey")
+
+
+# --------------------------------------------------------------- histogram
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi, count(*) AS n
+      FROM events GROUP BY event_type
+    ),
+    binned AS (
+      SELECT e.event_type,
+             CAST(least(19, greatest(0, floor(
+               (e.value - b.lo) / ((b.hi - b.lo) / 20)))) AS INTEGER)
+               AS bin,
+             b.lo, b.hi, b.n
+      FROM events e JOIN b USING (event_type)
+      WHERE b.hi > b.lo
+    )
+    SELECT event_type, bin,
+           floor((lo + bin * ((hi - lo) / 20)) * 10000 + 0.5) / 10000
+             AS bin_lo,
+           count(*) AS cnt,
+           floor(count(*) * 1.0 / n * 10000 + 0.5) / 10000 AS frac
+    FROM binned
+    GROUP BY event_type, bin, lo, hi, n
+    ORDER BY event_type, bin
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram per series (the `width_bucket` /
+    Postgres histogram shape, data-driven bounds): pass 1 computes
+    per-series min/max/count, pass 2 bins every value against the
+    broadcast bounds — two shuffles, both map-side combinable, no sort.
+
+    Determinism: bin index is floor of a double ratio computed from the
+    same exact min/max in both engines; edge values clamp into [0, 19]
+    (the hi value itself lands in the last bin, as width_bucket does).
+    Bin edges and fractions are floor-rounded to 4 decimals.
+
+    At 100 TB this is the canonical NDV-cheap profiling pass: bounds from
+    the first aggregate (or from table statistics for free), a narrow
+    binning projection, and a (series, bin)-keyed count whose cardinality
+    is series x 20 regardless of input size.
+    """
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    width = (F.col("lo") + F.col("bin") * ((F.col("hi") - F.col("lo")) / 20))
+    binned = (
+        e.join(F.broadcast(b), "event_type")
+        .filter(F.col("hi") > F.col("lo"))
+        .select(
+            "event_type",
+            "lo",
+            "hi",
+            "n",
+            F.least(
+                F.lit(19),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("value") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / 20)
+                    ),
+                ),
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+    )
+    return (
+        binned.groupBy("event_type", "bin", "lo", "hi", "n")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "event_type",
+            "bin",
+            (F.floor(width * 10000 + 0.5) / 10000).alias("bin_lo"),
+            "cnt",
+            (
+                F.floor(F.col("cnt") * 1.0 / F.col("n") * 10000 + 0.5)
+                / 10000
+            ).alias("frac"),
+        )
+        .orderBy("event_type", "bin")
+    )

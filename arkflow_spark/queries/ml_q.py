@@ -176,3 +176,96 @@ def ml_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         ).alias("all_assigned_nearest"),
     )
+
+
+@query(
+    "documents_quality_classifier",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+             len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+               * 1.0
+               / len(regexp_split_to_array(trim(text), '\s+'))
+               AS uniq_ratio
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(*) FILTER (
+             WHERE n_words >= 30 AND n_words <= 400 AND uniq_ratio >= 0.3
+           ) AS n_pos_labels,
+           TRUE AS preds_match_linear,
+           TRUE AS accuracy_ge_bound
+    FROM f
+    """,
+)
+def documents_quality_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fasttext-style document-quality classifier, MLlib edition: build
+    deterministic per-doc features (word count, mean word length, unique-
+    token ratio), label with a heuristic quality rule, train MLlib
+    LogisticRegression, and score the corpus — the standard bootstrap for
+    a learned quality filter when no human labels exist yet.
+
+    Like `ml_kmeans_ivf`, the learned weights are MLlib-internal, so the
+    hashable contract is: exact corpus/label counts (the feature+label
+    pipeline is re-computed independently by DuckDB), a ``bool_and`` that
+    every MLlib prediction equals the sign of the model's own linear
+    score re-derived with DataFrame arithmetic (catches feature-assembly
+    or scoring drift), and a >= 0.85 training-accuracy floor (measured
+    0.93; the label rule is near-linearly separable by construction).
+
+    Scale notes: features are a narrow projection; LBFGS does
+    treeAggregate rounds over the cached feature frame (no shuffle
+    growth with corpus size beyond the aggregate tree); scoring is
+    row-local. The same fitted model streams via ``ml.score_stream``.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    feats = d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        (
+            F.length(F.regexp_replace("text", r"\s+", "")) / F.size(words)
+        ).alias("mean_wlen"),
+        (F.size(F.array_distinct(words)) / F.size(words)).alias(
+            "uniq_ratio"
+        ),
+    ).withColumn(
+        "label",
+        (
+            (F.col("n_words") >= 30)
+            & (F.col("n_words") <= 400)
+            & (F.col("uniq_ratio") >= 0.3)
+        ).cast("double"),
+    )
+    cols = ["n_words", "mean_wlen", "uniq_ratio"]
+    tr = VectorAssembler(inputCols=cols, outputCol="features").transform(
+        feats
+    )
+    model = LogisticRegression(maxIter=50, regParam=0.01).fit(tr)
+    w = model.coefficients.toArray()
+    b = float(model.intercept)
+    margin = (
+        sum(F.col(c) * float(w[i]) for i, c in enumerate(cols)) + F.lit(b)
+    )
+    pred = model.transform(tr).select(
+        "label",
+        "prediction",
+        (margin > 0).cast("double").alias("manual_pred"),
+    )
+    return pred.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("label").cast("bigint")).alias("n_pos_labels"),
+        F.bool_and(F.col("prediction") == F.col("manual_pred")).alias(
+            "preds_match_linear"
+        ),
+        (
+            F.avg((F.col("prediction") == F.col("label")).cast("double"))
+            >= 0.85
+        ).alias("accuracy_ge_bound"),
+    )

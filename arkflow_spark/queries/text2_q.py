@@ -135,3 +135,105 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+      FROM documents
+    ),
+    tokpos AS (
+      SELECT doc_id, i, words[i] AS tok,
+             CASE WHEN i > 1 THEN words[i - 1] END AS pw
+      FROM w, unnest(generate_series(1, len(words))) t(i)
+    ),
+    uni AS (SELECT tok, count(*) AS c FROM tokpos GROUP BY tok),
+    tot AS (SELECT sum(c) AS n FROM uni),
+    big AS (
+      SELECT pw, tok, count(*) AS c2 FROM tokpos
+      WHERE pw IS NOT NULL GROUP BY pw, tok
+    ),
+    ctx AS (SELECT pw, sum(c2) AS cctx FROM big GROUP BY pw),
+    scored AS (
+      SELECT t.doc_id,
+             ROUND(-log(
+               CASE WHEN t.pw IS NULL THEN uni.c * 1.0 / tot.n
+                    ELSE 0.75 * (big.c2 * 1.0 / ctx.cctx)
+                         + 0.25 * (uni.c * 1.0 / tot.n) END
+             ) / log(2), 6) AS nll
+      FROM tokpos t
+      JOIN uni ON t.tok = uni.tok
+      CROSS JOIN tot
+      LEFT JOIN big ON t.pw = big.pw AND t.tok = big.tok
+      LEFT JOIN ctx ON t.pw = ctx.pw
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) AS total_nll,
+           floor(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS avg_nll_bits
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring (the KenLM-lite step up from
+    `text_unigram_logprob`): train corpus bigram + unigram tables in two
+    aggregations, score each token with 0.75*P(w|prev) + 0.25*P(w), and
+    roll up per-document average negative log2-likelihood — the classic
+    CCNet/Wikipedia-LM quality filter shape.
+
+    The bigram extraction is NARROW: tokens come from posexplode over the
+    split array and the previous token is element_at(arr, pos) — no
+    window, no per-document shuffle. Three shuffles total (bigram counts,
+    unigram counts, doc rollup); both LM tables are vocabulary-scaled and
+    broadcast back onto the token stream. Per-token NLL is rounded to 6
+    decimals and decimal-summed so engines agree despite token order.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    )
+    tok = words.select(
+        "doc_id",
+        F.posexplode("words").alias("pos", "tok"),
+        F.col("words"),
+    ).select(
+        "doc_id",
+        "tok",
+        # posexplode pos is 0-based; element_at is 1-based, so
+        # element_at(words, pos) IS the previous token when pos >= 1
+        F.when(F.col("pos") >= 1, F.element_at("words", F.col("pos")))
+        .alias("pw"),
+    )
+    uni = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = uni.agg(F.sum("c").alias("n"))
+    big = (
+        tok.filter(F.col("pw").isNotNull())
+        .groupBy("pw", "tok")
+        .agg(F.count("*").alias("c2"))
+    )
+    ctx = big.groupBy("pw").agg(F.sum("c2").alias("cctx"))
+    p_uni = F.col("c") * 1.0 / F.col("n")
+    p = F.when(F.col("pw").isNull(), p_uni).otherwise(
+        0.75 * (F.col("c2") * 1.0 / F.col("cctx")) + 0.25 * p_uni
+    )
+    scored = (
+        tok.join(F.broadcast(uni), "tok")
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(big), ["pw", "tok"], "left")
+        .join(F.broadcast(ctx), ["pw"], "left")
+        .select("doc_id", F.round(-F.log2(p), 6).alias("nll"))
+    )
+    dec = F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            dec.alias("total_nll"),
+            (F.floor(dec / F.count("*") * 10000 + 0.5) / 10000).alias(
+                "avg_nll_bits"
+            ),
+        )
+        .orderBy("doc_id")
+    )

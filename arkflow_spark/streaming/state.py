@@ -433,3 +433,81 @@ def windowed_topk_stream(
         )
 
     return agg, rank_batch
+
+def counter_rate_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming PromQL-style counter ``increase``: per key, each sample's
+    delta from the previous sample counts toward the running increase; a
+    negative delta is a counter reset, so the post-reset absolute value is
+    the increase (same semantics as the batch `events_counter_rate`
+    query). State is one (last_value, cumulative_increase) pair per key —
+    O(1) forever, no watermark needed for cleanup.
+
+    Rows fold in ``ts_col`` order within each micro-batch (stable sort);
+    cross-batch order is the source's delivery order, as with
+    `ewma_stream`.
+    """
+
+    out_schema = (
+        f"{key_col} STRING, {ts_col} TIMESTAMP, {value_col} DOUBLE, "
+        "increase DOUBLE, cum_increase DOUBLE"
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            prev, cum = state.get
+        else:
+            prev, cum = None, 0.0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(ts_col, kind="stable")
+            incs, cums = [], []
+            for v in batch[value_col]:
+                v = float(v)
+                if prev is None:
+                    inc = 0.0
+                elif v >= prev:
+                    inc = v - prev
+                else:  # counter reset
+                    inc = v
+                prev = v
+                cum += inc
+                incs.append(inc)
+                cums.append(cum)
+            out = pd.DataFrame(
+                {
+                    key_col: key[0],
+                    ts_col: batch[ts_col].values,
+                    value_col: batch[value_col].values,
+                    "increase": incs,
+                    "cum_increase": cums,
+                }
+            )
+            state.update((prev, cum))
+            yield out
+        else:
+            yield pd.DataFrame(
+                columns=[
+                    key_col,
+                    ts_col,
+                    value_col,
+                    "increase",
+                    "cum_increase",
+                ]
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="last_value DOUBLE, cum_increase DOUBLE",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -631,3 +631,61 @@ def test_stream_windowed_topk_append_mode(spark, tmp_path):
     assert got[("2024-01-01 00:10:00", 2)] == ("a", 1)
     # the 00:30 window is NOT finalized (watermark still inside it)
     assert all(not ws.startswith("2024-01-01 00:30") for ws, _ in got)
+
+
+def test_stream_counter_rate_resets_across_batches(spark, tmp_path):
+    """Streaming counter increase must carry last_value/cum across
+    micro-batches and count a mid-stream counter reset as the post-reset
+    absolute value — matching the batch events_counter_rate semantics."""
+    from arkflow_spark.streaming.state import counter_rate_stream
+
+    src = str(tmp_path / "rate_src")
+    series1 = [10.0, 15.0, 25.0]          # increases: 0, 5, 10
+    series2 = [3.0, 9.0]                  # reset -> 3, then 6
+    mk = lambda rows: (
+        spark.createDataFrame(rows, "id BIGINT, ts STRING, k STRING, v DOUBLE")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
+    )
+    rows = lambda vals, off: [
+        (i + off, f"2024-01-01 00:{i + off:02d}:00", "c", v)
+        for i, v in enumerate(vals)
+    ]
+    mk(rows(series1, 0)).write.mode("append").parquet(src)
+
+    collected = []
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema(
+                "id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE"
+            ).parquet(src)
+        )
+        out = counter_rate_stream(sdf, "k", "ts", "v")
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "rate_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    mk(rows(series2, 3)).write.mode("append").parquet(src)
+    run_once()  # restart from checkpoint: last_value must resume
+
+    got = sorted(
+        ((r["v"], r["increase"], r["cum_increase"]) for r in collected)
+    )
+    want = sorted(
+        [
+            (10.0, 0.0, 0.0),
+            (15.0, 5.0, 5.0),
+            (25.0, 10.0, 15.0),
+            (3.0, 3.0, 18.0),   # reset detected against checkpointed 25.0
+            (9.0, 6.0, 24.0),
+        ]
+    )
+    assert got == want
