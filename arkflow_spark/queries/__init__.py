@@ -65,6 +65,9 @@ _DRIVER_PRIORITY = (
     "text_bigram_logprob",
     "events_value_histogram",
     "documents_quality_classifier",
+    "events_changepoint_score",
+    "customer_rfm_segments",
+    "scalar_lambda_higher_order",
     # round-3 session additions: timeseries gap-fill, corpus passes,
     # analytics, quantization, layout, QUALIFY
     "events_gapfill_locf",

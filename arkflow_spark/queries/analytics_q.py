@@ -547,3 +547,203 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bin")
     )
+
+
+# ------------------------------------------------------------ changepoints
+
+
+@query(
+    "events_changepoint_score",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, ts, event_id, value,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+               AS sum_before,
+             COUNT(*) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS n_before,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS DOUBLE)
+               AS sum_after,
+             COUNT(*) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS n_after
+      FROM events
+    ),
+    scored AS (
+      SELECT event_type, ts, event_id,
+             floor(abs(sum_after / n_after - sum_before / n_before)
+                   * 10000 + 0.5) / 10000 AS shift_score
+      FROM s WHERE n_before = 8 AND n_after = 8
+    )
+    SELECT event_type, strftime(ts, '{DUCK_TS_FMT}') AS ts, shift_score,
+           rnk
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY shift_score DESC, ts, event_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 5
+    ORDER BY event_type, rnk
+    """,
+)
+def events_changepoint_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift changepoint scoring: for every position in each
+    series, compare the mean of the 8 samples before against the 8
+    samples from here on; the top-5 largest window-mean shifts per series
+    are the changepoint candidates (the two-window scan statistic —
+    the window-arithmetic core of CUSUM/PELT-style detectors, which at
+    scale run as this exact pre-scoring pass plus a driver-side refine
+    on the tiny candidate set).
+
+    One shuffle on the series key serves all four frame aggregates (same
+    partitioning/ordering -> a single Window node); ranking on the
+    floor-rounded score keeps cross-engine ordering identical; boundary
+    positions (incomplete frames) are excluded exactly.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    before = w.rowsBetween(-8, -1)
+    after = w.rowsBetween(0, 7)
+    dsum = lambda fr: F.sum(F.col("value").cast("decimal(18,6)")).over(
+        fr
+    ).cast("double")
+    s = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        dsum(before).alias("sum_before"),
+        F.count("*").over(before).alias("n_before"),
+        dsum(after).alias("sum_after"),
+        F.count("*").over(after).alias("n_after"),
+    ).filter((F.col("n_before") == 8) & (F.col("n_after") == 8))
+    scored = s.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            F.floor(
+                F.abs(
+                    F.col("sum_after") / F.col("n_after")
+                    - F.col("sum_before") / F.col("n_before")
+                )
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("shift_score"),
+    )
+    rw = Window.partitionBy("event_type").orderBy(
+        F.desc("shift_score"), F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "event_type",
+            F.date_format("ts", SPARK_TS_FMT).alias("ts"),
+            "shift_score",
+            "rnk",
+        )
+        .orderBy("event_type", "rnk")
+    )
+
+
+# --------------------------------------------------------------------- RFM
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH maxd AS (SELECT max(o_orderdate) AS d FROM orders),
+    base AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT d FROM maxd))
+               AS recency_days,
+             count(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT *,
+             ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m
+      FROM base
+    )
+    SELECT r, f, m,
+           count(*) AS n_customers,
+           CAST(SUM(CAST(monetary AS DECIMAL(18,6))) AS DOUBLE)
+             AS segment_revenue
+    FROM scored
+    GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency (days since last
+    order, against the corpus max date), frequency, and exact-decimal
+    monetary value, each quintiled (deterministic o_custkey tie-break),
+    rolled up to segment sizes and revenue.
+
+    Scale notes: the customer aggregate is one shuffle; the three ntile
+    windows are global-order operations over the already-reduced
+    per-customer table (1 row per customer). At extreme customer counts
+    ntile's single-partition sort is the bottleneck — the percentile
+    route (quintile = width_bucket over percent_rank, computable per
+    partition range) removes it; here the reduced table is small enough
+    that the exact ntile is the honest construction. The max-date scalar
+    rides along as a broadcast single-row aggregate.
+    """
+    o = load(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("d"))
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("d"), F.col("last_order")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    r = F.ntile(5).over(
+        Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    )
+    f = F.ntile(5).over(
+        Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    )
+    m = F.ntile(5).over(
+        Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    )
+    scored = base.select(
+        "o_custkey",
+        "monetary",
+        r.alias("r"),
+        f.alias("f"),
+        m.alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("monetary").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("segment_revenue"),
+        )
+        .orderBy("r", "f", "m")
+    )

@@ -117,3 +117,67 @@ def scalar_format_number(spark: SparkSession, sf_dir: str) -> DataFrame:
         # explicit floor: bare double->int casts disagree across engines
         F.floor("o_totalprice").cast("int").alias("price_int_cast"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "scalar_lambda_higher_order",
+    oracle="""
+    WITH a AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS INTEGER))
+               AS ints
+      FROM embeddings WHERE vec_id < 50
+    )
+    SELECT vec_id,
+           list_transform(ints, x -> x * 2)[1] AS first_doubled,
+           len(list_filter(ints, x -> x > 0)) AS n_positive,
+           len(list_filter(ints, x -> x % 2 = 0)) > 0 AS any_even,
+           len(list_filter(ints, x -> abs(x) > 500)) = 0
+             AS all_within_500,
+           list_reduce(ints, (acc, x) -> acc + x) AS total,
+           list_reduce(
+             list_transform(list_zip(ints, list_reverse(ints)),
+                            p -> p[1] * p[2]),
+             (acc, x) -> acc + x) AS rev_dot
+    FROM a
+    ORDER BY vec_id
+    """,
+)
+def scalar_lambda_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas — transform / filter / exists / forall /
+    aggregate / zip_with — the Spark-side superset of the reference's
+    array-function table (docs/docs/sql/7-scalar_functions.md:2510-3984
+    lists ~45 concrete functions; lambdas compose them all). Verified
+    against DuckDB's list_transform/list_filter/list_reduce/list_zip on
+    integer-quantized vectors (exact arithmetic, no float drift).
+    """
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    ints = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 100 + 0.5).cast("int"),
+    )
+    a = e.select("vec_id", ints.alias("ints"))
+    return a.select(
+        "vec_id",
+        F.element_at(F.transform("ints", lambda x: x * 2), 1).alias(
+            "first_doubled"
+        ),
+        F.size(F.filter("ints", lambda x: x > 0)).alias("n_positive"),
+        F.exists("ints", lambda x: x % 2 == 0).alias("any_even"),
+        F.forall("ints", lambda x: F.abs(x) <= 500).alias(
+            "all_within_500"
+        ),
+        F.aggregate(
+            "ints", F.lit(0), lambda acc, x: acc + x
+        ).alias("total"),
+        F.aggregate(
+            F.zip_with(
+                "ints",
+                F.reverse("ints"),
+                lambda x, y: x * y,
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("rev_dot"),
+    ).orderBy("vec_id")
