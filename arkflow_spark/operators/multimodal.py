@@ -154,3 +154,58 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(fn, FRAME_SCHEMA)
+
+
+AUDIO_FRAMES_SCHEMA = (
+    "media_id BIGINT, frame_idx BIGINT, start BIGINT, n_samples INT,"
+    " rms DOUBLE, peak INT"
+)
+
+
+def frame_audio(df: DataFrame, frame: int = 400, hop: int = 160) -> DataFrame:
+    """Audio framing: treat the payload as 8-bit PCM and emit fixed-size
+    analysis windows (default 400 samples / 160 hop — 25ms/10ms at 16kHz)
+    with per-frame RMS and peak, the front half of every feature
+    extractor (MFCC/fbank) and VAD gate.
+
+    Real codec decode (wav/mp3) would replace ``np.frombuffer`` with the
+    soundfile/librosa load — not in this container; the framing, stride
+    math, and vectorized per-frame reduction ARE the production code.
+    Frames are strictly full (trailing partial samples dropped), so output
+    size is floor((n-frame)/hop)+1 rows per payload — deterministic and
+    oracle-checkable. RMS = sqrt(mean(v^2)) in exact int64 sums -> one
+    IEEE double division + sqrt, bit-identical cross-engine.
+    """
+    import numpy as np
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "frame_idx": [],
+                "start": [],
+                "n_samples": [],
+                "rms": [],
+                "peak": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = len(buf)
+                if n < frame:
+                    continue
+                n_frames = (n - frame) // hop + 1
+                for i in range(n_frames):
+                    win = buf[i * hop : i * hop + frame]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["start"].append(i * hop)
+                    out["n_samples"].append(frame)
+                    out["rms"].append(
+                        float(np.sqrt(int((win * win).sum()) / frame))
+                    )
+                    out["peak"].append(int(win.max()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, AUDIO_FRAMES_SCHEMA)

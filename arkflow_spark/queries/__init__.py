@@ -68,6 +68,7 @@ _DRIVER_PRIORITY = (
     "events_changepoint_score",
     "customer_rfm_segments",
     "scalar_lambda_higher_order",
+    "multimodal_audio_frames",
     # round-3 session additions: timeseries gap-fill, corpus passes,
     # analytics, quantization, layout, QUALIFY
     "events_gapfill_locf",

@@ -15,6 +15,7 @@ from arkflow_spark.operators.multimodal import (
     attach_fake_media,
     byte_stats,
     decode_image,
+    frame_audio,
     frame_sample,
 )
 from arkflow_spark.queries.base import query
@@ -89,3 +90,58 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_n_bytes=64, max_frames=8).orderBy(
         "media_id", "frame_idx"
     )
+
+
+@query(
+    "multimodal_audio_frames",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id < 40
+    ),
+    frames AS (
+      SELECT doc_id, text, f.i AS frame_idx, f.i * 80 AS start
+      FROM b, unnest(generate_series(
+             0, CAST((n - 200) // 80 AS BIGINT))) f(i)
+      WHERE n >= 200
+    ),
+    samples AS (
+      SELECT doc_id, frame_idx, start,
+             ascii(substr(text, CAST(start + s.j AS INTEGER), 1)) AS v
+      FROM frames, unnest(generate_series(1, 200)) s(j)
+    )
+    SELECT doc_id AS media_id, frame_idx, start,
+           CAST(200 AS INTEGER) AS n_samples,
+           floor(sqrt(SUM(v * v) * 1.0 / 200) * 10000 + 0.5) / 10000
+             AS rms_r,
+           CAST(MAX(v) AS INTEGER) AS peak
+    FROM samples
+    GROUP BY doc_id, frame_idx, start
+    ORDER BY media_id, frame_idx
+    """,
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame windowing + per-frame RMS/peak over binary payloads
+    (operators/multimodal.frame_audio — here 200-sample windows, 80 hop,
+    scaled to the fixture's payload sizes; production default 400/160 is
+    the 25ms/10ms 16kHz analysis grid). The fake-media fixture makes payload
+    bytes the document's ASCII codes, so DuckDB re-derives every frame's
+    exact int sample values and the RMS reduction is verified end to end
+    through the real mapInPandas plumbing.
+
+    Scale notes: framing is narrow (each payload expands locally by
+    n/hop; no shuffle until the output sort); the vectorized per-frame
+    reduction runs inside the Arrow batch. A real codec swaps into the
+    same operator without touching the plan.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    media = attach_fake_media(d, text_col="text", id_col="doc_id")
+    frames = frame_audio(media, frame=200, hop=80)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "start",
+        "n_samples",
+        (F.floor(F.col("rms") * 10000 + 0.5) / 10000).alias("rms_r"),
+        "peak",
+    ).orderBy("media_id", "frame_idx")

@@ -44,6 +44,11 @@ PROBE_QUERIES = (
     "embedding_normalize_quantize",
     "ann_pq_topk",
     "dedup_incremental_snapshot",
+    # round-3 second-session corpus operators
+    "text_bigram_logprob",
+    "text_zipf_slope",
+    "text_hapax_ratio",
+    "documents_quality_classifier",
 )
 # relational shapes: facts scale 10x (offset keys keep joins consistent),
 # dims stay fixed — the realistic 100 TB growth pattern
@@ -68,6 +73,15 @@ RELATIONAL_QUERIES = (
     "events_multires_rollup",
     "events_windowed_topk",
     "orders_merge_upsert",
+    # round-3 second-session relational/timeseries operators
+    "join_lateral_topk",
+    "distinct_on_latest",
+    "events_ohlc_bars",
+    "events_counter_rate",
+    "events_value_histogram",
+    "events_changepoint_score",
+    "customer_rfm_segments",
+    "sketch_rollup_hourly_daily",
 )
 
 
