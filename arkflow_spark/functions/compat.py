@@ -174,6 +174,13 @@ REWRITE_TEMPLATES: dict[str, tuple[int, str] | list[tuple[int, str]]] = {
         "slice({0}, array_position({0}, {1}) + 1,"
         " size({0}) - array_position({0}, {1}))) ELSE {0} END",
     ),
+    # first-N-occurrence remove/replace (reference :3280 array_remove_n,
+    # :3382 array_replace_n): occurrence index = matches in the prefix
+    # (O(n^2) per array, exact; arrays here are row-local and small)
+    "array_remove_n": (3, "transform(filter(transform({0}, (e, i) -> named_struct('e', e, 'occ', size(filter(slice({0}, 1, i + 1), x -> x <=> {1})))), s -> NOT (s.e <=> {1} AND s.occ <= {2})), s -> s.e)"),
+    "list_remove_n": (3, "transform(filter(transform({0}, (e, i) -> named_struct('e', e, 'occ', size(filter(slice({0}, 1, i + 1), x -> x <=> {1})))), s -> NOT (s.e <=> {1} AND s.occ <= {2})), s -> s.e)"),
+    "array_replace_n": (4, "transform({0}, (e, i) -> CASE WHEN e <=> {1} AND size(filter(slice({0}, 1, i + 1), x -> x <=> {1})) <= {3} THEN {2} ELSE e END)"),
+    "list_replace_n": (4, "transform({0}, (e, i) -> CASE WHEN e <=> {1} AND size(filter(slice({0}, 1, i + 1), x -> x <=> {1})) <= {3} THEN {2} ELSE e END)"),
     "array_replace": (
         3,
         "transform({0}, (e, i) -> CASE WHEN i + 1 ="

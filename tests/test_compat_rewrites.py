@@ -28,6 +28,14 @@ CASES = [
     ("array_has_any(array(1, 2), array(9, 2))", True),
     ("list_has_any(array(1, 2), array(8, 9))", False),
     ("array_pop_back(array(1, 2, 3))", [1, 2]),
+    # reference :3280 array_remove_n / :3382 array_replace_n examples
+    ("array_remove_n(array(1, 2, 2, 3, 2, 1, 4), 2, 2)", [1, 3, 2, 1, 4]),
+    ("list_remove_n(array(1, 2, 2), 2, 5)", [1]),
+    (
+        "array_replace_n(array(1, 2, 2, 3, 2, 1, 4), 2, 9, 2)",
+        [1, 9, 9, 3, 2, 1, 4],
+    ),
+    ("list_replace_n(array('a', 'b', 'a'), 'a', 'z', 1)", ["z", "b", "a"]),
     ("list_pop_back(array(1))", []),
     ("array_pop_front(array(1, 2, 3))", [2, 3]),
     ("list_pop_front(array(1))", []),
@@ -179,8 +187,7 @@ def test_every_documented_function_resolves(spark):
     }
     DOCUMENTED_UNMAPPED = {
         # no faithful Spark expression; see compat.py comment block
-        "array_remove_n", "array_replace_n", "list_remove_n",
-        "list_replace_n", "union_extract",
+        "union_extract",
         "approx_percentile_cont_with_weight",
         # no Spark builtin: vectorized pandas UDFs in queries/udf_q.py
         "gcd", "lcm",
