@@ -69,6 +69,7 @@ _DRIVER_PRIORITY = (
     "customer_rfm_segments",
     "scalar_lambda_higher_order",
     "multimodal_audio_frames",
+    "sketch_sliding_distinct",
     # round-3 session additions: timeseries gap-fill, corpus passes,
     # analytics, quantization, layout, QUALIFY
     "events_gapfill_locf",

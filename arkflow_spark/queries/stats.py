@@ -520,3 +520,90 @@ def sketch_rollup_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "sketch_sliding_distinct",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, user_id FROM events
+    ),
+    win AS (
+      SELECT event_type, h + to_hours(o.off) AS window_end, user_id
+      FROM e, unnest(generate_series(0, 5)) o(off)
+    )
+    SELECT event_type,
+           strftime(window_end, '%Y-%m-%d %H:%M:%S') AS window_end,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS merged_within_bound
+    FROM win
+    GROUP BY event_type, window_end
+    ORDER BY event_type, window_end
+    """,
+)
+def sketch_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users (6-hour window, 1-hour slide) from
+    MERGED HOURLY SKETCHES: each hourly HLL contributes to the 6 windows
+    it falls in, so the slide costs a 6x fan-out of the tiny hourly
+    sketch table — never a re-read or re-explode of raw events. This is
+    the sliding-distinct pattern exact counts cannot sustain at scale:
+    distincts don't subtract, sketches re-merge.
+
+    The oracle computes the exact sliding distincts (raw events exploded
+    into their 6 windows — affordable at verification scale, the very
+    cost the sketch path avoids) and expects every merged estimate
+    within 5% (≈3x HLL lgK=12 error).
+    """
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+    )
+    slid = hourly.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("off"),
+        "h",
+        "sk",
+    ).select(
+        "event_type",
+        (F.col("h") + F.make_interval(hours=F.col("off"))).alias(
+            "window_end"
+        ),
+        "sk",
+    )
+    merged = slid.groupBy("event_type", "window_end").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = (
+        e.select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(5))).alias("off"),
+            F.date_trunc("hour", "ts").alias("h"),
+            "user_id",
+        )
+        .select(
+            "event_type",
+            (F.col("h") + F.make_interval(hours=F.col("off"))).alias(
+                "window_end"
+            ),
+            "user_id",
+        )
+        .groupBy("event_type", "window_end")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        merged.join(exact, ["event_type", "window_end"])
+        .select(
+            "event_type",
+            F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_end"
+            ),
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("merged_within_bound"),
+        )
+        .orderBy("event_type", "window_end")
+    )

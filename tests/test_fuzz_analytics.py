@@ -22,6 +22,13 @@ EVENT_QUERIES = (
     "events_retention_cohort",
     "events_multires_rollup",
     "events_windowed_topk",
+    # round-3 second session: OHLC boundary picks on duplicate
+    # timestamps, counter resets, degenerate histograms (hi == lo),
+    # changepoint frames that never fill
+    "events_ohlc_bars",
+    "events_counter_rate",
+    "events_value_histogram",
+    "events_changepoint_score",
 )
 ORDER_QUERIES = ("orders_scd2_history", "orders_merge_upsert")
 
