@@ -388,57 +388,68 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(v*1e6)*coef — the sign (the LSH bit) is bit-identical in Spark
     and DuckDB, so both engines build the same buckets.
 
-    Scale notes: signatures are one narrow pass + one groupBy(vec_id,
-    plane) with map-side partials (or a single mapInPandas at width 64);
-    the candidate join is capped by band-bucket size exactly like
-    dedup_minhash_lsh; the exact-cosine verify touches candidates only.
+    Scale notes: signatures are a SINGLE narrow zero-shuffle pass — the
+    hyperplane coefficients are literal arrays (md5-derived, no RNG), so
+    all N_PLANES projections fold inside one projection stage, and the
+    only exchange before the candidate join is the band explode (4
+    rows/vector). The candidate join is capped by band-bucket size
+    exactly like dedup_minhash_lsh; the exact-cosine verify touches
+    distinct candidates only (output-bound — see SCALE.md).
     """
+    import hashlib
+
     e = load(spark, sf_dir, "embeddings")
-    x = e.select(
-        "vec_id", F.posexplode("embedding").alias("i0", "vf")
-    ).select(
-        "vec_id",
-        (F.col("i0") + 1).alias("i"),
-        F.round(F.col("vf").cast("double") * 1000000).cast("bigint").alias("vs"),
+    # Hyperplane coefficients are a pure function of (p, i) — md5("rp-p-i"),
+    # identical to the oracle's derivation — so they are materialized as
+    # LITERAL arrays and every projection runs as a narrow zero-shuffle
+    # fold over the vector. (Previous shape exploded 64 dims x N_PLANES
+    # rows per vector through a groupBy — the dominant scan cost at 10x.)
+    coefs = [
+        [
+            int(hashlib.md5(f"rp-{p}-{i}".encode()).hexdigest()[:8], 16)
+            % 2001
+            - 1000
+            for i in range(1, 65)
+        ]
+        for p in range(N_PLANES)
+    ]
+    vs = F.transform(
+        "embedding",
+        lambda v: F.round(v.cast("double") * 1000000).cast("bigint"),
     )
-    planes = (
-        spark.range(N_PLANES)
-        .select(F.col("id").alias("p"))
-        .crossJoin(spark.range(1, 65).select(F.col("id").alias("i")))
-        .select(
-            "p",
-            "i",
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit("rp-"), "p", F.lit("-"), "i")), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % 2001
-                - 1000
-            ).alias("coef"),
-        )
-    )
-    bits = (
-        x.join(F.broadcast(planes), "i")
-        .groupBy("vec_id", "p")
-        .agg(
-            F.when(F.sum(F.col("vs") * F.col("coef")) > 0, 1)
-            .otherwise(0)
-            .alias("bit")
-        )
+
+    def _bit(p: int) -> F.Column:
+        # exact int64 dot with the plane's literal coefficients; order-free
+        return F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__vs"),
+                    F.array(*[F.lit(c) for c in coefs[p]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, t: acc + t,
+            )
+            > 0,
+            "1",
+        ).otherwise("0")
+
+    n_bands = N_PLANES // PLANE_BAND
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"),
+                F.concat(
+                    *[_bit(b * PLANE_BAND + j) for j in range(PLANE_BAND)]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
     )
     bands = (
-        bits.groupBy(
-            "vec_id", (F.col("p") / PLANE_BAND).cast("bigint").alias("band")
-        )
-        .agg(
-            F.concat_ws(
-                "", F.transform(F.array_sort(F.collect_list(F.struct("p", "bit"))), lambda s: s["bit"].cast("string"))
-            ).alias("band_key")
-        )
+        e.select("vec_id", vs.alias("__vs"))
+        .select("vec_id", F.explode(band_structs).alias("bk"))
+        .select("vec_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
