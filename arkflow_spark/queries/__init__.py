@@ -70,6 +70,8 @@ _DRIVER_PRIORITY = (
     "scalar_lambda_higher_order",
     "multimodal_audio_frames",
     "sketch_sliding_distinct",
+    "events_concurrency_sweep",
+    "lineitem_copurchase_pairs",
     # round-3 session additions: timeseries gap-fill, corpus passes,
     # analytics, quantization, layout, QUALIFY
     "events_gapfill_locf",

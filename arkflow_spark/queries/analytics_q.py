@@ -747,3 +747,188 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r", "f", "m")
     )
+
+
+# -------------------------------------------------------- interval overlap
+
+
+@query(
+    "events_concurrency_sweep",
+    oracle=f"""
+    WITH iv AS (
+      SELECT event_type, ts AS s, ts + INTERVAL 5 MINUTE AS e
+      FROM events
+    ),
+    pts AS (
+      SELECT event_type, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS d FROM iv
+    ),
+    swept AS (
+      SELECT event_type, t,
+             SUM(d) OVER (PARTITION BY event_type
+                          ORDER BY t, d
+                          ROWS UNBOUNDED PRECEDING) AS live
+      FROM pts
+    )
+    SELECT event_type,
+           strftime(date_trunc('hour', t), '{{fmt}}') AS bucket,
+           max(live) AS peak_concurrency,
+           count(*) AS n_points
+    FROM swept
+    GROUP BY event_type, date_trunc('hour', t)
+    ORDER BY event_type, bucket
+    """.replace("{fmt}", "%Y-%m-%d %H:%M:%S"),
+)
+def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap concurrency: treat each event as a 5-minute
+    interval and compute peak concurrent intervals per (series, hour)
+    with the classic +1/-1 boundary sweep — a running sum over boundary
+    points, never an interval self-join (which is quadratic in overlap
+    density). Ordering by (t, d) with d ascending puts the -1 end marker
+    before the +1 start marker at an identical instant, so a
+    back-to-back end+start does NOT double-count.
+
+    One shuffle on the series key does the sweep; the hourly peak rollup
+    re-aggregates the swept points. At 100 TB the sweep stays a single
+    window pass — the same shape Postgres/kdb use for max-concurrent
+    sessions — and the boundary fan-out is exactly 2x input rows.
+    """
+    e = load(spark, sf_dir, "events")
+    iv = e.select(
+        "event_type",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    pts = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        iv.select(
+            "event_type", F.col("e").alias("t"), F.lit(-1).alias("d")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = pts.select(
+        "event_type", "t", F.sum("d").over(w).alias("live")
+    )
+    return (
+        swept.groupBy(
+            "event_type", F.date_trunc("hour", "t").alias("h")
+        )
+        .agg(
+            F.max("live").alias("peak_concurrency"),
+            F.count("*").alias("n_points"),
+        )
+        .select(
+            "event_type",
+            F.date_format("h", SPARK_TS_FMT).alias("bucket"),
+            "peak_concurrency",
+            "n_points",
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+# ------------------------------------------------------------ market basket
+
+
+@query(
+    "lineitem_copurchase_pairs",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM basket),
+    item AS (
+      SELECT l_partkey, COUNT(*) AS n_item FROM basket GROUP BY l_partkey
+    ),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_pair
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_pair,
+           floor(n_pair * 1.0 * n.n_orders
+                 / (ia.n_item * ib.n_item) * 10000 + 0.5) / 10000 AS lift,
+           rnk
+    FROM (
+      SELECT *, row_number() OVER (
+               ORDER BY n_pair DESC, part_a, part_b) AS rnk
+      FROM pair
+    ) p
+    JOIN item ia ON ia.l_partkey = p.part_a
+    JOIN item ib ON ib.l_partkey = p.part_b
+    CROSS JOIN n
+    WHERE rnk <= 20
+    ORDER BY rnk
+    """,
+)
+def lineitem_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top-20 part pairs bought in the same
+    order, with lift (= P(a,b) / (P(a)P(b))) from the item marginals —
+    the a-priori first pass every recommender/affinity pipeline runs.
+
+    The pair generation self-joins the DISTINCT (order, item) basket on
+    the order key: fan-out is items-per-basket choose 2 (here <= 13 items
+    -> <= 78 pairs per order), NEVER corpus-quadratic — basket size, not
+    catalog size, bounds the explosion. Pair counts aggregate with
+    map-side partials; the top-20 is TakeOrderedAndProject; marginals
+    join broadcast onto 20 rows.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct().persist()
+    n = basket.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    item = basket.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a = basket.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a")
+    )
+    b = basket.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b")
+    )
+    pair = (
+        a.join(b, (a.o == b.o) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    top = pair.orderBy(
+        F.desc("n_pair"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)
+    rw = Window.orderBy(F.desc("n_pair"), F.asc("part_a"), F.asc("part_b"))
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        top.withColumn("rnk", F.row_number().over(rw))
+        .join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            (
+                F.floor(
+                    F.col("n_pair")
+                    * 1.0
+                    * F.col("n_orders")
+                    / (F.col("n_a") * F.col("n_b"))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("lift"),
+            "rnk",
+        )
+        .orderBy("rnk")
+    )
