@@ -32,6 +32,7 @@ for _mod in (
     "pq_q",
     "relational3",
     "text2_q",
+    "graph_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -72,6 +73,7 @@ _DRIVER_PRIORITY = (
     "sketch_sliding_distinct",
     "events_concurrency_sweep",
     "lineitem_copurchase_pairs",
+    "graph_pagerank_bipartite",
     # round-3 session additions: timeseries gap-fill, corpus passes,
     # analytics, quantization, layout, QUALIFY
     "events_gapfill_locf",
