@@ -74,6 +74,8 @@ _DRIVER_PRIORITY = (
     "events_concurrency_sweep",
     "lineitem_copurchase_pairs",
     "graph_pagerank_bipartite",
+    "events_markov_transitions",
+    "part_fuzzy_name_join",
     # round-3 session additions: timeseries gap-fill, corpus passes,
     # analytics, quantization, layout, QUALIFY
     "events_gapfill_locf",

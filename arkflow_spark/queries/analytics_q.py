@@ -932,3 +932,62 @@ def lineitem_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# ------------------------------------------------------- Markov transitions
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    t AS (
+      SELECT prev, event_type AS next, COUNT(*) AS n
+      FROM seq WHERE prev IS NOT NULL
+      GROUP BY prev, next
+    ),
+    row_tot AS (SELECT prev, SUM(n) AS tot FROM t GROUP BY prev)
+    SELECT t.prev, t.next, t.n,
+           floor(t.n * 1.0 / r.tot * 10000 + 0.5) / 10000 AS p
+    FROM t JOIN row_tot r ON r.prev = t.prev
+    ORDER BY t.prev, t.next
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the Sankey/user-journey source every product-analytics
+    stack computes): one lag window on the user key, transition counts,
+    and row-normalized probabilities.
+
+    Two exchanges — the sequence window on user_id and the (prev, next)
+    count (map-side combinable; the matrix is event-type², tiny at any
+    corpus size). Row totals re-aggregate the matrix itself, so the
+    normalization join is a broadcast of a #states-sized table.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    t = seq.groupBy(
+        "prev", F.col("event_type").alias("next")
+    ).agg(F.count("*").alias("n"))
+    tot = t.groupBy("prev").agg(F.sum("n").alias("tot"))
+    return (
+        t.join(F.broadcast(tot), "prev")
+        .select(
+            "prev",
+            "next",
+            "n",
+            (
+                F.floor(F.col("n") * 1.0 / F.col("tot") * 10000 + 0.5)
+                / 10000
+            ).alias("p"),
+        )
+        .orderBy("prev", "next")
+    )

@@ -100,3 +100,62 @@ def distinct_on_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         )
     )
+
+
+@query(
+    "part_fuzzy_name_join",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           a.n_parts AS parts_a, b.n_parts AS parts_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM names a JOIN names b
+      ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+     AND a.p_name < b.p_name
+     AND levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+    """,
+)
+def part_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (edit-distance) self-join on part names — the
+    entity-resolution workhorse: candidate pairs come from an equi-join
+    on a cheap blocking key (here the head noun), and the expensive
+    levenshtein predicate verifies only within blocks. All-pairs edit
+    distance is corpus-quadratic; blocking makes the cost
+    sum-of-block-sizes², which is what every dedupe/record-linkage
+    system (and the reference's levenshtein scalar, docs
+    7-scalar_functions.md:1113) is actually used for at scale.
+
+    The name table is pre-aggregated (distinct names + part counts), so
+    the join runs over entities, not rows; at 100 TB the same plan holds
+    with the block key salted if one noun dominates.
+    """
+    from pyspark.sql import functions as F
+
+    p = load(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count("*").alias("n_parts"))
+    noun = lambda c: F.element_at(F.split(F.col(c), " "), 2)
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("n_parts").alias("parts_a")
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("n_parts").alias("parts_b")
+    )
+    return (
+        a.join(
+            b,
+            (noun("name_a") == noun("name_b"))
+            & (F.col("name_a") < F.col("name_b"))
+            & (F.levenshtein("name_a", "name_b") <= 3),
+        )
+        .select(
+            "name_a",
+            "name_b",
+            "parts_a",
+            "parts_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .orderBy("name_a", "name_b")
+    )
