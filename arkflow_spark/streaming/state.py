@@ -511,3 +511,57 @@ def counter_rate_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+def funnel_stream(
+    df: DataFrame,
+    stages: list[str],
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+) -> DataFrame:
+    """Streaming ordered-funnel progression: per key, track the furthest
+    stage reached IN ORDER across micro-batches (the stateful twin of the
+    batch `events_funnel` query). Emits one row per stage advance —
+    (key, stage index/name, ts reached) — so downstream conversion rates
+    are a count per stage. State is a single (stage_idx, last_ts) pair
+    per key; a completed funnel stops advancing (idempotent).
+
+    Rows fold in ``ts_col`` order within each micro-batch; cross-batch
+    order is the source's delivery order (pair with watermarked sort
+    upstream if sources can deliver late data).
+    """
+
+    out_schema = (
+        f"{key_col} STRING, stage_idx INT, stage STRING, "
+        f"{ts_col} TIMESTAMP"
+    )
+    idx = {s: i for i, s in enumerate(stages)}
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        reached = state.get[0] if state.exists else -1
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        out = {key_col: [], "stage_idx": [], "stage": [], ts_col: []}
+        if len(batch):
+            batch = batch.sort_values(ts_col, kind="stable")
+            for ts, typ in zip(batch[ts_col], batch[type_col]):
+                nxt = reached + 1
+                if nxt < len(stages) and idx.get(typ) == nxt:
+                    reached = nxt
+                    out[key_col].append(key[0])
+                    out["stage_idx"].append(nxt)
+                    out["stage"].append(stages[nxt])
+                    out[ts_col].append(ts)
+            state.update((reached,))
+        yield pd.DataFrame(out)
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="stage_idx INT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

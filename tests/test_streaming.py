@@ -689,3 +689,60 @@ def test_stream_counter_rate_resets_across_batches(spark, tmp_path):
         ]
     )
     assert got == want
+
+
+def test_stream_funnel_progression_across_batches(spark, tmp_path):
+    """Streaming funnel must carry the furthest-stage state across
+    micro-batches: a user who viewed in batch 1 converts on the click +
+    purchase arriving in batch 2, and out-of-order stages don't advance."""
+    from arkflow_spark.streaming.state import funnel_stream
+
+    src = str(tmp_path / "fun_src")
+    mk = lambda rows: (
+        spark.createDataFrame(
+            rows, "id BIGINT, ts STRING, k STRING, typ STRING"
+        )
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
+    )
+    batch1 = [
+        (0, "2024-01-01 00:00:00", "u1", "view"),
+        (1, "2024-01-01 00:01:00", "u2", "click"),   # out of order: no view
+    ]
+    batch2 = [
+        (2, "2024-01-01 00:02:00", "u1", "click"),
+        (3, "2024-01-01 00:03:00", "u1", "purchase"),
+        (4, "2024-01-01 00:04:00", "u2", "view"),
+    ]
+    mk(batch1).write.mode("append").parquet(src)
+
+    collected = []
+
+    def run_once():
+        sdf = spark.readStream.schema(
+            "id BIGINT, ts TIMESTAMP, k STRING, typ STRING"
+        ).parquet(src)
+        out = funnel_stream(
+            sdf, ["view", "click", "purchase"], "k", "ts", "typ"
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "fun_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    mk(batch2).write.mode("append").parquet(src)
+    run_once()
+
+    got = sorted((r["k"], r["stage_idx"], r["stage"]) for r in collected)
+    assert got == [
+        ("u1", 0, "view"),      # batch 1
+        ("u1", 1, "click"),     # batch 2, resumed from state
+        ("u1", 2, "purchase"),
+        ("u2", 0, "view"),      # u2's early click never counted
+    ]
