@@ -76,6 +76,7 @@ _DRIVER_PRIORITY = (
     "graph_pagerank_bipartite",
     "events_markov_transitions",
     "part_fuzzy_name_join",
+    "documents_dsir_weights",
     # round-3 session additions: timeseries gap-fill, corpus passes,
     # analytics, quantization, layout, QUALIFY
     "events_gapfill_locf",

@@ -237,3 +237,95 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "documents_dsir_weights",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents
+    ),
+    tgt AS (
+      SELECT w, count(*) AS c FROM tok WHERE lang = 'en' GROUP BY w
+    ),
+    raw AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tn AS (SELECT sum(c) AS n FROM tgt),
+    rn AS (SELECT sum(c) AS n FROM raw),
+    vv AS (SELECT count(*) AS v FROM raw),
+    scored AS (
+      SELECT t.doc_id,
+             ROUND(log(
+               ((coalesce(g.c, 0) + 1.0) / (tn.n + vv.v))
+               / ((r.c + 1.0) / (rn.n + vv.v))
+             ) / log(2), 6) AS lr
+      FROM tok t
+      JOIN raw r ON r.w = t.w
+      LEFT JOIN tgt g ON g.w = t.w
+      CROSS JOIN tn CROSS JOIN rn CROSS JOIN vv
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(SUM(CAST(lr AS DECIMAL(18,6))) AS DOUBLE) AS log_ratio,
+           floor(CAST(SUM(CAST(lr AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS avg_log_ratio
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def documents_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling): score every document by the log-likelihood ratio of a
+    TARGET-domain unigram LM (here the `lang='en'` slice) against the
+    RAW-corpus LM, add-one smoothed over the shared vocabulary — the
+    standard recipe for up-sampling target-like data in a pretraining
+    mix. Positive avg log-ratio = looks like target; the weights feed
+    the hash-ranked sampler in `documents_domain_mixture`.
+
+    Shape: both LMs are token-count aggregates (map-side combinable);
+    the raw LM table is vocabulary-sized and broadcast back onto the
+    token stream with a LEFT join for the target side (unseen-in-target
+    tokens get the smoothing floor). Per-token ratios are rounded to 6
+    decimals and decimal-summed per doc — deterministic cross-engine.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count("*").alias("tc"))
+    )
+    raw = tok.groupBy("w").agg(F.count("*").alias("rc"))
+    tn = tgt.agg(F.sum("tc").alias("tn"))
+    rn = raw.agg(F.sum("rc").alias("rn"))
+    vv = raw.agg(F.count("*").alias("v"))
+    lr = F.round(
+        F.log2(
+            ((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (F.col("tn") + F.col("v")))
+            / ((F.col("rc") + 1.0) / (F.col("rn") + F.col("v")))
+        ),
+        6,
+    ).alias("lr")
+    scored = (
+        tok.join(F.broadcast(raw), "w")
+        .join(F.broadcast(tgt), "w", "left")
+        .crossJoin(F.broadcast(tn))
+        .crossJoin(F.broadcast(rn))
+        .crossJoin(F.broadcast(vv))
+        .select("doc_id", lr)
+    )
+    dec = F.sum(F.col("lr").cast("decimal(18,6)")).cast("double")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            dec.alias("log_ratio"),
+            (F.floor(dec / F.count("*") * 10000 + 0.5) / 10000).alias(
+                "avg_log_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
