@@ -45,6 +45,10 @@ HEADLINE = [
     "lineitem_zorder_layout",
     "ann_pq_topk",
     "documents_training_mix",
+    # round-3 second-session operators (first benched in BENCH_r03)
+    "text_bigram_logprob",
+    "events_counter_rate",
+    "graph_pagerank_bipartite",
 ]
 
 
