@@ -77,6 +77,8 @@ _DRIVER_PRIORITY = (
     "events_markov_transitions",
     "part_fuzzy_name_join",
     "documents_dsir_weights",
+    "window_count_distinct_emulated",
+    "text_pmi_cooccurrence",
     # round-3 session additions: timeseries gap-fill, corpus passes,
     # analytics, quantization, layout, QUALIFY
     "events_gapfill_locf",

@@ -329,3 +329,119 @@ def documents_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_pmi_cooccurrence",
+    oracle=r"""
+    WITH w AS (
+      SELECT regexp_split_to_array(trim(text), '\s+') AS words
+      FROM documents
+    ),
+    zp AS (
+      SELECT unnest(list_concat(list_zip(words, words[2:]),
+                                list_zip(words, words[3:]))) AS p
+      FROM w
+    ),
+    pr AS (
+      SELECT least(p[1], p[2]) AS a, greatest(p[1], p[2]) AS b
+      FROM zp WHERE p[2] IS NOT NULL
+    ),
+    pc AS (SELECT a, b, count(*) AS n_ab FROM pr GROUP BY a, b),
+    np AS (SELECT sum(n_ab) AS tot FROM pc),
+    tok AS (
+      SELECT unnest(words) AS t FROM w
+    ),
+    tc AS (SELECT t, count(*) AS n_t FROM tok GROUP BY t),
+    nt AS (SELECT sum(n_t) AS tot FROM tc),
+    scored AS (
+      SELECT pc.a, pc.b, pc.n_ab,
+             floor(log((pc.n_ab * 1.0 / np.tot)
+                   / ((ta.n_t * 1.0 / nt.tot) * (tb.n_t * 1.0 / nt.tot)))
+                   / log(2) * 10000 + 0.5) / 10000 AS pmi
+      FROM pc
+      JOIN tc ta ON ta.t = pc.a
+      JOIN tc tb ON tb.t = pc.b
+      CROSS JOIN np CROSS JOIN nt
+      WHERE pc.n_ab >= 25
+    )
+    SELECT a, b, n_ab, pmi, rnk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY pmi DESC, a, b) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 30
+    ORDER BY rnk
+    """,
+)
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over skip-gram co-occurrence (window
+    ±2): the word2vec-era collocation statistic — PMI(a,b) =
+    log2(p(a,b) / (p(a)p(b))) over unordered within-window pairs, top-30
+    by PMI (min support 25).
+
+    Pair generation is NARROW: zip_with of the token array against its
+    own 1- and 2-shifted slices (no self-join, no window) — each doc
+    expands to exactly 2n-3 pairs locally. Two aggregations (pair
+    counts, token marginals) both map-side combinable; marginals
+    broadcast onto the pair table; ranking happens on the floor-rounded
+    PMI so cross-engine ordering is identical.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = d.select(F.split(F.trim(F.col("text")), r"\s+").alias("words"))
+
+    def shifted_pairs(k: int) -> F.Column:
+        return F.zip_with(
+            "words",
+            F.slice(
+                "words", k + 1, F.greatest(F.size("words") - k, F.lit(0))
+            ),
+            lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+        )
+
+    zp = w.select(
+        F.explode(
+            F.concat(shifted_pairs(1), shifted_pairs(2))
+        ).alias("p")
+    ).filter(F.col("p.y").isNotNull())
+    pr = zp.select(
+        F.least("p.x", "p.y").alias("a"),
+        F.greatest("p.x", "p.y").alias("b"),
+    )
+    pc = pr.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    np_ = pc.agg(F.sum("n_ab").alias("np"))
+    tok = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    )
+    tc = tok.groupBy("t").agg(F.count("*").alias("n_t"))
+    nt = tc.agg(F.sum("n_t").alias("nt"))
+    ta = tc.select(F.col("t").alias("a"), F.col("n_t").alias("n_a"))
+    tb = tc.select(F.col("t").alias("b"), F.col("n_t").alias("n_b"))
+    pmi = (
+        F.floor(
+            F.log2(
+                (F.col("n_ab") * 1.0 / F.col("np"))
+                / (
+                    (F.col("n_a") * 1.0 / F.col("nt"))
+                    * (F.col("n_b") * 1.0 / F.col("nt"))
+                )
+            )
+            * 10000
+            + 0.5
+        )
+        / 10000
+    ).alias("pmi")
+    scored = (
+        pc.filter(F.col("n_ab") >= 25)
+        .join(F.broadcast(ta), "a")
+        .join(F.broadcast(tb), "b")
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nt))
+        .select("a", "b", "n_ab", pmi)
+    )
+    rw = Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= 30)
+        .orderBy("rnk")
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arkflow_spark.queries.base import query
+from arkflow_spark.queries.base import DUCK_TS_FMT, SPARK_TS_FMT, query
 from arkflow_spark.tables import load
 
 
@@ -296,4 +296,62 @@ def window_qualify_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", rk)
         .where("rk <= 3")
         .orderBy("o_custkey", "rk")
+    )
+
+
+@query(
+    "window_count_distinct_emulated",
+    oracle=f"""
+    SELECT event_type, strftime(ts, '{DUCK_TS_FMT}') AS ts, event_id,
+           count(DISTINCT user_id) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS running_users
+    FROM events
+    ORDER BY event_type, ts, event_id
+    """,
+)
+def window_count_distinct_emulated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — Spark rejects distinct
+    aggregates in window frames, but the exact rewrite is mechanical:
+    flag each row that is its key's FIRST occurrence in the partition
+    order (row_number over (partition, value) == 1), then running-sum
+    the flags. DuckDB executes its native ``count(DISTINCT) OVER`` as
+    the oracle, so the rewrite is verified against the real clause.
+
+    Two window passes over one (event_type)-shuffle: the first-occurrence
+    rank partitions by (event_type, user_id) — same top-level key, AQE
+    keeps it one exchange + local sorts. State at 100 TB: nothing beyond
+    the sort; contrast with the sketch path (`sketch_sliding_distinct`)
+    when approximate running distincts suffice.
+    """
+    e = load(spark, sf_dir, "events")
+    first_occ = (
+        F.row_number().over(
+            Window.partitionBy("event_type", "user_id").orderBy(
+                "ts", "event_id"
+            )
+        )
+        == 1
+    ).cast("bigint")
+    running = F.sum("__first").over(
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        e.select(
+            "event_type",
+            "ts",
+            "event_id",
+            first_occ.alias("__first"),
+        )
+        .select(
+            "event_type",
+            F.date_format("ts", SPARK_TS_FMT).alias("ts"),
+            "event_id",
+            running.alias("running_users"),
+        )
+        .orderBy("event_type", "ts", "event_id")
     )
