@@ -79,6 +79,7 @@ _DRIVER_PRIORITY = (
     "documents_dsir_weights",
     "window_count_distinct_emulated",
     "text_pmi_cooccurrence",
+    "embedding_pca_power",
     # round-3 session additions: timeseries gap-fill, corpus passes,
     # analytics, quantization, layout, QUALIFY
     "events_gapfill_locf",

@@ -269,3 +269,138 @@ def documents_quality_classifier(
             >= 0.85
         ).alias("accuracy_ge_bound"),
     )
+
+
+PCA_ITERS = 3
+
+
+def _pca_oracle() -> str:
+    head = """
+    WITH x AS (
+      SELECT vec_id, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS v
+      FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
+      WHERE g.i <= len(embedding)
+    ),
+    mu AS (
+      SELECT i, CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+               AS m
+      FROM x GROUP BY i
+    ),
+    c AS (
+      SELECT x.vec_id, x.i, x.v - mu.m AS cv FROM x JOIN mu USING (i)
+    ),
+    v0 AS (SELECT i, 0.125 AS w FROM generate_series(1, 64) t(i))"""
+    steps = []
+    for t in range(1, PCA_ITERS + 1):
+        steps.append(f""",
+    d{t} AS (
+      SELECT c.vec_id,
+             CAST(SUM(CAST(c.cv * v.w AS DECIMAL(28,16))) AS DOUBLE)
+               AS dot
+      FROM c JOIN v{t - 1} v USING (i) GROUP BY c.vec_id
+    ),
+    s{t} AS (
+      SELECT c.i,
+             CAST(SUM(CAST(c.cv * d.dot AS DECIMAL(28,16))) AS DOUBLE)
+               AS s
+      FROM c JOIN d{t} d USING (vec_id) GROUP BY c.i
+    ),
+    n{t} AS (
+      SELECT sqrt(CAST(SUM(CAST(s * s AS DECIMAL(38,18))) AS DOUBLE))
+               AS nrm
+      FROM s{t}
+    ),
+    v{t} AS (SELECT i, s / n{t}.nrm AS w FROM s{t} CROSS JOIN n{t})""")
+    tail = f"""
+    SELECT v.i,
+           floor(v.w * 1000000 + 0.5) / 1000000 AS loading,
+           floor(n.nrm * 10000 + 0.5) / 10000 AS sigma2_scaled
+    FROM v{PCA_ITERS} v CROSS JOIN n{PCA_ITERS} n
+    ORDER BY v.i"""
+    return head + "".join(steps) + tail
+
+
+@query("embedding_pca_power", oracle=_pca_oracle())
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus via POWER
+    ITERATION (3 unrolled steps), covariance-free: each step computes
+    per-row projections t = (x-mu)·v then re-accumulates s = Σ t(x-mu)
+    and renormalizes — never materializing the DxD covariance, which is
+    the trick that scales PCA to arbitrary row counts (two shuffles per
+    iteration: one per-row reduce, one per-dimension reduce).
+
+    Determinism: per-term products are identical doubles; every
+    reduction accumulates DECIMAL so partition order cannot drift;
+    the final loadings floor-round to 6 decimals (sign is pinned by the
+    deterministic all-positive v0). Oracled against an
+    identically-unrolled DuckDB CTE chain.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "vf")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    mu = x.groupBy("i").agg(
+        (
+            F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    c = (
+        x.join(F.broadcast(mu), "i")
+        .select("vec_id", "i", (F.col("v") - F.col("m")).alias("cv"))
+        .persist()
+    )
+    v = spark.range(1, 65).select(
+        F.col("id").alias("i"), F.lit(0.125).alias("w")
+    )
+    nrm = None
+    for _ in range(PCA_ITERS):
+        dots = (
+            c.join(F.broadcast(v), "i")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(
+                    (F.col("cv") * F.col("w")).cast("decimal(28,16)")
+                )
+                .cast("double")
+                .alias("dot")
+            )
+        )
+        s = (
+            c.join(F.broadcast(dots), "vec_id")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    (F.col("cv") * F.col("dot")).cast("decimal(28,16)")
+                )
+                .cast("double")
+                .alias("s")
+            )
+        )
+        nrm = s.agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("s") * F.col("s")).cast("decimal(38,18)")
+                ).cast("double")
+            ).alias("nrm")
+        )
+        v = s.crossJoin(F.broadcast(nrm)).select(
+            "i", (F.col("s") / F.col("nrm")).alias("w")
+        )
+    return (
+        v.crossJoin(F.broadcast(nrm))
+        .select(
+            "i",
+            (F.floor(F.col("w") * 1000000 + 0.5) / 1000000).alias(
+                "loading"
+            ),
+            (F.floor(F.col("nrm") * 10000 + 0.5) / 10000).alias(
+                "sigma2_scaled"
+            ),
+        )
+        .orderBy("i")
+    )
