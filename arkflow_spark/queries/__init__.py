@@ -33,6 +33,7 @@ for _mod in (
     "relational3",
     "text2_q",
     "graph_q",
+    "analytics2_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -80,6 +81,16 @@ _DRIVER_PRIORITY = (
     "window_count_distinct_emulated",
     "text_pmi_cooccurrence",
     "embedding_pca_power",
+    # round-3 third-session additions (freshest claims first)
+    "events_sequence_pattern",
+    "agg_sketch_setops",
+    "events_welch_ttest",
+    "events_running_reset_sum",
+    "events_seasonal_residual",
+    "lineitem_abc_pareto",
+    "events_histogram_equidepth",
+    "agg_geo_harmonic_mean",
+    "graph_triangle_count",
     # round-3 session additions: timeseries gap-fill, corpus passes,
     # analytics, quantization, layout, QUALIFY
     "events_gapfill_locf",

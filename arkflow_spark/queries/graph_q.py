@@ -154,3 +154,83 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# -------------------------------------------------- triangle counting
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pair AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT u, v FROM pair WHERE n >= 2),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT u FROM edges
+                             UNION SELECT v FROM edges)) AS n_nodes,
+      (SELECT COUNT(*) FROM edges) AS n_edges,
+      n_triangles
+    FROM tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph (parts appearing in the
+    same order at least twice) — the clustering-coefficient primitive for
+    community/affinity analysis. Edges are oriented u < v, so each
+    triangle is produced exactly once by the wedge join (e1=(a,b),
+    e2=(b,c), closure (a,c)): no /6 correction and no duplicate wedges.
+    The edge list is basket-bounded (pair support >= 2 keeps it ~constant
+    per catalog segment); both joins are hash joins on edge endpoints and
+    the small edge side broadcasts. At web scale the standard refinement
+    — orient edges from lower- to higher-degree endpoint before the wedge
+    join — caps per-node wedge fan-out; the plan shape is unchanged.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a = basket.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u")
+    )
+    b = basket.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        a.join(b, (a.o == b.o) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+        .persist()
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
