@@ -34,6 +34,7 @@ for _mod in (
     "text2_q",
     "graph_q",
     "analytics2_q",
+    "analytics3_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -91,6 +92,12 @@ _DRIVER_PRIORITY = (
     "events_histogram_equidepth",
     "agg_geo_harmonic_mean",
     "graph_triangle_count",
+    "events_survival_km",
+    "events_autocorr",
+    "events_benford_deviation",
+    "events_conversion_latency",
+    "agg_mad_robust",
+    "agg_trimmed_mean",
     # round-3 session additions: timeseries gap-fill, corpus passes,
     # analytics, quantization, layout, QUALIFY
     "events_gapfill_locf",
