@@ -98,6 +98,7 @@ _DRIVER_PRIORITY = (
     "events_conversion_latency",
     "agg_mad_robust",
     "agg_trimmed_mean",
+    "dedup_prefix_filter",
     # round-3 session additions: timeseries gap-fill, corpus passes,
     # analytics, quantization, layout, QUALIFY
     "events_gapfill_locf",

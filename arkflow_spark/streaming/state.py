@@ -565,3 +565,73 @@ def funnel_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cep_pattern_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    start_event: str,
+    end_event: str,
+    within_s: int,
+) -> DataFrame:
+    """Streaming complex-event-processing (CEP) pattern detector: emit a
+    match each time `end_event` follows `start_event` on the same key
+    within `within_s` seconds — the MATCH_RECOGNIZE / Flink-CEP shape
+    (A -> B within T), and the streaming twin of the batch
+    `events_sequence_pattern` / `events_conversion_latency` queries.
+
+    State is one pending-start epoch per key (O(1) forever): the FIRST
+    unmatched `start_event` arms the pattern; a subsequent `end_event`
+    emits iff within the horizon, and clears the pending start either
+    way (matched or expired). Rows fold in `ts_col` order within each
+    micro-batch; state carries across batches and checkpoint restarts.
+    At scale this is one shuffle per micro-batch on the key column with
+    kilobyte state rows — no joins, no buffering of raw events.
+    """
+
+    out_schema = (
+        f"{key_col} STRING, start_ts TIMESTAMP, end_ts TIMESTAMP, "
+        "latency_s BIGINT"
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        pending = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        starts, ends, lats = [], [], []
+        if len(batch):
+            batch = batch.sort_values(ts_col, kind="stable")
+            for ts, et in zip(batch[ts_col], batch[type_col]):
+                epoch = ts.timestamp()
+                if et == start_event:
+                    if pending is None:
+                        pending = epoch
+                elif et == end_event and pending is not None:
+                    lat = epoch - pending
+                    if lat <= within_s:
+                        starts.append(pending)
+                        ends.append(epoch)
+                        lats.append(int(lat))
+                    pending = None
+        state.update((pending,))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(starts),
+                "start_ts": pd.to_datetime(starts, unit="s"),
+                "end_ts": pd.to_datetime(ends, unit="s"),
+                "latency_s": pd.Series(lats, dtype="int64"),
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="pending DOUBLE",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

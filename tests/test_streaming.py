@@ -746,3 +746,60 @@ def test_stream_funnel_progression_across_batches(spark, tmp_path):
         ("u1", 2, "purchase"),
         ("u2", 0, "view"),      # u2's early click never counted
     ]
+
+
+def test_stream_cep_pattern_within_horizon_across_batches(spark, tmp_path):
+    """The CEP detector must arm on the first unmatched start event, carry
+    the pending state across a checkpoint restart, emit only end events
+    inside the horizon, and clear the pending start on expired matches."""
+    from arkflow_spark.streaming.state import cep_pattern_stream
+
+    src = str(tmp_path / "cep_src")
+    rows1 = [
+        (0, "2024-01-01 00:00:00", "a", "view"),
+        (1, "2024-01-01 00:02:00", "a", "purchase"),   # match, 120s
+        (2, "2024-01-01 00:03:00", "a", "purchase"),   # no pending: ignored
+        (3, "2024-01-01 00:05:00", "a", "view"),       # arms, crosses restart
+        (4, "2024-01-01 00:00:00", "b", "view"),       # arms, will expire
+    ]
+    rows2 = [
+        (5, "2024-01-01 00:07:00", "a", "purchase"),   # match, 120s (carried)
+        (6, "2024-01-01 00:30:00", "b", "purchase"),   # 1800s > 600: expired
+        (7, "2024-01-01 00:31:00", "b", "purchase"),   # cleared: ignored
+    ]
+    mk = lambda rows: (
+        spark.createDataFrame(rows, "id BIGINT, ts STRING, k STRING, et STRING")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
+    )
+    mk(rows1).write.mode("append").parquet(src)
+
+    collected = []
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema("id BIGINT, ts TIMESTAMP, k STRING, et STRING")
+            .parquet(src)
+        )
+        out = cep_pattern_stream(sdf, "k", "ts", "et", "view", "purchase", 600)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "cep_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    mk(rows2).write.mode("append").parquet(src)
+    run_once()  # restart: 'a' pending view from batch 1 must survive
+
+    matches = sorted(
+        (r["k"], r["latency_s"], str(r["start_ts"])) for r in collected
+    )
+    assert matches == [
+        ("a", 120, "2024-01-01 00:00:00"),
+        ("a", 120, "2024-01-01 00:05:00"),
+    ]
