@@ -99,6 +99,8 @@ _DRIVER_PRIORITY = (
     "agg_mad_robust",
     "agg_trimmed_mean",
     "dedup_prefix_filter",
+    "ann_mips_topk",
+    "events_session_capped",
     # round-3 session additions: timeseries gap-fill, corpus passes,
     # analytics, quantization, layout, QUALIFY
     "events_gapfill_locf",

@@ -588,3 +588,107 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -------------------------------------------------- capped sessions
+
+_GAP_H, _CAP_H = 3, 12
+
+
+@query(
+    "events_session_capped",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, ts, event_id, rn,
+             CAST(1 AS BIGINT) AS session_id, ts AS sess_start
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.ts, e.event_id, e.rn,
+             CASE WHEN e.ts - r.ts > INTERVAL {_GAP_H} HOUR
+                    OR e.ts - r.sess_start > INTERVAL {_CAP_H} HOUR
+                  THEN r.session_id + 1 ELSE r.session_id END,
+             CASE WHEN e.ts - r.ts > INTERVAL {_GAP_H} HOUR
+                    OR e.ts - r.sess_start > INTERVAL {_CAP_H} HOUR
+                  THEN e.ts ELSE r.sess_start END
+      FROM ev e JOIN rec r ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, session_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM rec GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH an idle-gap split (>{_GAP_H}h since the
+    previous event) and a max-duration cap (>{_CAP_H}h since the session
+    started). The cap makes session assignment a data-dependent
+    recurrence — the split point depends on the running session start —
+    which no fixed window frame can express (plain gap sessionization
+    can: see `events_session_window`). This is the canonical case for an
+    `applyInPandas` per-key sequential fold: one shuffle on user_id,
+    each group folded in ts order inside an Arrow batch with exact
+    integer-nanosecond comparisons. The DuckDB oracle replays the same
+    recurrence as a recursive CTE, so the driver hash-checks the fold.
+    Per-key memory is the group's rows (bounded by per-user activity);
+    keys are independent, so the plan scales with the user dimension.
+    """
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    gap_ns = _GAP_H * 3600 * 10**9
+    cap_ns = _CAP_H * 3600 * 10**9
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+        out = []
+        sess_id, prev_ns, start_ns = 0, None, None
+        sess_start = sess_end = None
+        n = 0
+        for ts in pdf["ts"]:
+            ns = ts.value
+            if prev_ns is None or ns - prev_ns > gap_ns or ns - start_ns > cap_ns:
+                if n:
+                    out.append((sess_id, sess_start, sess_end, n))
+                sess_id += 1
+                start_ns = ns
+                sess_start = ts
+                n = 0
+            sess_end = ts
+            n += 1
+            prev_ns = ns
+        if n:
+            out.append((sess_id, sess_start, sess_end, n))
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[0],
+                "session_id": [r[0] for r in out],
+                "session_start": [r[1] for r in out],
+                "session_end": [r[2] for r in out],
+                "n_events": [r[3] for r in out],
+            }
+        )
+
+    sessions = e.groupBy("user_id").applyInPandas(
+        fold,
+        "user_id BIGINT, session_id BIGINT, session_start TIMESTAMP, "
+        "session_end TIMESTAMP, n_events BIGINT",
+    )
+    return sessions.select(
+        "user_id",
+        "session_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+    ).orderBy("user_id", "session_id")

@@ -681,3 +681,67 @@ def embedding_normalize_quantize(
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "ann_mips_topk",
+    oracle=f"""
+    WITH {_ORACLE_EXPLODED},
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, SUM(q.v * c.v) AS dot
+      FROM x q JOIN x c ON q.i = c.i
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, cand_id, ROUND(dot, 6) AS dot,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot DESC, cand_id) AS rnk
+      FROM dots
+    )
+    SELECT query_id, cand_id, dot, rnk
+    FROM scored WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+)
+def ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximum-inner-product (MIPS) top-k — recommender retrieval
+    scoring, where magnitude matters and cosine's normalization is wrong.
+    Same plan shape as `ann_cosine_topk`: broadcast query side, one
+    narrow scoring stage over the candidate stream, per-query bounded
+    top-k (TakeOrdered semantics via the rank filter). The scale path
+    reuses the IVF machinery via the standard MIPS→cosine reduction
+    (augment candidates with sqrt(M² − ‖x‖²) as an extra dimension, M =
+    max norm; queries get 0 there), which preserves inner-product order
+    under cosine bucketing.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _dot(F.col("q_emb"), F.col("c_emb")).alias("raw_dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("raw_dot"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id", "cand_id", F.round("raw_dot", 6).alias("dot"), "rnk"
+        )
+        .orderBy("query_id", "rnk")
+    )
