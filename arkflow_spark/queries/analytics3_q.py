@@ -595,6 +595,50 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GAP_H, _CAP_H = 3, 12
 
 
+def capped_sessions(df: DataFrame, gap_ns: int, cap_ns: int) -> DataFrame:
+    """Per-key gap+cap sessionization fold (see `events_session_capped`):
+    input columns (user_id, ts, event_id); output one row per session
+    with raw TIMESTAMP bounds. Reused by the registered query and the
+    randomized conformance fuzz against DuckDB's recursive CTE."""
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+        out = []
+        sess_id, prev_ns, start_ns = 0, None, None
+        sess_start = sess_end = None
+        n = 0
+        for ts in pdf["ts"]:
+            ns = ts.value
+            if prev_ns is None or ns - prev_ns > gap_ns or ns - start_ns > cap_ns:
+                if n:
+                    out.append((sess_id, sess_start, sess_end, n))
+                sess_id += 1
+                start_ns = ns
+                sess_start = ts
+                n = 0
+            sess_end = ts
+            n += 1
+            prev_ns = ns
+        if n:
+            out.append((sess_id, sess_start, sess_end, n))
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[0],
+                "session_id": [r[0] for r in out],
+                "session_start": [r[1] for r in out],
+                "session_end": [r[2] for r in out],
+                "n_events": [r[3] for r in out],
+            }
+        )
+
+    return df.groupBy("user_id").applyInPandas(
+        fold,
+        "user_id BIGINT, session_id BIGINT, session_start TIMESTAMP, "
+        "session_end TIMESTAMP, n_events BIGINT",
+    )
+
+
 @query(
     "events_session_capped",
     oracle=f"""
@@ -640,46 +684,9 @@ def events_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-key memory is the group's rows (bounded by per-user activity);
     keys are independent, so the plan scales with the user dimension.
     """
-    import pandas as pd
-
     e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    gap_ns = _GAP_H * 3600 * 10**9
-    cap_ns = _CAP_H * 3600 * 10**9
-
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
-        out = []
-        sess_id, prev_ns, start_ns = 0, None, None
-        sess_start = sess_end = None
-        n = 0
-        for ts in pdf["ts"]:
-            ns = ts.value
-            if prev_ns is None or ns - prev_ns > gap_ns or ns - start_ns > cap_ns:
-                if n:
-                    out.append((sess_id, sess_start, sess_end, n))
-                sess_id += 1
-                start_ns = ns
-                sess_start = ts
-                n = 0
-            sess_end = ts
-            n += 1
-            prev_ns = ns
-        if n:
-            out.append((sess_id, sess_start, sess_end, n))
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"].iloc[0],
-                "session_id": [r[0] for r in out],
-                "session_start": [r[1] for r in out],
-                "session_end": [r[2] for r in out],
-                "n_events": [r[3] for r in out],
-            }
-        )
-
-    sessions = e.groupBy("user_id").applyInPandas(
-        fold,
-        "user_id BIGINT, session_id BIGINT, session_start TIMESTAMP, "
-        "session_end TIMESTAMP, n_events BIGINT",
+    sessions = capped_sessions(
+        e, _GAP_H * 3600 * 10**9, _CAP_H * 3600 * 10**9
     )
     return sessions.select(
         "user_id",

@@ -405,3 +405,78 @@ def test_asof_join_suffixes_colliding_value_columns(engines):
     assert out.columns == ["id", "k", "ts", "val", "val_right"]
     row = out.collect()[0]
     assert row["val"] == 99 and row["val_right"] == 7
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_fuzz_capped_sessions_match_recursive_cte(engines, data):
+    """The gap+cap sessionization fold (applyInPandas sequential
+    recurrence) must agree with an INDEPENDENT implementation — DuckDB's
+    recursive CTE — on random per-key integer-second event sets with
+    random gap/cap horizons. Random data exercises the cap-split
+    boundaries (cap hit exactly, cap and gap hit together, singleton
+    sessions) that the fixed corpus misses."""
+    from arkflow_spark.queries.analytics3_q import capped_sessions
+
+    spark, con = engines
+    gap = data.draw(st.integers(2, 15))
+    cap = data.draw(st.integers(gap, 45))
+    n = data.draw(st.integers(1, 40))
+    rows = sorted(
+        {
+            (
+                data.draw(st.integers(1, 2)),
+                data.draw(st.integers(0, 200)),
+            )
+            for _ in range(n)
+        }
+    )
+    sdf = spark.createDataFrame(
+        [(k, s, i) for i, (k, s) in enumerate(rows)],
+        "user_id long, sec long, event_id long",
+    ).select("user_id", F_ts("sec").alias("ts"), "event_id")
+    got = sorted(
+        (
+            r["user_id"],
+            r["session_id"],
+            int(r["session_start"].timestamp()),
+            int(r["session_end"].timestamp()),
+            r["n_events"],
+        )
+        for r in capped_sessions(
+            sdf, gap * 10**9, cap * 10**9
+        ).collect()
+    )
+
+    con.execute("CREATE OR REPLACE TABLE fz_cs (k bigint, sec bigint)")
+    con.executemany("INSERT INTO fz_cs VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH RECURSIVE ev AS (
+              SELECT k, sec,
+                     row_number() OVER (PARTITION BY k ORDER BY sec) AS rn
+              FROM fz_cs
+            ),
+            rec AS (
+              SELECT k, sec, rn, CAST(1 AS BIGINT) AS sid, sec AS s0
+              FROM ev WHERE rn = 1
+              UNION ALL
+              SELECT e.k, e.sec, e.rn,
+                     CASE WHEN e.sec - r.sec > {gap} OR e.sec - r.s0 > {cap}
+                          THEN r.sid + 1 ELSE r.sid END,
+                     CASE WHEN e.sec - r.sec > {gap} OR e.sec - r.s0 > {cap}
+                          THEN e.sec ELSE r.s0 END
+              FROM ev e JOIN rec r ON e.k = r.k AND e.rn = r.rn + 1
+            )
+            SELECT k, sid, MIN(sec), MAX(sec), COUNT(*)
+            FROM rec GROUP BY k, sid
+            """
+        ).fetchall()
+    )
+    assert got == want, f"sessions mismatch gap={gap} cap={cap} rows={rows}"

@@ -282,3 +282,107 @@ def test_zipf_rank_window_after_reduction(spark):
     win = next(i for i, l in enumerate(lines) if "Window" in l)
     # a HashAggregate (the token-count reduction) appears below the window
     assert any("HashAggregate" in l for l in lines[win:])
+
+
+# ------------------------- round-3 third-session operators
+
+
+def test_sequence_pattern_single_group_shuffle(spark):
+    """Per-user sequence assembly is ONE hash shuffle; the regex pattern
+    counts are narrow JVM projections (no Python)."""
+    plan = plan_of(spark, "events_sequence_pattern")
+    assert "BatchEvalPython" not in plan
+    # one hash shuffle + the presentation ORDER BY (each named twice)
+    assert plan.count("Exchange") <= 4
+
+
+def test_welch_ttest_broadcasts_global_moments(spark):
+    """The 'rest' cohort derives from broadcast global sums — no self-join
+    of the fact table; both aggregations have map-side partials."""
+    plan = plan_of(spark, "events_welch_ttest")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "BatchEvalPython" not in plan
+
+
+def test_running_reset_sum_one_shuffle_two_windows(spark):
+    """Both stacked windows (segment id + running sum) share the single
+    user_id partitioning."""
+    plan = plan_of(spark, "events_running_reset_sum")
+    assert plan.count("Exchange") <= 4
+    assert plan.count("Window") >= 2
+
+
+def test_seasonal_residual_single_cell_shuffle(spark):
+    plan = plan_of(spark, "events_seasonal_residual")
+    assert plan.count("Exchange") <= 4
+    assert "Join" not in plan  # baseline via window agg, not join-back
+
+
+def test_abc_pareto_reduces_before_global_window(spark):
+    """The global cumulative window runs AFTER the per-part reduction
+    (map-side partials), so the single-partition stage sees parts, not
+    line items."""
+    plan = plan_of(spark, "lineitem_abc_pareto")
+    assert plan.count("HashAggregate") >= 2
+    assert "SinglePartition" in plan
+
+
+def test_histogram_equidepth_agg_reuses_window_shuffle(spark):
+    """groupBy(event_type, quartile) is co-located by the ntile window's
+    event_type partitioning — no second hash shuffle."""
+    plan = plan_of(spark, "events_histogram_equidepth")
+    assert plan.count("Exchange") <= 4
+
+
+def test_geo_harmonic_pushes_positive_filter(spark):
+    plan = plan_of(spark, "agg_geo_harmonic_mean")
+    assert "GreaterThan(value,0.0)" in plan
+
+
+def test_triangle_count_no_cartesian_and_reuses_edges(spark):
+    plan = plan_of(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # persisted edge list reused 5x
+
+
+def test_survival_km_stays_jvm_side(spark):
+    plan = plan_of(spark, "events_survival_km")
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_autocorr_agg_reuses_window_shuffle(spark):
+    """Lag window and moment aggregation share the event_type shuffle."""
+    plan = plan_of(spark, "events_autocorr")
+    assert plan.count("Exchange") <= 4
+
+
+def test_mad_robust_broadcasts_medians(spark):
+    """Both per-group median tables come back as broadcast joins."""
+    plan = plan_of(spark, "agg_mad_robust")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_trimmed_mean_broadcasts_cuts(spark):
+    plan = plan_of(spark, "agg_trimmed_mean")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mips_broadcasts_query_side(spark):
+    plan = plan_of(spark, "ann_mips_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_prefix_filter_no_cartesian(spark):
+    """Candidate generation joins prefixes on shingle hash keys — never
+    an all-pairs product; the shingle set is persisted and reused."""
+    plan = plan_of(spark, "dedup_prefix_filter")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_session_capped_single_shuffle_pandas_fold(spark):
+    plan = plan_of(spark, "events_session_capped")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") <= 4
