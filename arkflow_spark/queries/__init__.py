@@ -35,6 +35,7 @@ for _mod in (
     "graph_q",
     "analytics2_q",
     "analytics3_q",
+    "analytics4_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -101,6 +102,12 @@ _DRIVER_PRIORITY = (
     "dedup_prefix_filter",
     "ann_mips_topk",
     "events_session_capped",
+    "events_user_entropy",
+    "orders_cycle_time_percentiles",
+    "documents_partition_advisor",
+    "events_seasonality_r2",
+    "scalar_bitwise_ops",
+    "ann_truncation_recall",
     # round-3 session additions: timeseries gap-fill, corpus passes,
     # analytics, quantization, layout, QUALIFY
     "events_gapfill_locf",

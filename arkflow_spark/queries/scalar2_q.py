@@ -181,3 +181,41 @@ def scalar_lambda_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("rev_dot"),
     ).orderBy("vec_id")
+
+
+@query(
+    "scalar_bitwise_ops",
+    oracle="""
+    SELECT l_orderkey, l_partkey,
+           l_orderkey & l_partkey AS band,
+           l_orderkey | l_partkey AS bor,
+           xor(l_orderkey, l_partkey) AS bxor,
+           ~l_orderkey AS bnot,
+           l_linenumber << 3 AS shl,
+           l_partkey >> 2 AS shr,
+           CAST(bit_count(l_partkey) AS INTEGER) AS popcnt
+    FROM lineitem
+    WHERE l_orderkey <= 100
+    ORDER BY l_orderkey, l_partkey, l_linenumber
+    """,
+)
+def scalar_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface (&, |, xor, ~, shifts, popcount) — the
+    DataFusion bit-manipulation functions
+    (reference: docs/docs/sql/2-operators.md bitwise section) as pure
+    whole-stage-codegen projections with the key-range filter pushed to
+    the scan. DuckDB spells xor as a function and Spark as `^`; popcount
+    widths are pinned to INTEGER on both sides.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        F.expr("l_orderkey & l_partkey").alias("band"),
+        F.expr("l_orderkey | l_partkey").alias("bor"),
+        F.expr("l_orderkey ^ l_partkey").alias("bxor"),
+        F.expr("~l_orderkey").alias("bnot"),
+        F.expr("shiftleft(l_linenumber, 3)").alias("shl"),
+        F.expr("shiftright(l_partkey, 2)").alias("shr"),
+        F.bit_count("l_partkey").cast("int").alias("popcnt"),
+    ).orderBy("l_orderkey", "l_partkey", "l_linenumber")

@@ -40,6 +40,11 @@ def _norm(a):
     )
 
 
+def _floor4(col):
+    """Deterministic 4-decimal quantization (see analytics2_q)."""
+    return F.floor(col * 10000 + 0.5) / 10000
+
+
 _ORACLE_EXPLODED = """
     x AS (
       SELECT vec_id, label, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS v
@@ -744,4 +749,118 @@ def ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "cand_id", F.round("raw_dot", 6).alias("dot"), "rnk"
         )
         .orderBy("query_id", "rnk")
+    )
+
+
+TRUNC_DIMS = 16
+
+
+@query(
+    "ann_truncation_recall",
+    oracle=f"""
+    WITH {_ORACLE_EXPLODED},
+    full_rank AS (
+      SELECT query_id, cand_id, rnk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY SUM(q.v * c.v) / (nq.nrm * nc.nrm) DESC, c.vec_id)
+                 AS rnk
+        FROM x q JOIN x c ON q.i = c.i
+        JOIN nrm nq ON nq.vec_id = q.vec_id
+        JOIN nrm nc ON nc.vec_id = c.vec_id
+        WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+        GROUP BY q.vec_id, c.vec_id, nq.nrm, nc.nrm
+      ) WHERE rnk <= {TOP_K}
+    ),
+    xt AS (SELECT * FROM x WHERE i <= {TRUNC_DIMS}),
+    nrm_t AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM xt GROUP BY vec_id),
+    trunc_rank AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY SUM(q.v * c.v) / (nq.nrm * nc.nrm) DESC, c.vec_id)
+                 AS rnk
+        FROM xt q JOIN xt c ON q.i = c.i
+        JOIN nrm_t nq ON nq.vec_id = q.vec_id
+        JOIN nrm_t nc ON nc.vec_id = c.vec_id
+        WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+        GROUP BY q.vec_id, c.vec_id, nq.nrm, nc.nrm
+      ) WHERE rnk <= {TOP_K}
+    )
+    SELECT f.query_id,
+           CAST(COUNT(t.cand_id) AS BIGINT) AS n_overlap,
+           floor(COUNT(t.cand_id) * 1.0 / {TOP_K} * 10000 + 0.5) / 10000
+             AS recall_at_{TOP_K}
+    FROM full_rank f
+    LEFT JOIN trunc_rank t
+      ON t.query_id = f.query_id AND t.cand_id = f.cand_id
+    GROUP BY f.query_id
+    ORDER BY f.query_id
+    """,
+)
+def ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation: recall@{TOP_K} of the
+    first-{TRUNC_DIMS}-dims cosine ranking against the full-dimension
+    exact ranking — the measurement that decides whether a cheap
+    truncated index can serve first-stage retrieval with full-dim
+    re-ranking. Both rankings run the broadcast-query / narrow-candidate
+    plan; the overlap join touches only {N_QUERIES}×{TOP_K} rows.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+
+    def topk(emb_col):
+        withn = e.select(
+            "vec_id", emb_col.alias("v"), _norm(emb_col).alias("nrm")
+        )
+        q = withn.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("q_emb"),
+            F.col("nrm").alias("q_n"),
+        )
+        c = withn.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("v").alias("c_emb"),
+            F.col("nrm").alias("c_n"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("raw_cos"), F.asc("cand_id")
+        )
+        return (
+            F.broadcast(q)
+            .crossJoin(c)
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "cand_id",
+                (
+                    _dot(F.col("q_emb"), F.col("c_emb"))
+                    / (F.col("q_n") * F.col("c_n"))
+                ).alias("raw_cos"),
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "cand_id")
+        )
+
+    full = topk(F.col("embedding"))
+    trunc = topk(F.slice("embedding", 1, TRUNC_DIMS)).withColumnRenamed(
+        "cand_id", "t_cand"
+    )
+    return (
+        full.join(
+            trunc,
+            (full.query_id == trunc.query_id)
+            & (F.col("cand_id") == F.col("t_cand")),
+            "left",
+        )
+        .groupBy(full.query_id)
+        .agg(
+            F.count("t_cand").cast("bigint").alias("n_overlap"),
+            _floor4(F.count("t_cand") * 1.0 / TOP_K).alias(
+                f"recall_at_{TOP_K}"
+            ),
+        )
+        .orderBy("query_id")
     )
