@@ -49,6 +49,13 @@ HEADLINE = [
     "text_bigram_logprob",
     "events_counter_rate",
     "graph_pagerank_bipartite",
+    # round-3 third-session operators (first benched in BENCH_r03)
+    "events_sequence_pattern",
+    "events_session_capped",
+    "events_survival_km",
+    "dedup_prefix_filter",
+    "ann_mips_topk",
+    "graph_triangle_count",
 ]
 
 
