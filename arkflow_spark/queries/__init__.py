@@ -36,6 +36,7 @@ for _mod in (
     "analytics2_q",
     "analytics3_q",
     "analytics4_q",
+    "analytics5_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -58,6 +59,13 @@ _DRIVER_PRIORITY = (
     "agg_approx_distinct",
     "agg_approx_percentile",
     "agg_sketches",
+    # round-3 fourth-session additions (freshest claims first)
+    "window_rolling_median",
+    "dedup_containment",
+    "events_attribution",
+    "documents_length_band_filter",
+    "events_cusum_alarm",
+    "scalar_url_parse",
     # round-3 second-session additions (freshest claims first)
     "join_lateral_topk",
     "distinct_on_latest",
