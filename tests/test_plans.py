@@ -386,3 +386,52 @@ def test_session_capped_single_shuffle_pandas_fold(spark):
     plan = plan_of(spark, "events_session_capped")
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange") <= 4
+
+
+def test_rolling_median_single_window_shuffle(spark):
+    """Frame-collect + array_sort median: one Exchange for the series
+    partitioning, no Python, sort-based Window only."""
+    plan = plan_of(spark, "window_rolling_median")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # hash exchange for the Window + range exchange for the final sort
+    assert plan.count("Exchange") <= 4
+    assert plan.count("Window") == 2  # tree line + detail header
+
+
+def test_containment_rare_blocking_no_cartesian(spark):
+    """Candidates come from the rare-shingle posting join, never an
+    all-pairs product; the shingle set is persisted and reused."""
+    plan = plan_of(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_attribution_windows_share_user_shuffle(spark):
+    """Both attribution windows partition on user_id — the range-frame
+    touch count must not introduce a second hash partitioning key."""
+    plan = plan_of(spark, "events_attribution")
+    # one user_id hash exchange + final sort exchange; two stacked Windows
+    assert plan.count("Exchange") <= 4
+    assert plan.count("Window") == 4  # 2 nodes x (tree line + detail)
+
+
+def test_length_band_broadcasts_bands(spark):
+    """The 5-row per-lang band table re-joins as a broadcast."""
+    plan = plan_of(spark, "documents_length_band_filter")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cusum_single_shuffle_pandas_fold(spark):
+    """CUSUM folds per (user, type) inside one FlatMapGroupsInPandas;
+    the per-type mean joins in as a broadcast."""
+    plan = plan_of(spark, "events_cusum_alarm")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_url_parse_stays_narrow(spark):
+    """parse_url is a pure projection: no Exchange before the final sort,
+    no Python."""
+    plan = plan_of(spark, "scalar_url_parse")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
