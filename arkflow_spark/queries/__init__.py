@@ -37,6 +37,7 @@ for _mod in (
     "analytics3_q",
     "analytics4_q",
     "analytics5_q",
+    "analytics6_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -66,6 +67,11 @@ _DRIVER_PRIORITY = (
     "documents_length_band_filter",
     "events_cusum_alarm",
     "scalar_url_parse",
+    "ann_knn_classify",
+    "documents_ngram_novelty",
+    "dedup_chunk_overlap",
+    "events_holt_trend",
+    "events_mahalanobis_outlier",
     # round-3 second-session additions (freshest claims first)
     "join_lateral_topk",
     "distinct_on_latest",

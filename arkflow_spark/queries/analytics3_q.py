@@ -599,40 +599,65 @@ def capped_sessions(df: DataFrame, gap_ns: int, cap_ns: int) -> DataFrame:
     """Per-key gap+cap sessionization fold (see `events_session_capped`):
     input columns (user_id, ts, event_id); output one row per session
     with raw TIMESTAMP bounds. Reused by the registered query and the
-    randomized conformance fuzz against DuckDB's recursive CTE."""
+    randomized conformance fuzz against DuckDB's recursive CTE.
+
+    Partition-level `mapInPandas`, not per-group `applyInPandas`: with
+    many small per-user series the per-group Arrow round-trip dominates
+    (measured 13.7s -> ~1s at sf0.1 for the identical fold). Rows are
+    repartitioned on user_id and sorted within partitions; the fold
+    streams Arrow batches, starting a new session at key boundaries and
+    carrying the open session across batch edges."""
     import pandas as pd
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+    src = df.repartition("user_id").sortWithinPartitions(
+        "user_id", "ts", "event_id"
+    )
+
+    def fold(batches):
         out = []
-        sess_id, prev_ns, start_ns = 0, None, None
+        cur = None
+        sess_id = 0
+        prev_ns = start_ns = None
         sess_start = sess_end = None
         n = 0
-        for ts in pdf["ts"]:
-            ns = ts.value
-            if prev_ns is None or ns - prev_ns > gap_ns or ns - start_ns > cap_ns:
-                if n:
-                    out.append((sess_id, sess_start, sess_end, n))
-                sess_id += 1
-                start_ns = ns
-                sess_start = ts
-                n = 0
-            sess_end = ts
-            n += 1
-            prev_ns = ns
+        for pdf in batches:
+            for uid, ts in zip(pdf["user_id"], pdf["ts"]):
+                ns = ts.value
+                if uid != cur:
+                    if n:
+                        out.append((cur, sess_id, sess_start, sess_end, n))
+                    cur, sess_id, prev_ns, n = uid, 0, None, 0
+                if (
+                    prev_ns is None
+                    or ns - prev_ns > gap_ns
+                    or ns - start_ns > cap_ns
+                ):
+                    if n:
+                        out.append((cur, sess_id, sess_start, sess_end, n))
+                    sess_id += 1
+                    start_ns = ns
+                    sess_start = ts
+                    n = 0
+                sess_end = ts
+                n += 1
+                prev_ns = ns
         if n:
-            out.append((sess_id, sess_start, sess_end, n))
-        return pd.DataFrame(
+            out.append((cur, sess_id, sess_start, sess_end, n))
+        yield pd.DataFrame(
             {
-                "user_id": pdf["user_id"].iloc[0],
-                "session_id": [r[0] for r in out],
-                "session_start": [r[1] for r in out],
-                "session_end": [r[2] for r in out],
-                "n_events": [r[3] for r in out],
+                "user_id": pd.Series([r[0] for r in out], dtype="int64"),
+                "session_id": pd.Series([r[1] for r in out], dtype="int64"),
+                "session_start": pd.Series(
+                    [r[2] for r in out], dtype="datetime64[ns]"
+                ),
+                "session_end": pd.Series(
+                    [r[3] for r in out], dtype="datetime64[ns]"
+                ),
+                "n_events": pd.Series([r[4] for r in out], dtype="int64"),
             }
         )
 
-    return df.groupBy("user_id").applyInPandas(
+    return src.mapInPandas(
         fold,
         "user_id BIGINT, session_id BIGINT, session_start TIMESTAMP, "
         "session_end TIMESTAMP, n_events BIGINT",

@@ -419,12 +419,17 @@ def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a column value, expressible with stacked windows; here the trigger
     is the running statistic itself).
 
-    applyInPandas per key: one shuffle on (user_id, event_type), each
-    series folded sequentially inside an Arrow batch; mu is the exact
+    Partition-level `mapInPandas` fold, NOT per-group `applyInPandas`:
+    with O(users x types) small series, per-group Arrow round-trips
+    dominate (measured 28s -> ~1s at sf0.1 for the identical fold). The
+    input is repartitioned on the series key and sorted within
+    partitions, the fold streams each Arrow batch and resets S at key
+    boundaries, carrying (key, S) across batches — one shuffle, one
+    sort, a handful of Python calls per PARTITION. mu is the exact
     decimal per-type mean broadcast-joined in, and both engines fold the
     SAME doubles in the SAME order, so the DuckDB recursive-CTE oracle
     hash-matches bit-for-bit. Keys are independent -> scales with the
-    key dimension; per-key memory = series length.
+    key dimension; carry state is O(1).
     """
     import pandas as pd
 
@@ -435,41 +440,53 @@ def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("mu")
     )
-    src = e.join(F.broadcast(mu), "event_type").select(
-        "user_id", "event_type", "ts", "event_id", "value", "mu"
+    src = (
+        e.join(F.broadcast(mu), "event_type")
+        .select("user_id", "event_type", "ts", "event_id", "value", "mu")
+        .repartition("user_id", "event_type")
+        .sortWithinPartitions("user_id", "event_type", "ts", "event_id")
     )
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
-        mu0 = float(pdf["mu"].iloc[0])
+    def fold(batches):
+        key = None
         s = 0.0
-        out = []
-        for ts, eid, v in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
-            s_raw = max(0.0, s + (float(v) - mu0) - _CUSUM_K)
-            if s_raw > _CUSUM_H:
-                out.append((eid, ts, s_raw))
-                s = 0.0
-            else:
-                s = s_raw
-        # explicit dtypes: an alarm-free series yields an EMPTY frame, and
-        # pandas would infer object/float64 columns Arrow can't cast
-        return pd.DataFrame(
-            {
-                "user_id": pd.Series(
-                    [pdf["user_id"].iloc[0]] * len(out), dtype="int64"
-                ),
-                "event_type": pd.Series(
-                    [pdf["event_type"].iloc[0]] * len(out), dtype="object"
-                ),
-                "event_id": pd.Series(
-                    [r[0] for r in out], dtype="int64"
-                ),
-                "ts": pd.Series([r[1] for r in out], dtype="datetime64[ns]"),
-                "s_stat": pd.Series([r[2] for r in out], dtype="float64"),
-            }
-        )
+        for pdf in batches:
+            out = []
+            for uid, et, ts, eid, v, mu0 in zip(
+                pdf["user_id"], pdf["event_type"], pdf["ts"],
+                pdf["event_id"], pdf["value"], pdf["mu"],
+            ):
+                if (uid, et) != key:
+                    key, s = (uid, et), 0.0
+                s_raw = max(0.0, s + (float(v) - float(mu0)) - _CUSUM_K)
+                if s_raw > _CUSUM_H:
+                    out.append((uid, et, eid, ts, s_raw))
+                    s = 0.0
+                else:
+                    s = s_raw
+            # explicit dtypes: an alarm-free batch yields an EMPTY frame,
+            # and pandas would infer object/float64 columns Arrow can't cast
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series(
+                        [r[0] for r in out], dtype="int64"
+                    ),
+                    "event_type": pd.Series(
+                        [r[1] for r in out], dtype="object"
+                    ),
+                    "event_id": pd.Series(
+                        [r[2] for r in out], dtype="int64"
+                    ),
+                    "ts": pd.Series(
+                        [r[3] for r in out], dtype="datetime64[ns]"
+                    ),
+                    "s_stat": pd.Series(
+                        [r[4] for r in out], dtype="float64"
+                    ),
+                }
+            )
 
-    alarms = src.groupBy("user_id", "event_type").applyInPandas(
+    alarms = src.mapInPandas(
         fold,
         "user_id BIGINT, event_type STRING, event_id BIGINT, "
         "ts TIMESTAMP, s_stat DOUBLE",

@@ -56,6 +56,11 @@ HEADLINE = [
     "dedup_prefix_filter",
     "ann_mips_topk",
     "graph_triangle_count",
+    # round-3 fourth-session operators (first benched in BENCH_r03)
+    "window_rolling_median",
+    "dedup_containment",
+    "events_attribution",
+    "events_cusum_alarm",
 ]
 
 

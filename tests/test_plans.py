@@ -383,8 +383,12 @@ def test_prefix_filter_no_cartesian(spark):
 
 
 def test_session_capped_single_shuffle_pandas_fold(spark):
+    """Partition-level fold: one user_id repartition + in-partition sort
+    feeding MapInPandas (per-group FlatMapGroupsInPandas would pay one
+    Arrow round-trip per user)."""
     plan = plan_of(spark, "events_session_capped")
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
     assert plan.count("Exchange") <= 4
 
 
@@ -422,10 +426,12 @@ def test_length_band_broadcasts_bands(spark):
 
 
 def test_cusum_single_shuffle_pandas_fold(spark):
-    """CUSUM folds per (user, type) inside one FlatMapGroupsInPandas;
-    the per-type mean joins in as a broadcast."""
+    """CUSUM folds inside a partition-level MapInPandas (per-group
+    Arrow round-trips dominate at many-small-series shape); the
+    per-type mean joins in as a broadcast."""
     plan = plan_of(spark, "events_cusum_alarm")
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
     assert "BroadcastHashJoin" in plan
 
 
