@@ -61,6 +61,8 @@ HEADLINE = [
     "dedup_containment",
     "events_attribution",
     "events_cusum_alarm",
+    "ann_knn_classify",
+    "events_holt_trend",
 ]
 
 

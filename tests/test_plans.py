@@ -441,3 +441,41 @@ def test_url_parse_stays_narrow(spark):
     plan = plan_of(spark, "scalar_url_parse")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_knn_classify_broadcasts_query_split(spark):
+    """Held-out queries broadcast; candidates stream through one narrow
+    scoring stage (BroadcastNestedLoopJoin, never a shuffled cartesian)."""
+    plan = plan_of(spark, "ann_knn_classify")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_two_uniform_shuffles(spark):
+    """min(doc_id)-per-shingle then per-doc reduction: shuffles on the two
+    uniform keys only, shingle set persisted once."""
+    plan = plan_of(spark, "documents_ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_chunk_overlap_joins_on_fingerprint(spark):
+    """Edge fingerprints equi-join (hash/sort-merge), never all-pairs."""
+    plan = plan_of(spark, "dedup_chunk_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_holt_folds_aggregated_series(spark):
+    """The pandas fold consumes the hourly AGGREGATE (distributed
+    reduction first), not raw events."""
+    plan = plan_of(spark, "events_holt_trend")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final before fold
+
+
+def test_mahalanobis_broadcasts_moments(spark):
+    """Per-type moment table joins back as a broadcast; scoring narrow."""
+    plan = plan_of(spark, "events_mahalanobis_outlier")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
