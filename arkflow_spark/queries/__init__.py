@@ -38,6 +38,7 @@ for _mod in (
     "analytics4_q",
     "analytics5_q",
     "analytics6_q",
+    "analytics7_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -72,6 +73,11 @@ _DRIVER_PRIORITY = (
     "dedup_chunk_overlap",
     "events_holt_trend",
     "events_mahalanobis_outlier",
+    "orders_skyline_2d",
+    "events_burst_hysteresis",
+    "agg_bitmap_distinct",
+    "text_rake_keywords",
+    "scalar_try_functions",
     # round-3 second-session additions (freshest claims first)
     "join_lateral_topk",
     "distinct_on_latest",
