@@ -479,3 +479,45 @@ def test_mahalanobis_broadcasts_moments(spark):
     plan = plan_of(spark, "events_mahalanobis_outlier")
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_skyline_two_windows_no_self_join(spark):
+    """2D skyline resolves with window passes — never the quadratic
+    NOT EXISTS self-join (no join node at all)."""
+    plan = plan_of(spark, "orders_skyline_2d")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_burst_hysteresis_folds_hourly_aggregate(spark):
+    """The Schmitt-trigger fold consumes the hourly aggregate (partial +
+    final HashAggregate first) with moments broadcast in."""
+    plan = plan_of(spark, "events_burst_hysteresis")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bitmap_distinct_map_side_combines(spark):
+    """Bitmap construction has a partial (map-side) aggregate phase —
+    the shuffle moves per-bucket bitmaps, not raw user ids."""
+    plan = plan_of(spark, "agg_bitmap_distinct")
+    assert "partial_bitmap_construct_agg" in plan  # map-side partial bitmaps
+    assert plan.count("SortAggregate") >= 2  # partial + final
+
+
+def test_rake_no_python_and_keyed_shuffles(spark):
+    """RAKE is pure JVM expressions (explode/window/agg), keyed on
+    doc_id everywhere — no Python eval, no cartesian."""
+    plan = plan_of(spark, "text_rake_keywords")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_try_functions_narrow_projection(spark):
+    """try_* family is a single narrow codegen'd projection: no shuffle
+    before the final sort, no Python."""
+    plan = plan_of(spark, "scalar_try_functions")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
