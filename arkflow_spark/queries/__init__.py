@@ -39,6 +39,7 @@ for _mod in (
     "analytics5_q",
     "analytics6_q",
     "analytics7_q",
+    "analytics8_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -78,6 +79,11 @@ _DRIVER_PRIORITY = (
     "agg_bitmap_distinct",
     "text_rake_keywords",
     "scalar_try_functions",
+    "text_bm25_search",
+    "events_time_weighted_avg",
+    "events_m4_downsample",
+    "agg_heavy_hitters_mg",
+    "dedup_url_canonical",
     # round-3 second-session additions (freshest claims first)
     "join_lateral_topk",
     "distinct_on_latest",
