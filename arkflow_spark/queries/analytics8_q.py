@@ -225,12 +225,15 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single shuffle on a uniform composite key; days partition
     independently so state never exceeds a day's samples per key.
     """
-    e = load(spark, sf_dir, "events")
-    day = F.date_trunc("day", "ts")
-    w = Window.partitionBy("event_type", day).orderBy("ts", "event_id")
+    e = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    # window and group-by key on the SAME materialized attributes so
+    # EnsureRequirements reuses one (event_type, day) partitioning
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
     seg = e.select(
         "event_type",
-        day.alias("day"),
+        "day",
         "value",
         (
             F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
@@ -294,15 +297,20 @@ def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation is map-side combinable. This is the query a dashboard
     issues over years of 100 TB telemetry to draw one screen of pixels.
     """
-    e = load(spark, sf_dir, "events")
-    bucket = F.date_trunc("hour", "ts")
-    wa = Window.partitionBy("event_type", bucket).orderBy("ts", "event_id")
-    wd = Window.partitionBy("event_type", bucket).orderBy(
+    e = load(spark, sf_dir, "events").withColumn(
+        "bucket", F.date_trunc("hour", "ts")
+    )
+    # both windows and the aggregation key on the same materialized
+    # attributes -> a single (event_type, bucket) partitioning
+    wa = Window.partitionBy("event_type", "bucket").orderBy(
+        "ts", "event_id"
+    )
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
     b = e.select(
         "event_type",
-        bucket.alias("bucket"),
+        "bucket",
         "value",
         F.row_number().over(wa).alias("rn_a"),
         F.row_number().over(wd).alias("rn_d"),

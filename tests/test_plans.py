@@ -521,3 +521,43 @@ def test_try_functions_narrow_projection(spark):
     plan = plan_of(spark, "scalar_try_functions")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_bm25_prunes_postings_before_tf(spark):
+    """The tiny query-term table semi-prunes tokens via broadcast before
+    the tf aggregation — raw postings for unqueried terms never shuffle."""
+    plan = plan_of(spark, "text_bm25_search")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_twa_single_keyed_shuffle(spark):
+    """Window and aggregation share (event_type, day): one hash
+    partitioning, map-side combinable final agg."""
+    plan = plan_of(spark, "events_time_weighted_avg")
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_m4_windows_share_bucket_shuffle(spark):
+    """Both row_number passes and the aggregation run on the same
+    (event_type, bucket) partitioning — one shuffle total."""
+    plan = plan_of(spark, "events_m4_downsample")
+    assert plan.count("hashpartitioning(") == 1
+    assert plan.count("Window") >= 2
+
+
+def test_mg_summary_raw_stream_never_shuffles(spark):
+    """The raw user_id stream folds in MapInPandas before any exchange;
+    the exact top-10 runs as TakeOrderedAndProject."""
+    plan = plan_of(spark, "agg_heavy_hitters_mg")
+    assert "MapInPandas" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_url_canonical_single_groupby(spark):
+    """Canonicalization is a narrow regex projection; the only shuffle
+    is the canonical-key group-by."""
+    plan = plan_of(spark, "dedup_url_canonical")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("hashpartitioning(") == 1
