@@ -115,14 +115,15 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     b*doclen/avgdl)) summed over matched terms (OR semantics), with
     idf = ln((N-df+0.5)/(df+0.5)+1).
 
-    Plan shape: tokenize once; the tiny (query_id, term) workload
-    broadcasts and SEMI-prunes the token stream before the tf
-    aggregation, so only postings for queried terms shuffle — df comes
-    from that same pruned tf table (identical to corpus df for those
-    terms). Corpus stats (N, avgdl) are a 1-row broadcast. Ranking is
-    over the 4-decimal quantized score (then doc_id) so the order — not
-    just the values — is engine-stable. At 100 TB this is the inverted-
-    posting join: everything keys on word or doc_id, nothing quadratic.
+    Plan shape: ONE tokenize pass builds the (doc_id, word, tf) posting
+    table (map-side-combinable — this is the inverted-index build);
+    doclen and corpus stats (N, avgdl — a 1-row broadcast) derive from
+    it, and the tiny broadcast query-term table prunes it to the queried
+    postings, whose df equals corpus df. Ranking is over the 4-decimal
+    quantized score (then doc_id) so the order — not just the values —
+    is engine-stable. At 100 TB everything keys on word or doc_id,
+    nothing quadratic; the posting table is exactly what a search
+    pipeline would persist and reuse across query workloads.
     """.format(n=_BM25_TOPN)
     d = load(spark, sf_dir, "documents")
     terms = spark.createDataFrame(
@@ -134,16 +135,14 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word"
         ),
     )
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("doclen"))
+    # one tokenize pass: per-doc postings feed BOTH doclen and tf
+    tf_all = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dl = tf_all.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
     corpus = dl.agg(
         F.count("*").alias("n_docs"), F.avg("doclen").alias("avgdl")
     )
     term_set = terms.select(F.col("term").alias("word")).distinct()
-    tf = (
-        tok.join(F.broadcast(term_set), "word")
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("tf"))
-    )
+    tf = tf_all.join(F.broadcast(term_set), "word")
     df_t = tf.groupBy("word").agg(F.count("*").alias("df"))
     scored = (
         terms.withColumnRenamed("term", "word")

@@ -63,6 +63,11 @@ HEADLINE = [
     "events_cusum_alarm",
     "ann_knn_classify",
     "events_holt_trend",
+    "text_bm25_search",
+    "events_m4_downsample",
+    "events_time_weighted_avg",
+    "agg_heavy_hitters_mg",
+    "events_burst_hysteresis",
 ]
 
 
