@@ -40,6 +40,7 @@ for _mod in (
     "analytics6_q",
     "analytics7_q",
     "analytics8_q",
+    "analytics9_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -84,6 +85,10 @@ _DRIVER_PRIORITY = (
     "events_m4_downsample",
     "agg_heavy_hitters_mg",
     "dedup_url_canonical",
+    "dq_profile_columns",
+    "dq_validation_suite",
+    "events_ddsketch_quantile",
+    "text_bpe_pair_merge",
     # round-3 second-session additions (freshest claims first)
     "join_lateral_topk",
     "distinct_on_latest",
