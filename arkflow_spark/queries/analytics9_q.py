@@ -114,60 +114,40 @@ def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
-    rows = [
+
+    def row(col, c, d, mn=None, mx=None, mean=None, mns=None, mxs=None):
+        return F.struct(
+            F.lit(col).alias("col"),
+            _floor4(F.col(c) * 1.0 / F.col("n")).alias("completeness"),
+            F.col(d).alias("n_distinct"),
+            (F.col(mn) if mn else null_d).alias("min_num"),
+            (F.col(mx) if mx else null_d).alias("max_num"),
+            (F.col(mean) if mean else null_d).alias("mean"),
+            (F.col(mns) if mns else null_s).alias("min_str"),
+            (F.col(mxs) if mxs else null_s).alias("max_str"),
+        )
+
+    # unpivot via explode(array(struct...)) so the wide aggregate — and
+    # its scan — is planned exactly once (a UNION of selects re-plans it
+    # per branch)
+    return (
         a.select(
-            F.lit("l_quantity").alias("col"),
-            _floor4(F.col("c_qty") * 1.0 / F.col("n")).alias(
-                "completeness"
-            ),
-            F.col("d_qty").alias("n_distinct"),
-            F.col("mn_qty").alias("min_num"),
-            F.col("mx_qty").alias("max_num"),
-            F.col("avg_qty").alias("mean"),
-            null_s.alias("min_str"),
-            null_s.alias("max_str"),
-        ),
-        a.select(
-            F.lit("l_discount").alias("col"),
-            _floor4(F.col("c_disc") * 1.0 / F.col("n")).alias(
-                "completeness"
-            ),
-            F.col("d_disc").alias("n_distinct"),
-            F.col("mn_disc").alias("min_num"),
-            F.col("mx_disc").alias("max_num"),
-            F.col("avg_disc").alias("mean"),
-            null_s.alias("min_str"),
-            null_s.alias("max_str"),
-        ),
-        a.select(
-            F.lit("l_returnflag").alias("col"),
-            _floor4(F.col("c_rf") * 1.0 / F.col("n")).alias(
-                "completeness"
-            ),
-            F.col("d_rf").alias("n_distinct"),
-            null_d.alias("min_num"),
-            null_d.alias("max_num"),
-            null_d.alias("mean"),
-            F.col("mn_rf").alias("min_str"),
-            F.col("mx_rf").alias("max_str"),
-        ),
-        a.select(
-            F.lit("l_shipdate").alias("col"),
-            _floor4(F.col("c_sd") * 1.0 / F.col("n")).alias(
-                "completeness"
-            ),
-            F.col("d_sd").alias("n_distinct"),
-            null_d.alias("min_num"),
-            null_d.alias("max_num"),
-            null_d.alias("mean"),
-            F.col("mn_sd").alias("min_str"),
-            F.col("mx_sd").alias("max_str"),
-        ),
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("col")
+            F.explode(
+                F.array(
+                    row("l_quantity", "c_qty", "d_qty",
+                        "mn_qty", "mx_qty", "avg_qty"),
+                    row("l_discount", "c_disc", "d_disc",
+                        "mn_disc", "mx_disc", "avg_disc"),
+                    row("l_returnflag", "c_rf", "d_rf",
+                        mns="mn_rf", mxs="mx_rf"),
+                    row("l_shipdate", "c_sd", "d_sd",
+                        mns="mn_sd", mxs="mx_sd"),
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .orderBy("col")
+    )
 
 
 # -------------------------------------------------- validation suite

@@ -561,3 +561,36 @@ def test_url_canonical_single_groupby(spark):
     plan = plan_of(spark, "dedup_url_canonical")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("hashpartitioning(") == 1
+
+
+def test_profile_single_scan(spark):
+    """The N-column profile reads lineitem ONCE (Deequ contract): one
+    parquet scan feeding the multi-distinct aggregate tree."""
+    plan = plan_of(spark, "dq_profile_columns")
+    # formatted explain names each node twice (tree + detail): 1 scan
+    assert plan.count("Scan parquet") <= 2
+    assert "Expand" in plan  # multi COUNT DISTINCT planned in one pass
+
+
+def test_validation_fk_checks_are_anti_joins(spark):
+    """Referential-integrity checks must plan as anti joins on the key,
+    never as per-row subquery re-execution."""
+    plan = plan_of(spark, "dq_validation_suite")
+    assert "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ddsketch_reduces_before_shuffle(spark):
+    """The log-bucket sketch aggregates map-side: partial + final
+    HashAggregate on (event_type, bucket) before anything joins."""
+    plan = plan_of(spark, "events_ddsketch_quantile")
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_bpe_topk_no_global_sort(spark):
+    """Pair ranking runs as TakeOrderedAndProject over the bounded
+    alphabet^2 aggregate — never a global sort of raw pairs."""
+    plan = plan_of(spark, "text_bpe_pair_merge")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
