@@ -635,3 +635,95 @@ def cep_pattern_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def heavy_hitters_stream(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters: the stateful twin of the
+    batch `agg_heavy_hitters_mg` query. The key space shards by
+    ``pmod(key, n_shards)``; each shard carries ONE bounded Misra-Gries
+    summary (at most ``k`` counters) as its state cell and re-emits the
+    whole summary every micro-batch, tagged with a monotonically
+    increasing ``version`` — downstream takes ``max(version)`` per shard
+    and merges shards by key-sum, inheriting the deterministic
+    per-shard bound ``exact - n/(k+1) <= est <= exact`` (mergeable
+    summaries, Agarwal et al. PODS'12).
+
+    State is O(k) per shard FOREVER — no watermark needed — which is
+    the entire point: top-N over an unbounded stream with bounded
+    memory, where an exact streaming count would grow with the key
+    cardinality.
+    """
+
+    out_schema = (
+        f"shard INT, {key_col} BIGINT, est BIGINT, n BIGINT, "
+        "version BIGINT"
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            keys, cnts, n, version = state.get
+            counters = dict(zip((int(x) for x in keys),
+                                (int(c) for c in cnts)))
+            n, version = int(n), int(version)
+        else:
+            counters, n, version = {}, 0, 0
+        for pdf in pdfs:
+            for u in pdf[key_col]:
+                u = int(u)
+                n += 1
+                if u in counters:
+                    counters[u] += 1
+                elif len(counters) < k:
+                    counters[u] = 1
+                else:
+                    dead = []
+                    for kk in counters:
+                        counters[kk] -= 1
+                        if counters[kk] == 0:
+                            dead.append(kk)
+                    for kk in dead:
+                        del counters[kk]
+        version += 1
+        state.update(
+            (list(counters), list(counters.values()), n, version)
+        )
+        # a Misra-Gries summary can legitimately end EMPTY (every counter
+        # decremented away); emit a null-key sentinel so downstream still
+        # sees this shard's latest (n, version) instead of a stale one
+        width = max(len(counters), 1)
+        yield pd.DataFrame(
+            {
+                "shard": pd.Series([key[0]] * width, dtype="int32"),
+                key_col: pd.array(
+                    list(counters) or [None], dtype="Int64"
+                ),
+                "est": pd.array(
+                    list(counters.values()) or [None], dtype="Int64"
+                ),
+                "n": pd.Series([n] * width, dtype="int64"),
+                "version": pd.Series([version] * width, dtype="int64"),
+            }
+        )
+
+    sharded = df.withColumn(
+        "shard", F.pmod(F.col(key_col), F.lit(n_shards)).cast("int")
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=(
+            "keys ARRAY<BIGINT>, cnts ARRAY<BIGINT>, n BIGINT, "
+            "version BIGINT"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

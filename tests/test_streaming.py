@@ -803,3 +803,65 @@ def test_stream_cep_pattern_within_horizon_across_batches(spark, tmp_path):
         ("a", 120, "2024-01-01 00:00:00"),
         ("a", 120, "2024-01-01 00:05:00"),
     ]
+
+
+def test_stream_heavy_hitters_bound_across_restarts(spark, tmp_path):
+    """The streaming Misra-Gries summary must survive a checkpoint
+    restart: two file drops with a query restart between them, then the
+    latest per-shard summaries (max version) must (a) carry counts from
+    BOTH drops, (b) satisfy the deterministic MG bound
+    est <= exact <= est + n_shard/(k+1) for every key, and (c) be exact
+    for keys a k-sized summary never needed to evict."""
+    from arkflow_spark.streaming.state import heavy_hitters_stream
+
+    src = str(tmp_path / "hh_src")
+    # skewed stream: key 1 is hot, keys 10..29 are noise
+    rows1 = [(1,)] * 30 + [(10 + i % 20,) for i in range(40)]
+    rows2 = [(1,)] * 25 + [(10 + i % 20,) for i in range(30)]
+    mk = lambda rows: spark.createDataFrame(rows, "user_id BIGINT").coalesce(1)
+    mk(rows1).write.mode("append").parquet(src)
+
+    collected = []
+
+    def run_once():
+        sdf = spark.readStream.schema("user_id BIGINT").parquet(src)
+        out = heavy_hitters_stream(sdf, "user_id", k=6, n_shards=2)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    mk(rows2).write.mode("append").parquet(src)
+    run_once()  # restart from the same checkpoint
+
+    latest_version = {}
+    for r in collected:
+        latest_version[r["shard"]] = max(
+            latest_version.get(r["shard"], 0), r["version"]
+        )
+    assert max(latest_version.values()) >= 2  # state crossed the restart
+
+    merged: dict[int, int] = {}
+    shard_n: dict[int, int] = {}
+    for r in collected:
+        if r["version"] == latest_version[r["shard"]]:
+            shard_n[r["shard"]] = r["n"]
+            if r["user_id"] is not None:  # null-key = empty-summary sentinel
+                merged[r["user_id"]] = merged.get(r["user_id"], 0) + r["est"]
+
+    from collections import Counter
+
+    exact = Counter(u for (u,) in rows1 + rows2)
+    assert sum(shard_n.values()) == len(rows1) + len(rows2)
+    for u, c in exact.items():
+        est = merged.get(u, 0)
+        bound = sum(shard_n[s] for s in shard_n if s == u % 2) // 7
+        assert est <= c <= est + bound, (u, est, c, bound)
+    # the hot key must survive eviction and rank first
+    assert merged and max(merged, key=lambda u: merged[u]) == 1
