@@ -41,6 +41,7 @@ for _mod in (
     "analytics7_q",
     "analytics8_q",
     "analytics9_q",
+    "analytics10_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -89,6 +90,11 @@ _DRIVER_PRIORITY = (
     "dq_validation_suite",
     "events_ddsketch_quantile",
     "text_bpe_pair_merge",
+    "scalar_variant_shred",
+    "events_cross_correlation",
+    "events_error_budget_burn",
+    "events_top_paths",
+    "events_trend_movers",
     # round-3 second-session additions (freshest claims first)
     "join_lateral_topk",
     "distinct_on_latest",
