@@ -594,3 +594,43 @@ def test_bpe_topk_no_global_sort(spark):
     plan = plan_of(spark, "text_bpe_pair_merge")
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_variant_shred_narrow_projection(spark):
+    """VARIANT parse + extraction is a single codegen projection — no
+    shuffle before the output sort, no Python."""
+    plan = plan_of(spark, "scalar_variant_shred")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("hashpartitioning(") == 0
+
+
+def test_xcorr_lags_broadcast(spark):
+    """The 7-row lag table broadcasts; pairing is an equi-join on the
+    shifted epoch, never a cartesian over hours."""
+    plan = plan_of(spark, "events_cross_correlation")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_burn_rate_windows_over_hourly_aggregate(spark):
+    """The RANGE window runs over the hourly aggregate (partial + final
+    HashAggregate first), not raw events."""
+    plan = plan_of(spark, "events_error_budget_burn")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
+
+
+def test_top_paths_shares_user_day_shuffle_and_topk(spark):
+    """Ordering window and path build both key (user_id, day); the final
+    ranking is TakeOrderedAndProject."""
+    plan = plan_of(spark, "events_top_paths")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_trend_movers_windows_over_daily_aggregate(spark):
+    """Both rank windows run over the tiny (type, day) aggregate —
+    the raw scan reduces map-side first."""
+    plan = plan_of(spark, "events_trend_movers")
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Window") >= 2
