@@ -42,6 +42,7 @@ for _mod in (
     "analytics8_q",
     "analytics9_q",
     "analytics10_q",
+    "analytics11_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -95,6 +96,10 @@ _DRIVER_PRIORITY = (
     "events_error_budget_burn",
     "events_top_paths",
     "events_trend_movers",
+    "part_hierarchy_recursive",
+    "window_ignore_nulls",
+    "events_geo_grid_hotspots",
+    "orders_incremental_agg_merge",
     # round-3 second-session additions (freshest claims first)
     "join_lateral_topk",
     "distinct_on_latest",
