@@ -634,3 +634,36 @@ def test_trend_movers_windows_over_daily_aggregate(spark):
     plan = plan_of(spark, "events_trend_movers")
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Window") >= 2
+
+
+def test_recursive_cte_bounded_union_loop(spark):
+    """The recursive climb plans as a bounded union loop (one keyed join
+    per level), never a BroadcastNestedLoop/cartesian closure."""
+    plan = plan_of(spark, "part_hierarchy_recursive")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ignore_nulls_single_user_shuffle(spark):
+    """All four IGNORE NULLS functions share the (user_id) partitioning:
+    one hash exchange, stacked Window nodes, no Python."""
+    plan = plan_of(spark, "window_ignore_nulls")
+    assert plan.count("hashpartitioning(") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_geo_hotspots_explode_not_self_join(spark):
+    """Neighborhood counts come from the 9-offset Generate (explode)
+    feeding a map-side-combined aggregate — no cell self-join."""
+    plan = plan_of(spark, "events_geo_grid_hotspots")
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x (own, neigh)
+
+
+def test_incremental_merge_reduces_both_sides_first(spark):
+    """Snapshot and delta aggregate map-side before the keyed FULL OUTER
+    join — the join moves daily rollups, not orders."""
+    plan = plan_of(spark, "orders_incremental_agg_merge")
+    assert "FullOuter" in plan
+    assert plan.count("HashAggregate") >= 4
