@@ -283,3 +283,86 @@ class RemapProcessor:
         if self.where:
             out = out.filter(F.expr(self.where))
         return out
+
+
+@PROCESSORS.register("validate")
+class ValidateProcessor:
+    """In-pipeline data-quality gate (the Deequ `Check` shape as a
+    processor; batch analog: the `dq_validation_suite` query): named
+    row-level predicates and aggregate assertions evaluated per
+    micro-batch, with configurable violation handling that plugs into
+    the engine's DLQ contract (engine.py `handle`: a raised error
+    dead-letters the batch and keeps the stream alive — the reference's
+    error_output routing, lib.rs error path).
+
+    conf:
+      ``checks``: list of {name, predicate} row-level rules (SQL boolean;
+        a row violating ANY rule is a violation) and/or
+        {name, assert} aggregate rules (SQL over the batch registered as
+        table ``flow``, must yield one boolean);
+      ``on_violation`` (default ``fail``):
+        ``fail``  — raise, so the engine routes the raw batch to the DLQ;
+        ``drop``  — remove violating rows, pass the clean remainder;
+        ``tag``   — pass all rows, adding a ``_dq_violations`` array
+                    column naming the failed rules per row.
+
+    Aggregate assertions always raise on failure (there is no row to
+    drop). Row predicates are codegen'd filters — the gate adds no
+    shuffle; aggregate assertions cost one reduction each.
+    """
+
+    def __init__(self, conf: dict):
+        self.checks = list(conf.get("checks", []) or [])
+        self.on_violation = conf.get("on_violation", "fail")
+        if self.on_violation not in ("fail", "drop", "tag"):
+            raise ValueError(
+                f"validate: unknown on_violation {self.on_violation!r}"
+            )
+        for c in self.checks:
+            if "name" not in c or ("predicate" not in c) == (
+                "assert" not in c
+            ):
+                raise ValueError(
+                    "validate: each check needs a name and exactly one "
+                    "of predicate/assert"
+                )
+
+    def process(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        session = df.sparkSession
+        agg = [c for c in self.checks if "assert" in c]
+        rows = [c for c in self.checks if "predicate" in c]
+        if agg:
+            df.createOrReplaceTempView("flow")
+            for c in agg:
+                res = session.sql(
+                    f"SELECT ({c['assert']}) AS ok FROM flow"
+                ).collect()
+                if not res or not all(r["ok"] for r in res):
+                    raise ValueError(
+                        f"validate: aggregate check {c['name']!r} failed"
+                    )
+        if not rows:
+            return df
+        viols = F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        ~F.coalesce(F.expr(c["predicate"]), F.lit(False)),
+                        F.lit(c["name"]),
+                    )
+                    for c in rows
+                ]
+            )
+        )
+        if self.on_violation == "tag":
+            return df.withColumn("_dq_violations", viols)
+        if self.on_violation == "drop":
+            return df.filter(F.size(viols) == 0)
+        # fail: any violating row dead-letters the batch via the engine
+        bad = df.filter(F.size(viols) > 0).limit(1).collect()
+        if bad:
+            raise ValueError(
+                "validate: row-level check violated "
+                f"(first bad row: {bad[0].asDict()})"
+            )
+        return df

@@ -227,3 +227,57 @@ def test_sketch_estimates_close_to_exact(spark):
     assert q.exact_users == exact and q.topk_size == 3
     assert q.hll_union_within_bound and q.hll_direct_within_bound
     assert q.theta_within_bound
+
+
+def _mk_validate(conf):
+    from arkflow_spark.registry import PROCESSORS, load_all
+
+    load_all()
+    return PROCESSORS.build({"type": "validate", **conf})
+
+
+def test_validate_processor_drop_and_tag(spark):
+    """Row-level checks: `drop` removes violating rows; `tag` annotates
+    every row with the names of the rules it fails."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (None, 5.0), (3, -2.0)], "id INT, v DOUBLE"
+    )
+    checks = [
+        {"name": "id_present", "predicate": "id IS NOT NULL"},
+        {"name": "v_nonneg", "predicate": "v >= 0"},
+    ]
+    dropped = _mk_validate(
+        {"checks": checks, "on_violation": "drop"}
+    ).process(spark, df)
+    assert [r["id"] for r in dropped.collect()] == [1]
+
+    tagged = _mk_validate(
+        {"checks": checks, "on_violation": "tag"}
+    ).process(spark, df)
+    by_v = {r["v"]: list(r["_dq_violations"]) for r in tagged.collect()}
+    assert by_v[10.0] == []
+    assert by_v[5.0] == ["id_present"]
+    assert by_v[-2.0] == ["v_nonneg"]
+
+
+def test_validate_processor_fail_and_aggregate(spark):
+    """`fail` raises on the first violating row (so the engine's DLQ
+    path takes the batch); aggregate asserts always raise on failure."""
+    import pytest
+
+    df = spark.createDataFrame([(1,), (2,)], "id INT")
+    ok = _mk_validate(
+        {"checks": [{"name": "pk", "predicate": "id IS NOT NULL"},
+                    {"name": "small", "assert": "COUNT(*) <= 5"}]}
+    ).process(spark, df)
+    assert ok.count() == 2
+
+    with pytest.raises(ValueError, match="small"):
+        _mk_validate(
+            {"checks": [{"name": "small", "assert": "COUNT(*) <= 1"}]}
+        ).process(spark, df)
+
+    with pytest.raises(ValueError, match="row-level"):
+        _mk_validate(
+            {"checks": [{"name": "pos", "predicate": "id > 1"}]}
+        ).process(spark, df)

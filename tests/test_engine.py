@@ -453,3 +453,39 @@ def test_all_example_configs_parse():
     for p in paths:
         cfg = EngineConfig.from_file(p)
         assert cfg.streams, p
+
+
+def test_validate_processor_gates_batch_to_dlq(spark):
+    """A failing `validate` check dead-letters the raw batch via
+    error_output and keeps the stream alive — the in-pipeline Deequ
+    gate wired to the engine's DLQ contract (stream/mod.rs:485-516
+    error routing)."""
+    eng = make_engine(
+        spark,
+        textwrap.dedent(
+            """
+            streams:
+              - input:
+                  type: memory
+                  messages: ['{"id": 1, "name": "ok"}',
+                             '{"id": 2, "name": null}']
+                pipeline:
+                  processors:
+                    - type: json_to_arrow
+                    - type: validate
+                      checks:
+                        - name: named
+                          predicate: "name IS NOT NULL"
+                        - name: bounded
+                          assert: "COUNT(*) <= 10"
+                output:
+                  type: memory
+                error_output:
+                  type: memory
+            """
+        ),
+    )
+    eng.run_batch_all()
+    s = eng.streams[0]
+    assert s.output.batches == []  # gate blocked the main sink
+    assert len(s.error_output.batches) == 1  # raw batch dead-lettered
