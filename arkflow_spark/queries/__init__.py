@@ -43,6 +43,7 @@ for _mod in (
     "analytics9_q",
     "analytics10_q",
     "analytics11_q",
+    "analytics12_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -100,6 +101,11 @@ _DRIVER_PRIORITY = (
     "window_ignore_nulls",
     "events_geo_grid_hotspots",
     "orders_incremental_agg_merge",
+    "orders_cohort_revenue_ltv",
+    "events_haar_wavelet",
+    "events_periodogram",
+    "text_readability_flesch",
+    "events_diff_in_diff",
     # round-3 second-session additions (freshest claims first)
     "join_lateral_topk",
     "distinct_on_latest",
