@@ -667,3 +667,43 @@ def test_incremental_merge_reduces_both_sides_first(spark):
     plan = plan_of(spark, "orders_incremental_agg_merge")
     assert "FullOuter" in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_cohort_ltv_window_over_monthly_aggregate(spark):
+    """The cumulative-LTV window runs over the (cohort, age) aggregate
+    — months, not orders; revenue reduces as exact decimal first."""
+    plan = plan_of(spark, "orders_cohort_revenue_ltv")
+    assert plan.count("HashAggregate") >= 4
+    assert "Window" in plan
+
+
+def test_haar_levels_are_keyed_reductions(spark):
+    """Each wavelet level is a keyed (type, pos div 2) aggregation —
+    no joins, no Python, log-depth tree of HashAggregates."""
+    plan = plan_of(spark, "events_haar_wavelet")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 6  # 3 levels x partial+final
+
+
+def test_periodogram_broadcasts_periods(spark):
+    """The 4-row candidate-period table broadcasts onto the hourly
+    aggregate; trig projections reduce map-side."""
+    plan = plan_of(spark, "events_periodogram")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_readability_narrow_projection(spark):
+    """Three regexp_count projections, no shuffle before the sort."""
+    plan = plan_of(spark, "text_readability_flesch")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("hashpartitioning(") == 0
+
+
+def test_did_single_cell_aggregation(spark):
+    """DiD is one 4-cell aggregation plus a 1-row broadcast — the scan
+    is read once per side, never per cell."""
+    plan = plan_of(spark, "events_diff_in_diff")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
