@@ -68,6 +68,11 @@ HEADLINE = [
     "events_time_weighted_avg",
     "agg_heavy_hitters_mg",
     "events_burst_hysteresis",
+    "events_ddsketch_quantile",
+    "dq_profile_columns",
+    "part_hierarchy_recursive",
+    "events_geo_grid_hotspots",
+    "orders_cohort_revenue_ltv",
 ]
 
 
