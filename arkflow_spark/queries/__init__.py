@@ -44,6 +44,7 @@ for _mod in (
     "analytics10_q",
     "analytics11_q",
     "analytics12_q",
+    "analytics13_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -106,6 +107,9 @@ _DRIVER_PRIORITY = (
     "events_periodogram",
     "text_readability_flesch",
     "events_diff_in_diff",
+    "agg_filter_clause",
+    "scalar_map_higher_order",
+    "dedup_lsh_eval_pr",
     # round-3 second-session additions (freshest claims first)
     "join_lateral_topk",
     "distinct_on_latest",
