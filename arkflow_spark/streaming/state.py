@@ -727,3 +727,93 @@ def heavy_hitters_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ddsketch_stream(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    gamma: float = 1.02,
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Streaming DDSketch quantiles: the stateful twin of the batch
+    `events_ddsketch_quantile` query. Per key, the state cell is the
+    log-bucket histogram {ceil(ln(v)/ln(gamma)): count} — O(log(max/min)
+    / ln(gamma)) entries FOREVER, no watermark needed — and every
+    micro-batch re-emits the current q-quantile estimates
+    (gamma-midpoint of the first bucket whose cumulative count reaches
+    ceil(q*n)), tagged with a monotone ``version`` so downstream takes
+    the latest. The relative-error bound |est-true|/true <=
+    (gamma-1)/(gamma+1) holds at every emission by the DDSketch theorem
+    (Masson et al., VLDB 2019).
+
+    Non-positive values are ignored (log buckets are defined for v>0 —
+    same rule as the batch query).
+    """
+    import math
+
+    out_schema = (
+        f"{key_col} STRING, q DOUBLE, est DOUBLE, n BIGINT, "
+        "version BIGINT"
+    )
+    lg = math.log(gamma)
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            bks, cnts, n, version = state.get
+            hist = dict(zip((int(b) for b in bks),
+                            (int(c) for c in cnts)))
+            n, version = int(n), int(version)
+        else:
+            hist, n, version = {}, 0, 0
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                v = float(v)
+                if v <= 0.0:
+                    continue
+                b = math.ceil(math.log(v) / lg)
+                hist[b] = hist.get(b, 0) + 1
+                n += 1
+        version += 1
+        state.update(
+            (list(hist), list(hist.values()), n, version)
+        )
+        ests = []
+        if n:
+            items = sorted(hist.items())
+            for q in qs:
+                target = math.ceil(q * n)
+                cum = 0
+                for b, c in items:
+                    cum += c
+                    if cum >= target:
+                        ests.append(
+                            (q, 2.0 * gamma**b / (gamma + 1.0))
+                        )
+                        break
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(ests),
+                "q": pd.Series([q for q, _ in ests], dtype="float64"),
+                "est": pd.Series([e for _, e in ests], dtype="float64"),
+                "n": pd.Series([n] * len(ests), dtype="int64"),
+                "version": pd.Series(
+                    [version] * len(ests), dtype="int64"
+                ),
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=(
+            "buckets ARRAY<BIGINT>, counts ARRAY<BIGINT>, n BIGINT, "
+            "version BIGINT"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

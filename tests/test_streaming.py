@@ -865,3 +865,67 @@ def test_stream_heavy_hitters_bound_across_restarts(spark, tmp_path):
         assert est <= c <= est + bound, (u, est, c, bound)
     # the hot key must survive eviction and rank first
     assert merged and max(merged, key=lambda u: merged[u]) == 1
+
+
+def test_stream_ddsketch_quantiles_across_restarts(spark, tmp_path):
+    """The streaming DDSketch histogram must survive a checkpoint
+    restart: after two file drops with a restart between, the latest
+    per-key estimates must equal a single-pass reference DDSketch over
+    the full series AND satisfy the relative-error bound against the
+    true rank-selected values."""
+    import math
+
+    from arkflow_spark.streaming.state import ddsketch_stream
+
+    gamma, qs = 1.02, (0.5, 0.9, 0.99)
+    src = str(tmp_path / "dd_src")
+    vals1 = [round(1.0 + 0.37 * i, 3) for i in range(60)]
+    vals2 = [round(5.0 + 0.91 * i, 3) for i in range(40)]
+    mk = lambda vals: spark.createDataFrame(
+        [("a", v) for v in vals], "k STRING, v DOUBLE"
+    ).coalesce(1)
+    mk(vals1).write.mode("append").parquet(src)
+
+    collected = []
+
+    def run_once():
+        sdf = spark.readStream.schema("k STRING, v DOUBLE").parquet(src)
+        out = ddsketch_stream(sdf, "k", "v", gamma=gamma, qs=qs)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    mk(vals2).write.mode("append").parquet(src)
+    run_once()  # restart from the same checkpoint
+
+    last_v = max(r["version"] for r in collected)
+    assert last_v >= 2  # state crossed the restart
+    latest = {r["q"]: r for r in collected if r["version"] == last_v}
+    assert latest[0.5]["n"] == len(vals1) + len(vals2)
+
+    # reference single-pass DDSketch over the full series
+    full = vals1 + vals2
+    hist: dict[int, int] = {}
+    for v in full:
+        b = math.ceil(math.log(v) / math.log(gamma))
+        hist[b] = hist.get(b, 0) + 1
+    ordered = sorted(full)
+    alpha = (gamma - 1.0) / (gamma + 1.0)
+    for q in qs:
+        target = math.ceil(q * len(full))
+        cum = 0
+        for b, c in sorted(hist.items()):
+            cum += c
+            if cum >= target:
+                ref = 2.0 * gamma**b / (gamma + 1.0)
+                break
+        assert abs(latest[q]["est"] - ref) < 1e-9, q
+        true_val = ordered[target - 1]
+        assert abs(latest[q]["est"] - true_val) / true_val <= alpha * 1.0001
