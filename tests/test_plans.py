@@ -707,3 +707,27 @@ def test_did_single_cell_aggregation(spark):
     plan = plan_of(spark, "events_diff_in_diff")
     assert "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_filter_clause_map_side_combine(spark):
+    """FILTER-clause aggregates plan as conditional partial aggregates —
+    partial + final, no extra scan per filtered aggregate."""
+    plan = plan_of(spark, "agg_filter_clause")
+    assert plan.count("Scan parquet") <= 2  # one scan (tree + detail)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_map_higher_order_narrow(spark):
+    """Map construction/filter/transform is one codegen projection —
+    no shuffle before the sort, no Python."""
+    plan = plan_of(spark, "scalar_map_higher_order")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("hashpartitioning(") == 0
+
+
+def test_lsh_eval_reuses_persisted_shingles(spark):
+    """Truth and candidate sides both read the persisted shingle set —
+    documents parse once, not four times."""
+    plan = plan_of(spark, "dedup_lsh_eval_pr")
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan
