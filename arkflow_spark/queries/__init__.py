@@ -45,6 +45,7 @@ for _mod in (
     "analytics11_q",
     "analytics12_q",
     "analytics13_q",
+    "analytics14_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -110,6 +111,9 @@ _DRIVER_PRIORITY = (
     "agg_filter_clause",
     "scalar_map_higher_order",
     "dedup_lsh_eval_pr",
+    "text_langid_eval_confusion",
+    "documents_weighted_sample_ares",
+    "events_feature_crosses_hashed",
     # round-3 second-session additions (freshest claims first)
     "join_lateral_topk",
     "distinct_on_latest",

@@ -436,19 +436,25 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_url_canonical",
     oracle=r"""
-    WITH raw AS (
-      SELECT doc_id,
-             CASE doc_id % 4
-               WHEN 0 THEN 'https://WWW.' || source || '.Example.com:443/p/'
-                           || doc_id // 4 || '/?utm_source=feed&x=1#top'
-               WHEN 1 THEN 'https://www.' || source || '.example.com/p/'
-                           || doc_id // 4 || '?x=1'
-               WHEN 2 THEN 'https://www.' || source || '.example.com/p/'
-                           || doc_id // 4 || '/?x=1&utm_campaign=a'
-               ELSE 'http://www.' || source || '.example.com/p/'
-                    || doc_id // 4 || '?x=1&ref=tw#s'
-             END AS url
+    WITH hid AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
       FROM documents
+    ),
+    raw AS (
+      SELECT doc_id,
+             CASE h % 4
+               WHEN 0 THEN 'https://WWW.' || source || '.Example.com:443/p/'
+                           || (h // 4) % 125 || '/?utm_source=feed&x=1#top'
+               WHEN 1 THEN 'https://www.' || source || '.example.com/p/'
+                           || (h // 4) % 125 || '?x=1'
+               WHEN 2 THEN 'https://www.' || source || '.example.com/p/'
+                           || (h // 4) % 125 || '/?x=1&utm_campaign=a'
+               ELSE 'http://www.' || source || '.example.com/p/'
+                    || (h // 4) % 125 || '?x=1&ref=tw#s'
+             END AS url
+      FROM hid
     ),
     canon AS (
       SELECT doc_id,
@@ -477,8 +483,10 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheme+host, upgrade http->https, strip default ports, drop
     tracking params (utm_*, ref) with separator repair, strip fragments
     and trailing slashes, then exact-group on the canonical form. URLs
-    are synthesized from (source, doc_id) with four messy variants per
-    canonical target so the collapse is verifiable. The regex chain uses
+    are synthesized from (source, md5-int(doc_id)) — four messy
+    variants over a 125-page space, so groups collapse verifiably at
+    any corpus size and the derivation works for integer or string
+    document ids. The regex chain uses
     the Java/RE2-common subset (same approach as text_pii_redact).
 
     Scale: pure narrow projection then one group-by on the canonical
@@ -489,10 +497,17 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source"),
         F.lit(".example.com"),
     )
-    pid = F.expr("doc_id div 4").cast("string")
+    # portable md5-derived integer: works for integer OR string doc ids
+    # (the 10x scale-probe corpus uses string ids) and is identical
+    # arithmetic in DuckDB
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    d = d.withColumn("h", h)
+    pid = (F.expr("h div 4") % 125).cast("string")
     url = (
         F.when(
-            F.col("doc_id") % 4 == 0,
+            F.col("h") % 4 == 0,
             F.concat(
                 F.lit("https://WWW."), F.col("source"),
                 F.lit(".Example.com:443/p/"), pid,
@@ -500,14 +515,14 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .when(
-            F.col("doc_id") % 4 == 1,
+            F.col("h") % 4 == 1,
             F.concat(
                 F.lit("https://www."), base, F.lit("/p/"), pid,
                 F.lit("?x=1"),
             ),
         )
         .when(
-            F.col("doc_id") % 4 == 2,
+            F.col("h") % 4 == 2,
             F.concat(
                 F.lit("https://www."), base, F.lit("/p/"), pid,
                 F.lit("/?x=1&utm_campaign=a"),

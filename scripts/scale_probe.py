@@ -49,6 +49,13 @@ PROBE_QUERIES = (
     "text_zipf_slope",
     "text_hapax_ratio",
     "documents_quality_classifier",
+    # round-3 fourth-session corpus operators
+    "text_bm25_search",
+    "dedup_url_canonical",
+    "text_bpe_pair_merge",
+    "dedup_containment",
+    "documents_ngram_novelty",
+    "text_readability_flesch",
 )
 # relational shapes: facts scale 10x (offset keys keep joins consistent),
 # dims stay fixed — the realistic 100 TB growth pattern
@@ -82,6 +89,14 @@ RELATIONAL_QUERIES = (
     "events_changepoint_score",
     "customer_rfm_segments",
     "sketch_rollup_hourly_daily",
+    # round-3 fourth-session events/relational operators
+    "events_m4_downsample",
+    "events_time_weighted_avg",
+    "agg_heavy_hitters_mg",
+    "events_ddsketch_quantile",
+    "events_geo_grid_hotspots",
+    "events_top_paths",
+    "orders_cohort_revenue_ltv",
 )
 
 
