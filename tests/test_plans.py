@@ -731,3 +731,27 @@ def test_lsh_eval_reuses_persisted_shingles(spark):
     plan = plan_of(spark, "dedup_lsh_eval_pr")
     assert "InMemoryTableScan" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_langid_eval_matrix_over_reduced_table(spark):
+    """The confusion matrix aggregates the per-doc lang-id projection;
+    the accuracy scalar joins back as a broadcast."""
+    plan = plan_of(spark, "text_langid_eval_confusion")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ares_sample_topk_no_global_sort(spark):
+    """A-Res selection is TakeOrderedAndProject over the narrow key
+    projection — never a global sort of the corpus."""
+    plan = plan_of(spark, "documents_weighted_sample_ares")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_feature_crosses_single_bounded_aggregate(spark):
+    """Feature hashing needs no vocabulary: one narrow hash projection
+    into a D-bounded aggregate, one shuffle."""
+    plan = plan_of(spark, "events_feature_crosses_hashed")
+    assert plan.count("hashpartitioning(") <= 2  # agg + distinct expand
+    assert "Join" not in plan
