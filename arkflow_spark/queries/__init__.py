@@ -46,6 +46,7 @@ for _mod in (
     "analytics12_q",
     "analytics13_q",
     "analytics14_q",
+    "analytics15_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -114,6 +115,9 @@ _DRIVER_PRIORITY = (
     "text_langid_eval_confusion",
     "documents_weighted_sample_ares",
     "events_feature_crosses_hashed",
+    "ann_hard_negatives",
+    "documents_curriculum_order",
+    "events_power_analysis",
     # round-3 second-session additions (freshest claims first)
     "join_lateral_topk",
     "distinct_on_latest",
