@@ -755,3 +755,18 @@ def test_feature_crosses_single_bounded_aggregate(spark):
     plan = plan_of(spark, "events_feature_crosses_hashed")
     assert plan.count("hashpartitioning(") <= 2  # agg + distinct expand
     assert "Join" not in plan
+
+
+def test_hard_negatives_broadcast_query_side(spark):
+    """Query vectors broadcast; candidates stream through one narrow
+    scoring stage with the label filter BEFORE the bounded rank."""
+    plan = plan_of(spark, "ann_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_power_analysis_single_moment_pass(spark):
+    """One map-side-combinable moment aggregation, no joins."""
+    plan = plan_of(spark, "events_power_analysis")
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
