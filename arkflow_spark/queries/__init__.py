@@ -47,6 +47,7 @@ for _mod in (
     "analytics13_q",
     "analytics14_q",
     "analytics15_q",
+    "analytics16_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -118,6 +119,9 @@ _DRIVER_PRIORITY = (
     "ann_hard_negatives",
     "documents_curriculum_order",
     "events_power_analysis",
+    "events_ar2_forecast",
+    "events_incident_mtbf",
+    "documents_manifest_checksums",
     # round-3 second-session additions (freshest claims first)
     "join_lateral_topk",
     "distinct_on_latest",
