@@ -770,3 +770,26 @@ def test_power_analysis_single_moment_pass(spark):
     plan = plan_of(spark, "events_power_analysis")
     assert plan.count("HashAggregate") >= 2
     assert "Join" not in plan
+
+
+def test_ar2_no_python_no_iteration(spark):
+    """Yule-Walker is one moment reduction over the lagged hourly
+    aggregate — no Python fold, no iterative joins."""
+    plan = plan_of(spark, "events_ar2_forecast")
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_incident_mtbf_filter_pushed(spark):
+    """The error-class filter reaches the parquet scan — incident
+    windows run over the minority class only."""
+    plan = plan_of(spark, "events_incident_mtbf")
+    assert "EqualTo(event_type,error)" in plan
+
+
+def test_manifest_checksum_map_side_combines(spark):
+    """The XOR checksum is a commutative aggregate: partial + final
+    phases, shuffle carries 8-byte partials."""
+    plan = plan_of(spark, "documents_manifest_checksums")
+    assert "partial_bit_xor" in plan
