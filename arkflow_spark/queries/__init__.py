@@ -48,6 +48,7 @@ for _mod in (
     "analytics14_q",
     "analytics15_q",
     "analytics16_q",
+    "analytics17_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -122,6 +123,9 @@ _DRIVER_PRIORITY = (
     "events_ar2_forecast",
     "events_incident_mtbf",
     "documents_manifest_checksums",
+    "events_dau_mau_stickiness",
+    "text_code_detection",
+    "scalar_fiscal_calendar",
     # round-3 second-session additions (freshest claims first)
     "join_lateral_topk",
     "distinct_on_latest",
