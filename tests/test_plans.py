@@ -793,3 +793,27 @@ def test_manifest_checksum_map_side_combines(spark):
     phases, shuffle carries 8-byte partials."""
     plan = plan_of(spark, "documents_manifest_checksums")
     assert "partial_bit_xor" in plan
+
+
+def test_dau_mau_no_distinct_over_window(spark):
+    """MAU comes from the interval sweep — per-user keyed windows over
+    distinct (user, day), never a 30x re-counting distinct frame."""
+    plan = plan_of(spark, "events_dau_mau_stickiness")
+    assert "BatchEvalPython" not in plan
+    # the step join is the only nested-loop; its build side is the tiny
+    # boundary table
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_code_detection_narrow(spark):
+    """Pure regex projections, no shuffle before the output sort."""
+    plan = plan_of(spark, "text_code_detection")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("hashpartitioning(") == 0
+
+
+def test_fiscal_calendar_pure_projection(spark):
+    """Calendar math is expressions, not a dimension join."""
+    plan = plan_of(spark, "scalar_fiscal_calendar")
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(") == 0
