@@ -49,6 +49,7 @@ for _mod in (
     "analytics15_q",
     "analytics16_q",
     "analytics17_q",
+    "analytics18_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -126,6 +127,9 @@ _DRIVER_PRIORITY = (
     "events_dau_mau_stickiness",
     "text_code_detection",
     "scalar_fiscal_calendar",
+    "orders_snapshot_diff",
+    "events_peak_detection",
+    "events_apdex_score",
     # round-3 second-session additions (freshest claims first)
     "join_lateral_topk",
     "distinct_on_latest",
