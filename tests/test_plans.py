@@ -817,3 +817,27 @@ def test_fiscal_calendar_pure_projection(spark):
     plan = plan_of(spark, "scalar_fiscal_calendar")
     assert "Join" not in plan
     assert plan.count("hashpartitioning(") == 0
+
+
+def test_snapshot_diff_joins_hashes_not_payloads(spark):
+    """The diff join moves (key, 32-byte hash) pairs; the class
+    reduction map-side combines (partial bit_xor)."""
+    plan = plan_of(spark, "orders_snapshot_diff")
+    assert "FullOuter" in plan
+    assert "partial_bit_xor" in plan
+
+
+def test_peak_detection_broadcast_moments(spark):
+    """Neighbor context is one keyed window over the hourly aggregate;
+    per-type moments broadcast back."""
+    plan = plan_of(spark, "events_peak_detection")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Window") >= 2
+
+
+def test_apdex_single_reduction(spark):
+    """One conditional aggregation, no joins, no windows."""
+    plan = plan_of(spark, "events_apdex_score")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
