@@ -50,6 +50,7 @@ for _mod in (
     "analytics16_q",
     "analytics17_q",
     "analytics18_q",
+    "analytics19_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -119,6 +120,9 @@ _DRIVER_PRIORITY = (
     "orders_snapshot_diff",
     "events_peak_detection",
     "events_apdex_score",
+    "events_drift_psi",
+    "lineitem_margin_waterfall",
+    "orders_mix_shift_decomposition",
     # earlier fourth-session batches (driver-sampled in r03's first 50
     # before these later batches existed; now ranked just below the cut,
     # still covered by the full local parity sweeps + bench headline)
