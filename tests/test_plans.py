@@ -841,3 +841,26 @@ def test_apdex_single_reduction(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_psi_bins_against_broadcast_edges(spark):
+    """The current period bins against broadcast baseline edges — the
+    big side never re-sorts."""
+    plan = plan_of(spark, "events_drift_psi")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_waterfall_one_measure_pass(spark):
+    """All waterfall measures come from ONE aggregation pass over
+    lineitem (one scan), unpivoted via explode."""
+    plan = plan_of(spark, "lineitem_margin_waterfall")
+    assert plan.count("Scan parquet") <= 2  # tree + detail of one scan
+    assert "Generate" in plan
+
+
+def test_mix_shift_broadcast_totals(spark):
+    """Per-period totals broadcast back onto the segment table."""
+    plan = plan_of(spark, "orders_mix_shift_decomposition")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Scan parquet") <= 2
