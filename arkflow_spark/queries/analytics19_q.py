@@ -276,21 +276,20 @@ _MIX_CUTOVER = "1995-01-01"
              SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sv
       FROM orders GROUP BY 1, 2
     ),
-    tot AS (
-      SELECT post, SUM(n) AS nt FROM seg GROUP BY post
+    with_tot AS (
+      SELECT *, SUM(n) OVER (PARTITION BY post) AS nt FROM seg
     ),
     wide AS (
-      SELECT s.seg,
-             MAX(CASE WHEN NOT s.post THEN s.n * 1.0 / t.nt END)
+      SELECT seg,
+             MAX(CASE WHEN NOT post THEN n * 1.0 / nt END)
                AS share_pre,
-             MAX(CASE WHEN s.post THEN s.n * 1.0 / t.nt END)
-               AS share_post,
-             MAX(CASE WHEN NOT s.post
-                      THEN CAST(s.sv AS DOUBLE) / s.n END) AS avg_pre,
-             MAX(CASE WHEN s.post
-                      THEN CAST(s.sv AS DOUBLE) / s.n END) AS avg_post
-      FROM seg s JOIN tot t ON t.post = s.post
-      GROUP BY s.seg
+             MAX(CASE WHEN post THEN n * 1.0 / nt END) AS share_post,
+             MAX(CASE WHEN NOT post
+                      THEN CAST(sv AS DOUBLE) / n END) AS avg_pre,
+             MAX(CASE WHEN post
+                      THEN CAST(sv AS DOUBLE) / n END) AS avg_post
+      FROM with_tot
+      GROUP BY seg
     )
     SELECT seg,
            floor(share_pre * 10000 + 0.5) / 10000 AS share_pre,
@@ -318,8 +317,9 @@ def orders_mix_shift_decomposition(
     dashboard drill-down. Revenue reduces as exact decimal; each
     share/avg is one double division before quantization.
 
-    Scale: one (segment, period) aggregation + a 2-row total broadcast;
-    the decomposition itself is arithmetic on segments x 1 rows.
+    Scale: one (segment, period) aggregation; the per-period totals
+    come from a window over that tiny table (no second scan), and the
+    decomposition is arithmetic on segments x 1 rows.
     """.format(c=_MIX_CUTOVER)
     o = load(spark, sf_dir, "orders")
     seg = o.groupBy(
@@ -332,8 +332,11 @@ def orders_mix_shift_decomposition(
         F.count("*").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sv"),
     )
-    tot = seg.groupBy("post").agg(F.sum("n").alias("nt"))
-    joined = seg.join(F.broadcast(tot), "post")
+    # per-period totals via a window over the tiny segment table —
+    # no second scan of orders, no join
+    joined = seg.withColumn(
+        "nt", F.sum("n").over(Window.partitionBy("post"))
+    )
     share = F.col("n") * 1.0 / F.col("nt")
     avg = F.col("sv").cast("double") / F.col("n")
     wide = joined.groupBy("seg").agg(

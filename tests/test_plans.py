@@ -859,8 +859,9 @@ def test_waterfall_one_measure_pass(spark):
     assert "Generate" in plan
 
 
-def test_mix_shift_broadcast_totals(spark):
-    """Per-period totals broadcast back onto the segment table."""
+def test_mix_shift_single_scan_no_join(spark):
+    """Per-period totals come from a window over the segment aggregate
+    — one scan of orders, no join."""
     plan = plan_of(spark, "orders_mix_shift_decomposition")
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan
     assert plan.count("Scan parquet") <= 2
