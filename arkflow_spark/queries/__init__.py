@@ -51,6 +51,7 @@ for _mod in (
     "analytics17_q",
     "analytics18_q",
     "analytics19_q",
+    "analytics20_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -123,6 +124,9 @@ _DRIVER_PRIORITY = (
     "events_drift_psi",
     "lineitem_margin_waterfall",
     "orders_mix_shift_decomposition",
+    "dedup_threshold_curve",
+    "lineitem_abc_migration",
+    "graph_kcore_peel",
     # earlier fourth-session batches (driver-sampled in r03's first 50
     # before these later batches existed; now ranked just below the cut,
     # still covered by the full local parity sweeps + bench headline)
