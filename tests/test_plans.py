@@ -865,3 +865,27 @@ def test_mix_shift_single_scan_no_join(spark):
     plan = plan_of(spark, "orders_mix_shift_decomposition")
     assert "Join" not in plan
     assert plan.count("Scan parquet") <= 2
+
+
+def test_threshold_curve_one_pairs_pass(spark):
+    """The 5-threshold sweep broadcasts over one persisted pairs
+    computation — thresholds cost no extra shingle joins."""
+    plan = plan_of(spark, "dedup_threshold_curve")
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 5-row threshold broadcast
+
+
+def test_abc_migration_windows_over_part_aggregate(spark):
+    """Cumulative-share windows run over per-part revenue (dim-sized),
+    and the transition join keys on the part."""
+    plan = plan_of(spark, "lineitem_abc_migration")
+    assert "FullOuter" in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_kcore_semi_join_peeling(spark):
+    """Each peel round filters edges via LeftSemi joins on survivor
+    node sets — never a materialized transitive structure."""
+    plan = plan_of(spark, "graph_kcore_peel")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
