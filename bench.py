@@ -73,6 +73,9 @@ HEADLINE = [
     "part_hierarchy_recursive",
     "events_geo_grid_hotspots",
     "orders_cohort_revenue_ltv",
+    "events_dau_mau_stickiness",
+    "events_drift_psi",
+    "orders_snapshot_diff",
 ]
 
 
