@@ -29,6 +29,24 @@ EVENT_QUERIES = (
     "events_counter_rate",
     "events_value_histogram",
     "events_changepoint_score",
+    # round-3 fourth session: zero-duration TWA segments, single-pair
+    # wavelet levels, empty error streams (MTBF over zero incidents),
+    # sub-decile PSI baselines (duplicate edges), constant series
+    # (sd=0 peaks), single-day MAU intervals
+    "events_time_weighted_avg",
+    "events_m4_downsample",
+    "events_haar_wavelet",
+    "events_peak_detection",
+    "events_incident_mtbf",
+    "events_burst_hysteresis",
+    "events_apdex_score",
+    "events_top_paths",
+    "events_trend_movers",
+    "events_dau_mau_stickiness",
+    "events_error_budget_burn",
+    "events_ddsketch_quantile",
+    "events_drift_psi",
+    "events_feature_crosses_hashed",
 )
 ORDER_QUERIES = ("orders_scd2_history", "orders_merge_upsert")
 
