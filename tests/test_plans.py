@@ -889,3 +889,50 @@ def test_kcore_semi_join_peeling(spark):
     plan = plan_of(spark, "graph_kcore_peel")
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injects_at_scale_thresholds(spark):
+    """Spark's runtime bloom-filter join pruning — a key 100 TB lever
+    (the probe side pre-filters on a bloom built from the selective
+    build side, cutting shuffle volume before the join). It gates on
+    scan-size thresholds sized for clusters; this pins the thresholds
+    to local scale and asserts the injection actually happens for a
+    selective orders -> lineitem join, so a config or Spark upgrade
+    that silently loses the rewrite fails here."""
+    from pyspark.sql import functions as F
+
+    from arkflow_spark.tables import load
+    from tests.conftest import SF_CORRECT
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, SF_CORRECT, "lineitem")
+        o = load(spark, SF_CORRECT, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
