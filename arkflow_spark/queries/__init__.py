@@ -52,6 +52,7 @@ for _mod in (
     "analytics18_q",
     "analytics19_q",
     "analytics20_q",
+    "analytics21_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -127,6 +128,7 @@ _DRIVER_PRIORITY = (
     "dedup_threshold_curve",
     "lineitem_abc_migration",
     "graph_kcore_peel",
+    "events_forecast_eval_wape",
     # earlier fourth-session batches (driver-sampled in r03's first 50
     # before these later batches existed; now ranked just below the cut,
     # still covered by the full local parity sweeps + bench headline)

@@ -817,3 +817,74 @@ def ddsketch_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def burst_hysteresis_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    enter_above: float,
+    exit_below: float,
+) -> DataFrame:
+    """Streaming Schmitt-trigger burst detection: the stateful twin of
+    the batch `events_burst_hysteresis` query. Per key, one integer
+    state cell carries the burst flag across micro-batches: enter when
+    the value exceeds ``enter_above``, leave only below ``exit_below``,
+    HOLD otherwise — the two-threshold hysteresis that keeps a
+    single-threshold alert from flapping on boundary-straddling
+    values. The batch query derives its thresholds from full-series
+    moments; a stream cannot see the future, so thresholds are
+    explicit (in production: yesterday's mu + k*sd, refreshed by a
+    batch job — the classic lambda hand-off).
+
+    Rows fold in ``ts_col`` order within each micro-batch; state is
+    O(1) per key forever, no watermark needed.
+    """
+
+    out_schema = (
+        f"{key_col} STRING, {ts_col} TIMESTAMP, {value_col} DOUBLE, "
+        "burst BOOLEAN, burst_start BOOLEAN"
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        st = int(state.get[0]) if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(ts_col, kind="stable")
+            burst, start = [], []
+            for v in batch[value_col]:
+                prev = st
+                v = float(v)
+                if v > enter_above:
+                    st = 1
+                elif v < exit_below:
+                    st = 0
+                burst.append(bool(st))
+                start.append(bool(st and not prev))
+            yield pd.DataFrame(
+                {
+                    key_col: key[0],
+                    ts_col: batch[ts_col].values,
+                    value_col: batch[value_col].values,
+                    "burst": pd.Series(burst, dtype="bool"),
+                    "burst_start": pd.Series(start, dtype="bool"),
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                columns=[key_col, ts_col, value_col, "burst", "burst_start"]
+            )
+        state.update((st,))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="burst INT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

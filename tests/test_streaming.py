@@ -929,3 +929,55 @@ def test_stream_ddsketch_quantiles_across_restarts(spark, tmp_path):
         assert abs(latest[q]["est"] - ref) < 1e-9, q
         true_val = ordered[target - 1]
         assert abs(latest[q]["est"] - true_val) / true_val <= alpha * 1.0001
+
+
+def test_stream_burst_hysteresis_state_across_restarts(spark, tmp_path):
+    """The Schmitt-trigger burst flag must carry across a checkpoint
+    restart: a burst entered in run 1 (value > enter) must still be ON
+    for run 2's first in-band value (hold region), and only a value
+    below the exit threshold may clear it."""
+    from arkflow_spark.streaming.state import burst_hysteresis_stream
+
+    src = str(tmp_path / "bh_src")
+    mk = lambda rows: (
+        spark.createDataFrame(rows, "k STRING, ts STRING, v DOUBLE")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
+    )
+    # run 1 ends INSIDE a burst (20 > enter=10)
+    mk(
+        [("a", "2024-01-01 00:00:00", 5.0),
+         ("a", "2024-01-01 00:01:00", 20.0)]
+    ).write.mode("append").parquet(src)
+
+    collected = []
+
+    def run_once():
+        sdf = spark.readStream.schema("k STRING, ts TIMESTAMP, v DOUBLE").parquet(src)
+        out = burst_hysteresis_stream(sdf, "k", "ts", "v", 10.0, 7.0)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "bh_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # run 2: 8.0 is in the hold band (7 < 8 < 10) -> must stay ON;
+    # 6.0 is below exit -> clears; 9.0 in-band after clear -> stays OFF
+    mk(
+        [("a", "2024-01-01 00:02:00", 8.0),
+         ("a", "2024-01-01 00:03:00", 6.0),
+         ("a", "2024-01-01 00:04:00", 9.0)]
+    ).write.mode("append").parquet(src)
+    run_once()
+
+    got = {str(r["ts"]): (r["burst"], r["burst_start"]) for r in collected}
+    assert got["2024-01-01 00:00:00"] == (False, False)
+    assert got["2024-01-01 00:01:00"] == (True, True)
+    assert got["2024-01-01 00:02:00"] == (True, False)  # held across restart
+    assert got["2024-01-01 00:03:00"] == (False, False)
+    assert got["2024-01-01 00:04:00"] == (False, False)
