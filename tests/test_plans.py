@@ -563,13 +563,14 @@ def test_url_canonical_single_groupby(spark):
     assert plan.count("hashpartitioning(") == 1
 
 
-def test_profile_single_scan(spark):
-    """The N-column profile reads lineitem ONCE (Deequ contract): one
-    parquet scan feeding the multi-distinct aggregate tree."""
+def test_profile_distincts_combine_map_side(spark):
+    """Distinct counts hash-aggregate on (col, value) — partial + final
+    HashAggregates, never the Expand-into-SortAggregate multi-distinct
+    plan; both scans stay column-pruned."""
     plan = plan_of(spark, "dq_profile_columns")
-    # formatted explain names each node twice (tree + detail): 1 scan
-    assert plan.count("Scan parquet") <= 2
-    assert "Expand" in plan  # multi COUNT DISTINCT planned in one pass
+    assert "Expand" not in plan  # no multi-distinct expansion
+    # the (col, value) -> col distinct path must be hash aggregates
+    assert plan.count("HashAggregate") >= 4
 
 
 def test_validation_fk_checks_are_anti_joins(spark):
