@@ -937,3 +937,11 @@ def test_runtime_bloom_filter_injects_at_scale_thresholds(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_forecast_eval_single_window_pass(spark):
+    """Both baselines come from one keyed window over the hourly
+    aggregate; the scoring is a single reduction."""
+    plan = plan_of(spark, "events_forecast_eval_wape")
+    assert plan.count("Window") >= 2  # tree + detail of one node
+    assert "BatchEvalPython" not in plan
