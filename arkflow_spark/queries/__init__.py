@@ -53,6 +53,7 @@ for _mod in (
     "analytics19_q",
     "analytics20_q",
     "analytics21_q",
+    "analytics22_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -129,6 +130,7 @@ _DRIVER_PRIORITY = (
     "lineitem_abc_migration",
     "graph_kcore_peel",
     "events_forecast_eval_wape",
+    "events_lttb_downsample",
     # earlier fourth-session batches (driver-sampled in r03's first 50
     # before these later batches existed; now ranked just below the cut,
     # still covered by the full local parity sweeps + bench headline)

@@ -47,6 +47,8 @@ EVENT_QUERIES = (
     "events_ddsketch_quantile",
     "events_drift_psi",
     "events_feature_crosses_hashed",
+    # LTTB: 1/2/3-point series, all-equal-count tie-breaks
+    "events_lttb_downsample",
 )
 ORDER_QUERIES = ("orders_scd2_history", "orders_merge_upsert")
 
