@@ -945,3 +945,11 @@ def test_forecast_eval_single_window_pass(spark):
     plan = plan_of(spark, "events_forecast_eval_wape")
     assert plan.count("Window") >= 2  # tree + detail of one node
     assert "BatchEvalPython" not in plan
+
+
+def test_lttb_folds_hourly_aggregate(spark):
+    """The LTTB fold consumes the hourly aggregate (partial + final
+    HashAggregate first), one pandas group fold per series."""
+    plan = plan_of(spark, "events_lttb_downsample")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("HashAggregate") >= 2
