@@ -54,6 +54,7 @@ for _mod in (
     "analytics20_q",
     "analytics21_q",
     "analytics22_q",
+    "analytics23_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -131,6 +132,8 @@ _DRIVER_PRIORITY = (
     "graph_kcore_peel",
     "events_forecast_eval_wape",
     "events_lttb_downsample",
+    "scalar_aes_pii_vault",
+    "orders_duplicate_payments",
     # earlier fourth-session batches (driver-sampled in r03's first 50
     # before these later batches existed; now ranked just below the cut,
     # still covered by the full local parity sweeps + bench headline)
