@@ -953,3 +953,19 @@ def test_lttb_folds_hourly_aggregate(spark):
     plan = plan_of(spark, "events_lttb_downsample")
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_aes_vault_narrow_projection(spark):
+    """Encrypt/decrypt/verify is one codegen projection — no shuffle
+    before the output sort, no Python."""
+    plan = plan_of(spark, "scalar_aes_pii_vault")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("hashpartitioning(") == 0
+
+
+def test_duplicate_payments_blocked_equi_join(spark):
+    """The audit self-join blocks on o_custkey (equi) with residual
+    date/score predicates — never a cartesian."""
+    plan = plan_of(spark, "orders_duplicate_payments")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
