@@ -55,6 +55,7 @@ for _mod in (
     "analytics21_q",
     "analytics22_q",
     "analytics23_q",
+    "analytics24_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -134,6 +135,8 @@ _DRIVER_PRIORITY = (
     "events_lttb_downsample",
     "scalar_aes_pii_vault",
     "orders_duplicate_payments",
+    "orders_seasonal_index",
+    "lineitem_supplier_hhi",
     # earlier fourth-session batches (driver-sampled in r03's first 50
     # before these later batches existed; now ranked just below the cut,
     # still covered by the full local parity sweeps + bench headline)

@@ -50,7 +50,20 @@ EVENT_QUERIES = (
     # LTTB: 1/2/3-point series, all-equal-count tie-breaks
     "events_lttb_downsample",
 )
-ORDER_QUERIES = ("orders_scd2_history", "orders_merge_upsert")
+ORDER_QUERIES = (
+    "orders_scd2_history",
+    "orders_merge_upsert",
+    # round-3 fourth session: empty pre/post splits, single-order
+    # cohorts, same-day skyline peers, modular snapshot classes on
+    # tiny key ranges, 2-day duplicate windows
+    "orders_incremental_agg_merge",
+    "orders_snapshot_diff",
+    "orders_mix_shift_decomposition",
+    "orders_cohort_revenue_ltv",
+    "orders_skyline_2d",
+    "orders_duplicate_payments",
+    "scalar_fiscal_calendar",
+)
 
 event = st.tuples(
     st.integers(min_value=0, max_value=3),              # user_id
@@ -108,8 +121,10 @@ def test_event_analytics_match_duckdb(spark, tmp_path_factory, rows):
 @given(rows=st.lists(order, min_size=1, max_size=25, unique=True))
 def test_order_analytics_match_duckdb(spark, tmp_path_factory, rows):
     t0 = dt.datetime(1995, 1, 1)
+    prio = {"O": "1-URGENT", "F": "3-MEDIUM", "P": "5-LOW"}
     data = [
-        (i, k, status, c / 100.0, t0 + dt.timedelta(days=d))
+        (i, k, status, c / 100.0, t0 + dt.timedelta(days=d),
+         prio[status])
         for i, (k, d, status, c) in enumerate(sorted(rows))
     ]
     sf = tmp_path_factory.mktemp("ordfuzz")
@@ -118,7 +133,8 @@ def test_order_analytics_match_duckdb(spark, tmp_path_factory, rows):
         str(sf / "orders.parquet"),
         data,
         "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
-        " o_totalprice double, o_orderdate timestamp",
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
     )
     for name in ORDER_QUERIES:
         res = compare(name, spark, str(sf), QUERIES[name], ORACLE[name])
