@@ -969,3 +969,19 @@ def test_duplicate_payments_blocked_equi_join(spark):
     plan = plan_of(spark, "orders_duplicate_payments")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_seasonal_index_windows_over_monthly(spark):
+    """The MA window runs over the monthly aggregate — months, not
+    orders (partial + final reduction first)."""
+    plan = plan_of(spark, "orders_seasonal_index")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
+
+
+def test_hhi_single_key_lineage(spark):
+    """Reduction, share window, and final aggregate all key on
+    l_partkey — one hash-partitioning lineage."""
+    plan = plan_of(spark, "lineitem_supplier_hhi")
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
