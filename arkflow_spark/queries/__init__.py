@@ -56,6 +56,7 @@ for _mod in (
     "analytics22_q",
     "analytics23_q",
     "analytics24_q",
+    "analytics25_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -137,6 +138,8 @@ _DRIVER_PRIORITY = (
     "orders_duplicate_payments",
     "orders_seasonal_index",
     "lineitem_supplier_hhi",
+    "events_percentile_bands",
+    "events_retention_halflife",
     # earlier fourth-session batches (driver-sampled in r03's first 50
     # before these later batches existed; now ranked just below the cut,
     # still covered by the full local parity sweeps + bench headline)
