@@ -985,3 +985,19 @@ def test_hhi_single_key_lineage(spark):
     plan = plan_of(spark, "lineitem_supplier_hhi")
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_percentile_bands_single_bucket_shuffle(spark):
+    """Rank window and aggregation share (event_type, h) — one keyed
+    shuffle, rank selection with no interpolation."""
+    plan = plan_of(spark, "events_percentile_bands")
+    assert plan.count("hashpartitioning(") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_retention_halflife_regression_over_curve(spark):
+    """The log-linear fit reduces a <=14-row curve — the heavy work is
+    the two uniform-key reductions before it."""
+    plan = plan_of(spark, "events_retention_halflife")
+    assert plan.count("HashAggregate") >= 4
+    assert "BatchEvalPython" not in plan
