@@ -187,11 +187,17 @@ def events_retention_halflife(
         F.sum(F.col("t") * F.log("r")).alias("sxy"),
         F.sum(F.col("t") * F.col("t") * 1.0).alias("sxx"),
     )
-    slope = (
-        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    # try_divide both stages: a 1-point curve (denominator 0) or a
+    # perfectly flat curve (slope 0) must fit to NULL, matching
+    # DuckDB's NULL-on-zero division (Spark ANSI raises otherwise)
+    slope = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+    )
     return mom.select(
         F.col("n").alias("n_points"),
         _floor4(-slope).alias("decay_b"),
-        _floor4(0.6931471805599453 / (-slope)).alias("halflife_days"),
+        _floor4(
+            F.try_divide(F.lit(0.6931471805599453), -slope)
+        ).alias("halflife_days"),
     )

@@ -243,8 +243,15 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(
             F.count("*").alias("n_samples"),
+            # try_divide: a day whose every segment has zero duration
+            # (all readings at one instant) must yield NULL like
+            # DuckDB's 0/0 — under Spark's default ANSI mode a plain
+            # division RAISES there (fuzzer-found)
             _floor4(
-                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us")
+                F.try_divide(
+                    F.sum(F.col("value") * F.col("dur_us")),
+                    F.sum("dur_us"),
+                )
             ).alias("twa"),
         )
         .select(

@@ -49,6 +49,10 @@ EVENT_QUERIES = (
     "events_feature_crosses_hashed",
     # LTTB: 1/2/3-point series, all-equal-count tie-breaks
     "events_lttb_downsample",
+    # rank-selected bucket quantiles on tiny groups; degenerate
+    # (0/1-point) retention curves -> NULL fits in both engines
+    "events_percentile_bands",
+    "events_retention_halflife",
 )
 ORDER_QUERIES = (
     "orders_scd2_history",
