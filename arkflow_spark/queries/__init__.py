@@ -57,6 +57,7 @@ for _mod in (
     "analytics23_q",
     "analytics24_q",
     "analytics25_q",
+    "analytics26_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -140,6 +141,7 @@ _DRIVER_PRIORITY = (
     "lineitem_supplier_hhi",
     "events_percentile_bands",
     "events_retention_halflife",
+    "events_cuped_adjustment",
     # earlier fourth-session batches (driver-sampled in r03's first 50
     # before these later batches existed; now ranked just below the cut,
     # still covered by the full local parity sweeps + bench headline)
