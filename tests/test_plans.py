@@ -1001,3 +1001,12 @@ def test_retention_halflife_regression_over_curve(spark):
     plan = plan_of(spark, "events_retention_halflife")
     assert plan.count("HashAggregate") >= 4
     assert "BatchEvalPython" not in plan
+
+
+def test_cuped_two_reduction_passes(spark):
+    """CUPED is a per-user conditional reduction then one 6-moment
+    aggregate — no windows, no joins, all map-side combinable."""
+    plan = plan_of(spark, "events_cuped_adjustment")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4
