@@ -81,21 +81,6 @@ _DRIVER_PRIORITY = (
     "agg_approx_percentile",
     "agg_sketches",
     # round-3 fourth-session additions (freshest claims first)
-    "orders_skyline_2d",
-    "events_burst_hysteresis",
-    "agg_bitmap_distinct",
-    "text_rake_keywords",
-    "scalar_try_functions",
-    "text_bm25_search",
-    "events_time_weighted_avg",
-    "events_m4_downsample",
-    "agg_heavy_hitters_mg",
-    "dedup_url_canonical",
-    "dq_profile_columns",
-    "dq_validation_suite",
-    "events_ddsketch_quantile",
-    "text_bpe_pair_merge",
-    "scalar_variant_shred",
     "events_cross_correlation",
     "events_error_budget_burn",
     "events_top_paths",
@@ -145,6 +130,21 @@ _DRIVER_PRIORITY = (
     # earlier fourth-session batches (driver-sampled in r03's first 50
     # before these later batches existed; now ranked just below the cut,
     # still covered by the full local parity sweeps + bench headline)
+    "orders_skyline_2d",
+    "events_burst_hysteresis",
+    "agg_bitmap_distinct",
+    "text_rake_keywords",
+    "scalar_try_functions",
+    "text_bm25_search",
+    "events_time_weighted_avg",
+    "events_m4_downsample",
+    "agg_heavy_hitters_mg",
+    "dedup_url_canonical",
+    "dq_profile_columns",
+    "dq_validation_suite",
+    "events_ddsketch_quantile",
+    "text_bpe_pair_merge",
+    "scalar_variant_shred",
     "window_rolling_median",
     "dedup_containment",
     "events_attribution",
