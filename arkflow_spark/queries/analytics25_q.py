@@ -139,9 +139,15 @@ def events_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n AS n_points,
            floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
                  * -10000 + 0.5) / 10000 AS decay_b,
-           floor(0.6931471805599453 /
-                 (-(n * sxy - sx * sy) / (n * sxx - sx * sx))
-                 * 10000 + 0.5) / 10000 AS halflife_days
+           -- a slope within 1e-9 of zero is numerically flat (the ln
+           -- moments differ by ulps across engines there): no finite
+           -- half-life
+           CASE WHEN (n * sxy - sx * sy) / (n * sxx - sx * sx) < -1e-9
+                THEN floor(0.6931471805599453 /
+                           (-(n * sxy - sx * sy)
+                             / (n * sxx - sx * sx))
+                           * 10000 + 0.5) / 10000
+           END AS halflife_days
     FROM mom
     """,
 )
@@ -187,9 +193,10 @@ def events_retention_halflife(
         F.sum(F.col("t") * F.log("r")).alias("sxy"),
         F.sum(F.col("t") * F.col("t") * 1.0).alias("sxx"),
     )
-    # try_divide both stages: a 1-point curve (denominator 0) or a
-    # perfectly flat curve (slope 0) must fit to NULL, matching
-    # DuckDB's NULL-on-zero division (Spark ANSI raises otherwise)
+    # try_divide: a 1-point curve (denominator 0) must fit to NULL,
+    # matching DuckDB's NULL-on-zero division (Spark ANSI raises);
+    # a numerically-flat slope (|b| <= 1e-9 — engines' ln moments
+    # differ by ulps there) gets no finite half-life on either side
     slope = F.try_divide(
         F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
@@ -198,6 +205,9 @@ def events_retention_halflife(
         F.col("n").alias("n_points"),
         _floor4(-slope).alias("decay_b"),
         _floor4(
-            F.try_divide(F.lit(0.6931471805599453), -slope)
+            F.when(
+                slope < -1e-9,
+                F.lit(0.6931471805599453) / (-slope),
+            )
         ).alias("halflife_days"),
     )
