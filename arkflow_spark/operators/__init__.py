@@ -10,6 +10,7 @@ here).
 from __future__ import annotations
 
 import json
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -298,8 +299,10 @@ class ValidateProcessor:
     conf:
       ``checks``: list of {name, predicate} row-level rules (SQL boolean;
         a row violating ANY rule is a violation) and/or
-        {name, assert} aggregate rules (SQL over the batch registered as
-        table ``flow``, must yield one boolean);
+        {name, assert} aggregate rules (an aggregate SQL expression
+        evaluated over the whole batch — registered under a one-off
+        unique view name so concurrent streams never collide — must
+        yield one boolean);
       ``on_violation`` (default ``fail``):
         ``fail``  — raise, so the engine routes the raw batch to the DLQ;
         ``drop``  — remove violating rows, pass the clean remainder;
@@ -332,15 +335,22 @@ class ValidateProcessor:
         agg = [c for c in self.checks if "assert" in c]
         rows = [c for c in self.checks if "predicate" in c]
         if agg:
-            df.createOrReplaceTempView("flow")
-            for c in agg:
-                res = session.sql(
-                    f"SELECT ({c['assert']}) AS ok FROM flow"
-                ).collect()
-                if not res or not all(r["ok"] for r in res):
-                    raise ValueError(
-                        f"validate: aggregate check {c['name']!r} failed"
-                    )
+            # One-off uniquely-named view: a fixed name ("flow") would
+            # silently clobber a same-named temp view registered by
+            # another stream or a user sql processor in this session.
+            view = f"_dq_validate_{uuid.uuid4().hex}"
+            df.createOrReplaceTempView(view)
+            try:
+                for c in agg:
+                    res = session.sql(
+                        f"SELECT ({c['assert']}) AS ok FROM {view}"
+                    ).collect()
+                    if not res or not all(r["ok"] for r in res):
+                        raise ValueError(
+                            f"validate: aggregate check {c['name']!r} failed"
+                        )
+            finally:
+                session.catalog.dropTempView(view)
         if not rows:
             return df
         viols = F.array_compact(

@@ -9,6 +9,7 @@ operator is validated locally before the driver's per-round check.
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 from dataclasses import dataclass
@@ -37,11 +38,19 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm(v) -> str:
+def _norm(v, strict: bool = False) -> str:
     if v is None:
         return "\x00NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
+    if strict and isinstance(v, decimal.Decimal):
+        # Driver-strict: the driver hashes Arrow-typed values, where a
+        # DuckDB HUGEINT / DECIMAL column arrives as decimal128 and hashes
+        # differently from Spark's bigint even when every value is equal
+        # (q12 round-1, six rows round-3). Tag decimals so int-vs-decimal
+        # desyncs locally exactly like it does in the driver, while
+        # decimal-vs-decimal of equal value still matches.
+        return f"\x00DEC{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -49,13 +58,15 @@ def _norm(v) -> str:
             return str(int(v))
         return repr(v)
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm(x) for x in v) + "]"
+        return "[" + ",".join(_norm(x, strict) for x in v) + "]"
     return str(v)
 
 
-def canonicalize(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
+def canonicalize(
+    cols: list[str], rows: list[tuple], strict: bool = False
+) -> list[tuple[str, ...]]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    out = [tuple(_norm(r[i], strict) for i in order) for r in rows]
     out.sort()
     return out
 
@@ -78,7 +89,16 @@ class CompareResult:
         )
 
 
-def compare(name, spark, sf_dir, query_fn, oracle_sql) -> CompareResult:
+def compare(
+    name, spark, sf_dir, query_fn, oracle_sql, strict: bool = False
+) -> CompareResult:
+    """Spark-vs-DuckDB compare. ``strict=True`` mirrors the DRIVER's
+    comparison: the oracle result is fetched through Arrow (so HUGEINT /
+    widened-DECIMAL output types surface as ``decimal.Decimal`` instead
+    of being silently collapsed to Python int by ``fetchall``) and
+    decimals hash type-sensitively. Local-green in strict mode implies
+    driver-green; the default mode is kept for readable value diffs.
+    """
     sdf = query_fn(spark, sf_dir)
     s_cols = list(sdf.columns)
     s_rows = [tuple(r) for r in sdf.collect()]
@@ -87,13 +107,18 @@ def compare(name, spark, sf_dir, query_fn, oracle_sql) -> CompareResult:
     try:
         res = con.execute(oracle_sql)
         o_cols = [d[0] for d in res.description]
-        o_rows = res.fetchall()
+        if strict:
+            tbl = res.arrow()
+            cols_data = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+            o_rows = list(zip(*cols_data)) if cols_data else []
+        else:
+            o_rows = res.fetchall()
     finally:
         con.close()
 
     cols_match = sorted(s_cols) == sorted(o_cols)
-    s_canon = canonicalize(s_cols, s_rows)
-    o_canon = canonicalize(o_cols, o_rows)
+    s_canon = canonicalize(s_cols, s_rows, strict)
+    o_canon = canonicalize(o_cols, o_rows, strict)
     values_match = s_canon == o_canon
     detail = ""
     if not cols_match:

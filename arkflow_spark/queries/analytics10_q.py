@@ -234,7 +234,8 @@ _BURN_FACTOR = 2.0  # alert when both windows burn > 2x budget
                    RANGE BETWEEN {_BURN_LONG_H - 1} * 3600 PRECEDING
                    AND CURRENT ROW)
     )
-    SELECT strftime(h, '{DUCK_TS_FMT}') AS h, total, errors,
+    SELECT strftime(h, '{DUCK_TS_FMT}') AS h, total,
+           CAST(errors AS BIGINT) AS errors,
            floor(errors * 1.0 / total / {_BURN_BUDGET} * 10000 + 0.5)
              / 10000 AS burn_fast,
            floor(err_l * 1.0 / tot_l / {_BURN_BUDGET} * 10000 + 0.5)

@@ -59,7 +59,8 @@ _FILTER_SQL = """
 @query(
     "agg_filter_clause",
     oracle=f"""
-    SELECT o_orderpriority, n_orders, n_finished, open_revenue,
+    SELECT o_orderpriority, n_orders, n_finished,
+           CAST(open_revenue AS DOUBLE) AS open_revenue,
            floor(avg_large * 10000 + 0.5) / 10000 AS avg_large,
            first_pending
     FROM ({_FILTER_SQL})
@@ -70,8 +71,10 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The `FILTER (WHERE ...)` aggregate clause — per-aggregate
     predicates without CASE expressions, across count/sum/avg/min —
     run through `spark.sql` with the IDENTICAL statement DuckDB
-    executes (revenue reduces as exact decimal; the one float average
-    is quantized outside the shared text). Catalyst plans each FILTER
+    executes (revenue reduces as exact decimal, then casts to DOUBLE at
+    output — exact, since money*100 is an integer well under 2^53 —
+    because the two engines widen SUM(DECIMAL) precision differently;
+    the one float average is quantized outside the shared text). Catalyst plans each FILTER
     as a conditional partial aggregate — same map-side-combine shape
     as the CASE formulation, so the clause is pure surface, zero cost.
     """
@@ -81,7 +84,7 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "n_orders",
         "n_finished",
-        "open_revenue",
+        F.col("open_revenue").cast("double").alias("open_revenue"),
         _floor4(F.col("avg_large")).alias("avg_large"),
         "first_pending",
     ).orderBy("o_orderpriority")

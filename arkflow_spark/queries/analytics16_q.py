@@ -226,7 +226,7 @@ _INCIDENT_GAP_S = 1800  # 30 min of quiet closes an incident
       FROM incidents
     )
     SELECT COUNT(*) AS n_incidents,
-           SUM(n_errors) AS n_errors,
+           CAST(SUM(n_errors) AS BIGINT) AS n_errors,
            floor(AVG(epoch_us(ended) - epoch_us(started)) / 1000000
                  * 10000 + 0.5) / 10000 AS mttr_s,
            floor(AVG(gap_us) / 1000000 * 10000 + 0.5) / 10000 AS mtbf_s,
@@ -303,7 +303,7 @@ def events_incident_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
            bit_xor(CAST(('0x' || substr(md5(
              CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 15))

@@ -75,7 +75,7 @@ _MAU_WINDOW = 30  # trailing days
       SELECT d, COUNT(*) AS dau FROM active GROUP BY d
     )
     SELECT dau.d AS day_num, dau.dau,
-           m.mau,
+           CAST(m.mau AS BIGINT) AS mau,
            floor(dau.dau * 1.0 / m.mau * 10000 + 0.5) / 10000
              AS stickiness
     FROM dau

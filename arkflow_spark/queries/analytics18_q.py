@@ -219,10 +219,10 @@ _APDEX_T = 100.0  # satisfied threshold; tolerating up to 4T
     oracle=f"""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CASE WHEN value <= {_APDEX_T} THEN 1 ELSE 0 END)
-             AS satisfied,
-           SUM(CASE WHEN value > {_APDEX_T} AND value <= {4 * _APDEX_T}
-                    THEN 1 ELSE 0 END) AS tolerating,
+           CAST(SUM(CASE WHEN value <= {_APDEX_T} THEN 1 ELSE 0 END)
+                AS BIGINT) AS satisfied,
+           CAST(SUM(CASE WHEN value > {_APDEX_T} AND value <= {4 * _APDEX_T}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tolerating,
            floor((SUM(CASE WHEN value <= {_APDEX_T} THEN 1 ELSE 0 END)
                   + SUM(CASE WHEN value > {_APDEX_T}
                              AND value <= {4 * _APDEX_T}

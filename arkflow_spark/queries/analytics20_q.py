@@ -56,7 +56,8 @@ def _curve_oracle() -> str:
     ),
     th(t) AS (VALUES {rows})
     SELECT CAST(th.t AS DOUBLE) AS threshold,
-           SUM(CASE WHEN j.j >= th.t THEN 1 ELSE 0 END) AS n_pairs,
+           CAST(SUM(CASE WHEN j.j >= th.t THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs,
            COUNT(DISTINCT CASE WHEN j.j >= th.t THEN j.doc_b END)
              AS docs_removed
     FROM th CROSS JOIN jac j

@@ -108,13 +108,18 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select(
         n.alias("n_users"),
         _floor4(F.try_divide(cov_n, varx_n)).alias("theta"),
-        _floor4((syy - sy * sy / n) / (n - 1)).alias("var_y"),
+        # try_divide on the n-1 / varx_n denominators too: a 1-user or
+        # zero-pre-period-variance input must yield NULL (DuckDB's /0
+        # semantics), not a DIVIDE_BY_ZERO error under ANSI mode.
         _floor4(
-            (
-                (syy - sy * sy / n)
-                - cov_n * cov_n / (n * 1.0 * varx_n)
+            F.try_divide(syy - F.try_divide(sy * sy, n), n - 1)
+        ).alias("var_y"),
+        _floor4(
+            F.try_divide(
+                (syy - F.try_divide(sy * sy, n))
+                - F.try_divide(cov_n * cov_n, n * 1.0 * varx_n),
+                n - 1,
             )
-            / (n - 1)
         ).alias("var_y_adj"),
         _floor4(
             F.try_divide(cov_n * cov_n * 1.0, varx_n * vary_n)

@@ -142,7 +142,7 @@ _TARGET_CHARS = 1_000_000  # chars per output file (byte proxy)
     oracle=f"""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MAX(n_chars) AS max_doc_chars,
            floor(CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)
                  / COUNT(*) * 10000 + 0.5) / 10000 AS mean_doc_chars,

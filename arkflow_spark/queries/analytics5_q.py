@@ -235,7 +235,7 @@ _LOOKBACK_US = 24 * 3600 * 1_000_000
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     )
     SELECT event_id, user_id, strftime(ts, '{DUCK_TS_FMT}') AS ts,
-           COALESCE(touches_24h, 0) AS touches_24h,
+           CAST(COALESCE(touches_24h, 0) AS BIGINT) AS touches_24h,
            CASE WHEN lt_ts >= ts - INTERVAL 24 HOURS THEN lt_type END
              AS last_touch_type,
            CASE WHEN lt_ts >= ts - INTERVAL 24 HOURS

@@ -158,8 +158,8 @@ def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT sh.doc_id,
            COUNT(*) AS n_shingles,
-           SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
-             AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
            floor(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
                  * 1.0 / COUNT(*) * 10000 + 0.5) / 10000 AS novelty
     FROM sh JOIN first_seen f USING (shingle)

@@ -773,7 +773,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            strftime(date_trunc('hour', t), '{{fmt}}') AS bucket,
-           max(live) AS peak_concurrency,
+           CAST(max(live) AS BIGINT) AS peak_concurrency,
            count(*) AS n_points
     FROM swept
     GROUP BY event_type, date_trunc('hour', t)

@@ -107,16 +107,29 @@ def main() -> None:
             warms.append(time.perf_counter() - t0)
         per_query[name] = round(min(warms), 3)
     total = round(sum(per_query.values()), 3)
+    cold_total = round(sum(cold.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Key order matters: the driver records a truncated slice of this
+    # line (BENCH_r03 lost the warm dict), so every scalar headline
+    # number appears BOTH in the first ~200 bytes AND in the trailing
+    # ~100 bytes — whichever side of the truncation survives carries
+    # warm/cold totals. Dicts (warm first — the steady-state number the
+    # 100 TB design cares about) sit in the middle.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "warm_total": total,
+                "cold_total": cold_total,
+                "n_queries": len(per_query),
+                "sf": sf_val,
                 "queries": per_query,
-                "cold_total": round(sum(cold.values()), 3),
                 "cold_queries": cold,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "tail_warm_total": total,
+                "tail_cold_total": cold_total,
+                "tail_sf": sf_val,
             }
         )
     )

@@ -1,6 +1,11 @@
 """Run every registered query against its DuckDB oracle and report.
 
-Usage: python scripts/check_parity.py [sf_dir] [name_filter...]
+Usage: python scripts/check_parity.py [--driver-strict] [sf_dir] [name_filter...]
+
+--driver-strict fetches the DuckDB side through Arrow and hashes
+decimals type-sensitively, reproducing the driver's comparison (which
+red-flagged 6 locally-green queries in round 3 whose oracles surfaced
+HUGEINT). Run strict before every submission.
 """
 
 from __future__ import annotations
@@ -16,8 +21,11 @@ from arkflow_spark.session import get_spark
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filters = sys.argv[2:]
+    argv = sys.argv[1:]
+    strict = "--driver-strict" in argv
+    argv = [a for a in argv if a != "--driver-strict"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    filters = argv[1:]
     spark = get_spark("parity-check")
     failures = 0
     for name, fn in sorted(QUERIES.items()):
@@ -33,7 +41,7 @@ def main() -> int:
                 print(f"[FAIL] {name}: EXC {type(e).__name__}: {str(e)[:300]}")
             continue
         try:
-            res = compare(name, spark, sf_dir, fn, ORACLE[name])
+            res = compare(name, spark, sf_dir, fn, ORACLE[name], strict=strict)
             print(f"{res} ({time.time()-t0:.1f}s)")
             failures += 0 if res.ok else 1
         except Exception as e:

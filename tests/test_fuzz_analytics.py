@@ -53,6 +53,9 @@ EVENT_QUERIES = (
     # (0/1-point) retention curves -> NULL fits in both engines
     "events_percentile_bands",
     "events_retention_halflife",
+    # round-4: 1-user / zero-pre-period-variance CUPED inputs must be
+    # NULL (try_divide) in both engines, never DIVIDE_BY_ZERO/NaN
+    "events_cuped_adjustment",
 )
 ORDER_QUERIES = (
     "orders_scd2_history",
