@@ -376,3 +376,6 @@ class ValidateProcessor:
                 f"(first bad row: {bad[0].asDict()})"
             )
         return df
+
+# Register the VRL mini-interpreter processor (separate module).
+from arkflow_spark.operators import vrl as _vrl  # noqa: E402,F401
