@@ -96,6 +96,7 @@ _DRIVER_PRIORITY = (
     # (b) flagship
     "q1_pricing_summary",
     # (c) round-4 new operators (inserted as they land this round)
+    "graph_pagerank_bucketed",
     # (d) never-driver-sampled families
     "multimodal_byte_stats",
     "multimodal_audio_frames",

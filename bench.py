@@ -76,6 +76,8 @@ HEADLINE = [
     "events_dau_mau_stickiness",
     "events_drift_psi",
     "orders_snapshot_diff",
+    # round-4 operators (first benched in BENCH_r04)
+    "graph_pagerank_bucketed",
 ]
 
 

@@ -1010,3 +1010,41 @@ def test_cuped_two_reduction_passes(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_pagerank_bucketed_iteration_join_exchange_free(spark):
+    """The bucketed PageRank twin's per-iteration dataflow: the
+    ranks-x-edges join must read pre-shuffled bucketed storage with
+    ZERO Exchange operators in the join subtree — the single remaining
+    exchange is the unavoidable dst-transpose aggregate. This is the
+    named 100x step for the slowest headline query."""
+    from pyspark.sql import functions as F
+
+    from arkflow_spark.queries.graph_q import _contrib_step
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # materializes the bucketed tables as a side effect
+        QUERIES["graph_pagerank_bucketed"](spark, SF_CORRECT).collect()
+        ew_b = spark.table("_pr_edges_b")
+        nodes_b = spark.table("_pr_nodes_b")
+        n = nodes_b.count()
+        ranks0 = nodes_b.select("node", F.lit(1.0 / n).alias("r"))
+        step = _contrib_step(ranks0, ew_b)
+        step.count()
+        plan = step._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        # exactly one exchange: the dst aggregate; none under the join
+        assert plan.count("Exchange") == 1, plan[:2000]
+        join_subtree = plan[plan.index("SortMergeJoin"):]
+        assert "Exchange" not in join_subtree, join_subtree[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_pagerank_bucketed_matches_unbucketed(spark):
+    a = QUERIES["graph_pagerank_bipartite"](spark, SF_CORRECT).collect()
+    b = QUERIES["graph_pagerank_bucketed"](spark, SF_CORRECT).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
