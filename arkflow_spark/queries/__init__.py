@@ -58,6 +58,9 @@ for _mod in (
     "analytics24_q",
     "analytics25_q",
     "analytics26_q",
+    "analytics27_q",
+    "analytics28_q",
+    "analytics29_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -97,6 +100,18 @@ _DRIVER_PRIORITY = (
     "q1_pricing_summary",
     # (c) round-4 new operators (inserted as they land this round)
     "graph_pagerank_bucketed",
+    "orders_backlog_timeseries",
+    "events_bootstrap_ci",
+    "lineitem_price_elasticity",
+    "documents_quality_threshold_sweep",
+    "dedup_band_sweep",
+    "events_lateness_watermark_audit",
+    "customer_interpurchase_gaps",
+    "lineitem_discount_anova",
+    "events_uniform_sample_hashprio",
+    "documents_rag_chunks",
+    "events_hill_tail_index",
+    "orders_otif_fill_rate",
     # (d) never-driver-sampled families
     "multimodal_byte_stats",
     "multimodal_audio_frames",

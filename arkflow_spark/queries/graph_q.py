@@ -117,7 +117,7 @@ def _edges_and_shares(spark: SparkSession, sf_dir: str):
         F.col("c").alias("src"), F.col("s").alias("dst"), "w"
     ).unionAll(
         pair.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
-    )
+    ).persist()  # feeds outw AND the share join: build the pair agg once
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     # weight share is iteration-invariant: precompute once
     ew = edges.join(outw, "src").select(

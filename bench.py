@@ -78,6 +78,11 @@ HEADLINE = [
     "orders_snapshot_diff",
     # round-4 operators (first benched in BENCH_r04)
     "graph_pagerank_bucketed",
+    "events_bootstrap_ci",
+    "documents_rag_chunks",
+    "dedup_band_sweep",
+    "events_lateness_watermark_audit",
+    "orders_backlog_timeseries",
 ]
 
 

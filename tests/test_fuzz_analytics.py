@@ -56,6 +56,13 @@ EVENT_QUERIES = (
     # round-4: 1-user / zero-pre-period-variance CUPED inputs must be
     # NULL (try_divide) in both engines, never DIVIDE_BY_ZERO/NaN
     "events_cuped_adjustment",
+    # round-4 batch 27-29: empty resamples (sum w = 0 -> NULL mean),
+    # k > n samples, sub-2-positive-value Hill groups (excluded), zero
+    # log-sum tails (NULL), duplicate-timestamp lateness ties
+    "events_bootstrap_ci",
+    "events_uniform_sample_hashprio",
+    "events_hill_tail_index",
+    "events_lateness_watermark_audit",
 )
 ORDER_QUERIES = (
     "orders_scd2_history",
@@ -200,6 +207,11 @@ DOC_QUERIES = (
     "dedup_incremental_snapshot",
     "documents_pack_sequences",
     "documents_training_mix",
+    # round-4: single-word / <=chunk-size docs (exactly 1 chunk), stride
+    # boundary off-by-ones, whitespace-only-ish texts; degenerate score
+    # histograms (all docs same score)
+    "documents_rag_chunks",
+    "documents_quality_threshold_sweep",
 )
 
 
@@ -228,3 +240,80 @@ def test_document_pipeline_matches_duckdb(spark, tmp_path_factory, texts):
     for name in DOC_QUERIES:
         res = compare(name, spark, str(sf), QUERIES[name], ORACLE[name])
         assert res.ok, (name, texts, str(res))
+
+
+SUPPLY_QUERIES = (
+    # round-4 batch 27-29 over orders+lineitem(+part+customer):
+    # single-order customers (no gaps), same-day consecutive orders
+    # (gap 0), 1-line orders, single discount level (k=1 -> NULL F),
+    # zero-variance prices (NULL elasticity), all-on-time / all-late
+    # months, backlogs that never close
+    "orders_backlog_timeseries",
+    "orders_otif_fill_rate",
+    "customer_interpurchase_gaps",
+    "lineitem_discount_anova",
+    "lineitem_price_elasticity",
+)
+
+supply_order = st.tuples(
+    st.integers(min_value=0, max_value=2),               # custkey
+    st.integers(min_value=0, max_value=200),             # order day
+    st.integers(min_value=0, max_value=60),              # ship delay days
+    st.integers(min_value=0, max_value=2),               # partkey
+    st.integers(min_value=1, max_value=50),              # quantity
+    st.integers(min_value=100, max_value=500_000),       # price cents
+    st.sampled_from([0.0, 0.05, 0.1]),                   # discount
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(supply_order, min_size=1, max_size=20, unique=True))
+def test_supply_chain_analytics_match_duckdb(spark, tmp_path_factory, rows):
+    t0 = dt.datetime(1995, 1, 1)
+    orders = [
+        (i, ck, "O", pc / 100.0, t0 + dt.timedelta(days=d), "1-URGENT")
+        for i, (ck, d, sd, pk, q, pc, disc) in enumerate(sorted(rows))
+    ]
+    lineitem = [
+        (
+            i, pk, 0, 1, float(q), pc / 100.0, disc, 0.0, "N", "O",
+            t0 + dt.timedelta(days=d + sd),
+        )
+        for i, (ck, d, sd, pk, q, pc, disc) in enumerate(sorted(rows))
+    ]
+    part = [(k, f"part{k}", f"Brand#{k + 1}", "t", 1, 1.0) for k in range(3)]
+    customer = [
+        (k, f"c{k}", 0, 0.0, ("AUTOMOBILE", "BUILDING", "MACHINERY")[k])
+        for k in range(3)
+    ]
+    sf = tmp_path_factory.mktemp("supplyfuzz")
+    _write(
+        spark, str(sf / "orders.parquet"), orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    _write(
+        spark, str(sf / "lineitem.parquet"), lineitem,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    _write(
+        spark, str(sf / "part.parquet"), part,
+        "p_partkey bigint, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    _write(
+        spark, str(sf / "customer.parquet"), customer,
+        "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    for name in SUPPLY_QUERIES:
+        res = compare(name, spark, str(sf), QUERIES[name], ORACLE[name])
+        assert res.ok, (name, rows, str(res))

@@ -1048,3 +1048,61 @@ def test_pagerank_bucketed_matches_unbucketed(spark):
     a = QUERIES["graph_pagerank_bipartite"](spark, SF_CORRECT).collect()
     b = QUERIES["graph_pagerank_bucketed"](spark, SF_CORRECT).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bootstrap_ci_single_keyed_aggregate_no_python(spark):
+    """Poisson bootstrap: the raw stream is exploded x40 then reduced by
+    ONE map-side-combinable (event_type, b) aggregate — no joins, no
+    per-replicate shuffles of the raw data, no Python."""
+    plan = plan_of(spark, "events_bootstrap_ci")
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x2 stages
+
+
+def test_rag_chunks_shuffle_free_until_sort(spark):
+    """Chunking is embarrassingly parallel: split/sequence/slice/md5 per
+    document, zero hash exchanges (the only exchange is the final
+    presentation range-sort)."""
+    plan = plan_of(spark, "documents_rag_chunks")
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(") == 0
+
+
+def test_price_elasticity_broadcasts_part_dim(spark):
+    plan = plan_of(spark, "lineitem_price_elasticity")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_discount_anova_two_tiny_reductions(spark):
+    plan = plan_of(spark, "lineitem_discount_anova")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_backlog_sweep_no_interval_join(spark):
+    """The +1/-1 boundary sweep: aggregates + one running sum, never an
+    interval-vs-day join (the quadratic formulation)."""
+    plan = plan_of(spark, "orders_backlog_timeseries")
+    assert "BatchEvalPython" not in plan
+    # the only join-free dataflow: close-date agg, day agg, running sum
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_hashprio_sample_is_topk_not_global_sort(spark):
+    """Catalyst rewrites the rank filter into TakeOrderedAndProject:
+    per-partition heaps + a k-row merge, never a global sort of the
+    stream."""
+    plan = plan_of(spark, "events_uniform_sample_hashprio")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_band_sweep_shares_one_signature_pass(spark):
+    """The three banding configs reuse ONE persisted signature frame —
+    the corpus is shingled and hashed once, not three times."""
+    plan = plan_of(spark, "dedup_band_sweep")
+    assert plan.count("InMemoryTableScan") >= 6  # 2 sides x 3 configs
+    assert "BatchEvalPython" not in plan
