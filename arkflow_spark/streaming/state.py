@@ -888,3 +888,87 @@ def burst_hysteresis_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def uniform_sample_stream(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Streaming uniform k-sample without replacement — the stateful
+    twin of the batch `events_uniform_sample_hashprio` query, and the
+    distributed replacement for classic single-node reservoir sampling.
+
+    Every row's priority is md5(id); keeping the k SMALLEST priorities
+    seen so far keeps a uniform k-subset of the stream so far (order
+    statistics of i.i.d. uniforms), so the "reservoir" is just a
+    bounded top-k per shard: each shard's state is its k smallest
+    (priority, id) pairs, re-emitted every micro-batch with a version
+    tag; downstream takes max(version) per shard and merges shards by
+    smallest priority. Because the priority is a pure function of the
+    id, the streaming sample after ANY prefix equals the batch query
+    over that prefix — deterministic, restart-safe (checkpointed
+    state), and auditable.
+
+    State is O(k) per shard forever; no watermark, no growth with
+    stream length — the property a perpetual eval-set reservoir needs.
+    """
+
+    out_schema = (
+        f"shard INT, priority STRING, {id_col} BIGINT, "
+        "n_seen BIGINT, version BIGINT"
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            prios, ids, n_seen, version = state.get
+            pool = list(zip(list(prios), (int(i) for i in ids)))
+            n_seen, version = int(n_seen), int(version)
+        else:
+            pool, n_seen, version = [], 0, 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            pool.extend(zip(pdf["priority"], (int(i) for i in pdf[id_col])))
+        pool.sort()
+        pool = pool[:k]
+        version += 1
+        state.update(
+            ([p for p, _ in pool], [i for _, i in pool], n_seen, version)
+        )
+        width = max(len(pool), 1)
+        yield pd.DataFrame(
+            {
+                "shard": pd.Series([key[0]] * width, dtype="int32"),
+                "priority": pd.Series(
+                    [p for p, _ in pool] or [None], dtype="object"
+                ),
+                id_col: pd.array(
+                    [i for _, i in pool] or [None], dtype="Int64"
+                ),
+                "n_seen": pd.Series([n_seen] * width, dtype="int64"),
+                "version": pd.Series([version] * width, dtype="int64"),
+            }
+        )
+
+    sharded = df.select(
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12).alias(
+            "priority"
+        ),
+        id_col,
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=(
+            f"prios ARRAY<STRING>, ids ARRAY<BIGINT>, n_seen BIGINT, "
+            "version BIGINT"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

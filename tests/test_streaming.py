@@ -981,3 +981,65 @@ def test_stream_burst_hysteresis_state_across_restarts(spark, tmp_path):
     assert got["2024-01-01 00:02:00"] == (True, False)  # held across restart
     assert got["2024-01-01 00:03:00"] == (False, False)
     assert got["2024-01-01 00:04:00"] == (False, False)
+
+
+def test_stream_uniform_sample_matches_batch_across_restarts(spark, tmp_path):
+    """The streaming hash-priority reservoir must (a) survive a
+    checkpoint restart and (b) after any prefix equal the BATCH
+    hash-priority sample over the same accumulated rows — priorities
+    are a pure function of the id, so the two formulations are one
+    operator."""
+    from arkflow_spark.streaming.state import uniform_sample_stream
+
+    src = str(tmp_path / "us_src")
+    rows1 = [(i,) for i in range(0, 60)]
+    rows2 = [(i,) for i in range(60, 100)]
+    mk = lambda rows: spark.createDataFrame(rows, "event_id BIGINT").coalesce(1)
+    mk(rows1).write.mode("append").parquet(src)
+
+    collected = []
+    K, SHARDS = 10, 4
+
+    def run_once():
+        sdf = spark.readStream.schema("event_id BIGINT").parquet(src)
+        out = uniform_sample_stream(sdf, "event_id", k=K, n_shards=SHARDS)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "us_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    mk(rows2).write.mode("append").parquet(src)
+    run_once()  # restart from checkpoint: shard reservoirs must persist
+
+    latest = {}
+    for r in collected:
+        latest[r["shard"]] = max(latest.get(r["shard"], 0), r["version"])
+    assert max(latest.values()) >= 2  # state crossed the restart
+
+    merged = []
+    n_total = 0
+    for r in collected:
+        if r["version"] == latest[r["shard"]]:
+            if r["event_id"] is not None:
+                merged.append((r["priority"], r["event_id"]))
+    n_total = sum(
+        {r["shard"]: r["n_seen"] for r in collected
+         if r["version"] == latest[r["shard"]]}.values()
+    )
+    assert n_total == 100
+    stream_sample = sorted(merged)[:K]
+
+    # batch twin over the same accumulated ids
+    import hashlib
+
+    batch = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest()[:12], i)
+        for i in range(100)
+    )[:K]
+    assert stream_sample == batch
