@@ -61,6 +61,7 @@ for _mod in (
     "analytics27_q",
     "analytics28_q",
     "analytics29_q",
+    "analytics30_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -112,6 +113,10 @@ _DRIVER_PRIORITY = (
     "documents_rag_chunks",
     "events_hill_tail_index",
     "orders_otif_fill_rate",
+    "dedup_substring_spans",
+    "documents_ccnet_ppl_buckets",
+    "dedup_edit_distance_blocked",
+    "documents_tokenizer_fertility",
     # (d) never-driver-sampled families
     "multimodal_byte_stats",
     "multimodal_audio_frames",

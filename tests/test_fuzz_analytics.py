@@ -212,6 +212,15 @@ DOC_QUERIES = (
     # histograms (all docs same score)
     "documents_rag_chunks",
     "documents_quality_threshold_sweep",
+    # round-4 batch 30: sub-span-length docs (excluded from the span
+    # pass on both engines), duplicate texts (shared spans / distance-0
+    # pairs), empty-norm blocks (NULL similarity via try_divide /
+    # NULLIF), 1-doc languages (ntile degenerates to 'head'),
+    # zero-regex-token docs (fertility 0), BMP non-ASCII Levenshtein
+    "dedup_substring_spans",
+    "documents_ccnet_ppl_buckets",
+    "dedup_edit_distance_blocked",
+    "documents_tokenizer_fertility",
 )
 
 

@@ -1106,3 +1106,46 @@ def test_band_sweep_shares_one_signature_pass(spark):
     plan = plan_of(spark, "dedup_band_sweep")
     assert plan.count("InMemoryTableScan") >= 6  # 2 sides x 3 configs
     assert "BatchEvalPython" not in plan
+
+
+def test_substring_spans_single_hash_exchange_pair(spark):
+    """Span generation is codegen'd explode (no Python, no join of
+    text); the shared-span set joins on the 16-byte hash only, and the
+    rollup re-keys by doc_id — exchanges stay on narrow key columns."""
+    plan = plan_of(spark, "dedup_substring_spans")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # every exchange keys on span-hash / doc_id — document text never
+    # crosses a shuffle boundary
+    for line in plan.splitlines():
+        if "hashpartitioning(" in line:
+            assert "text" not in line, line
+
+
+def test_ccnet_buckets_broadcast_lm(spark):
+    """The unigram LM and the 1-row total are broadcast: the token
+    stream never shuffles for the score join, only the doc-level
+    aggregate and the per-language tercile window re-key."""
+    plan = plan_of(spark, "documents_ccnet_ppl_buckets")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total
+    assert "BatchEvalPython" not in plan
+
+
+def test_edit_distance_runs_inside_blocks_only(spark):
+    """The Levenshtein pair join is an equi-join on the compound block
+    key (lang, prefix3, len_band) — never a cross join — and the
+    distance predicate is evaluated JVM-side."""
+    plan = plan_of(spark, "dedup_edit_distance_blocked")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_tokenizer_fertility_no_explode(spark):
+    """Fertility counts both token streams with size(regexp/split) in
+    one projection — no per-token row explosion, no Python."""
+    plan = plan_of(spark, "documents_tokenizer_fertility")
+    assert "Generate" not in plan  # no explode
+    assert "BatchEvalPython" not in plan
