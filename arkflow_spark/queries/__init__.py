@@ -62,6 +62,7 @@ for _mod in (
     "analytics28_q",
     "analytics29_q",
     "analytics30_q",
+    "analytics31_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -117,6 +118,10 @@ _DRIVER_PRIORITY = (
     "documents_ccnet_ppl_buckets",
     "dedup_edit_distance_blocked",
     "documents_tokenizer_fertility",
+    "events_gini_concentration",
+    "events_spc_xmr_chart",
+    "events_theil_sen_trend",
+    "events_burstiness_fano",
     # (d) never-driver-sampled families
     "multimodal_byte_stats",
     "multimodal_audio_frames",

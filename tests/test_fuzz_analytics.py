@@ -63,6 +63,14 @@ EVENT_QUERIES = (
     "events_uniform_sample_hashprio",
     "events_hill_tail_index",
     "events_lateness_watermark_audit",
+    # round-4 batch 31: all-zero-value streams (NULL Gini), single-event
+    # streams (NULL MRbar -> zero out-of-limit count), 1-hour series (no
+    # Theil-Sen pairs -> stream absent), 1-minute streams (variance 0 ->
+    # burstiness -1)
+    "events_gini_concentration",
+    "events_spc_xmr_chart",
+    "events_theil_sen_trend",
+    "events_burstiness_fano",
 )
 ORDER_QUERIES = (
     "orders_scd2_history",

@@ -1149,3 +1149,48 @@ def test_tokenizer_fertility_no_explode(spark):
     plan = plan_of(spark, "documents_tokenizer_fertility")
     assert "Generate" not in plan  # no explode
     assert "BatchEvalPython" not in plan
+
+
+def test_gini_windows_over_user_table_only(spark):
+    """The rank window and Gini reduction run on the per-user aggregate
+    (cardinality = users), never the raw event stream: exactly one
+    aggregate touches events, map-side combinable."""
+    plan = plan_of(spark, "events_gini_concentration")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final on events
+    assert "Window" in plan
+
+
+def test_spc_limits_rejoin_is_broadcast(spark):
+    """The per-stream limits table (5 rows) re-joins the sequence as a
+    broadcast — the out-of-limit count never shuffles the stream a
+    second time."""
+    plan = plan_of(spark, "events_spc_xmr_chart")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_theil_sen_pairs_only_on_hourly_table(spark):
+    """The quadratic slope join's inputs are the hourly aggregate (<=
+    720 rows/stream/month) — the raw stream is reduced before any
+    join, so pair count scales with calendar time, not data volume."""
+    plan = plan_of(spark, "events_theil_sen_trend")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # both join inputs are already aggregated: partial+final hourly
+    # aggregates on each side (4) plus the final reduction (2)
+    assert plan.count("HashAggregate") >= 6
+    # the event-time column never reaches the join — only hour indices
+    join_line = next(
+        l for l in plan.splitlines() if "Join Inner" in l or "Join (" in l
+    )
+    assert "ts#" not in join_line
+
+
+def test_fano_exact_integer_moments(spark):
+    """Burstiness reduces to three integer sums — no joins, no windows,
+    no Python, two keyed exchanges total."""
+    plan = plan_of(spark, "events_burstiness_fano")
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
