@@ -63,6 +63,7 @@ for _mod in (
     "analytics29_q",
     "analytics30_q",
     "analytics31_q",
+    "analytics32_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -122,6 +123,10 @@ _DRIVER_PRIORITY = (
     "events_spc_xmr_chart",
     "events_theil_sen_trend",
     "events_burstiness_fano",
+    "ann_sq8_topk",
+    "ann_binary_hamming_topk",
+    "embedding_label_outliers",
+    "graph_degree_powerlaw",
     # (d) never-driver-sampled families
     "multimodal_byte_stats",
     "multimodal_audio_frames",

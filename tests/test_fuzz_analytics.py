@@ -270,6 +270,9 @@ SUPPLY_QUERIES = (
     "customer_interpurchase_gaps",
     "lineitem_discount_anova",
     "lineitem_price_elasticity",
+    # round-4 batch 32: single-supplier edge sets (1 histogram bucket ->
+    # NULL log-log slope via NULLIF/try_divide in both engines)
+    "graph_degree_powerlaw",
 )
 
 supply_order = st.tuples(
@@ -334,3 +337,45 @@ def test_supply_chain_analytics_match_duckdb(spark, tmp_path_factory, rows):
     for name in SUPPLY_QUERIES:
         res = compare(name, spark, str(sf), QUERIES[name], ORACLE[name])
         assert res.ok, (name, rows, str(res))
+
+
+VECTOR_QUERIES = (
+    # round-4 batch 32: duplicate vectors (distance ties -> cand_id
+    # tie-break), all-zero vectors (NULL cosine ordered last in both
+    # engines), constant dimensions (mx == mn -> code 0, recon == mn)
+    "ann_sq8_topk",
+    "ann_binary_hamming_topk",
+    "embedding_label_outliers",
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.large_base_example,
+    ],
+)
+@given(
+    vecs=st.lists(vec, min_size=17, max_size=40),
+    dup=st.integers(min_value=0, max_value=100),
+    zero=st.booleans(),
+)
+def test_quantized_ann_matches_duckdb(
+    spark, tmp_path_factory, vecs, dup, zero
+):
+    vecs = vecs + [vecs[dup % len(vecs)]]
+    if zero:  # an all-zero vector: NULL cosine, code 0 everywhere
+        vecs = vecs + [[0.0] * 64]
+    data = [(i, v, i % 3) for i, v in enumerate(vecs)]
+    sf = tmp_path_factory.mktemp("sqfuzz")
+    _write(
+        spark,
+        str(sf / "embeddings.parquet"),
+        data,
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    for name in VECTOR_QUERIES:
+        res = compare(name, spark, str(sf), QUERIES[name], ORACLE[name])
+        assert res.ok, (name, str(res))

@@ -1194,3 +1194,42 @@ def test_fano_exact_integer_moments(spark):
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_sq8_stats_broadcast_no_corpus_explode_at_search(spark):
+    """The 64-row quantizer stats and the query split broadcast; the
+    corpus is dequantized by an array transform (no per-dim explode in
+    the search path) and the ranking is a keyed window."""
+    plan = plan_of(spark, "ann_sq8_topk")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 1  # query side
+    assert "Window" in plan
+
+
+def test_binary_hamming_reranks_bounded_pool(spark):
+    """Two-stage search: Hamming pool selection is a keyed rank window,
+    exact rerank runs on the filtered pool only — two windows total,
+    queries broadcast, no Python."""
+    plan = plan_of(spark, "ann_binary_hamming_topk")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Window") >= 2
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_label_outliers_broadcast_centroids(spark):
+    """Label centroids (labels x 64 cells) broadcast back onto the
+    vector table; the distance fold is codegen'd, the per-label top-k a
+    keyed window."""
+    plan = plan_of(spark, "embedding_label_outliers")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_degree_powerlaw_histogram_sized_fit(spark):
+    """Only the degree aggregate touches the edge table; the OLS fit
+    runs on the <=64-row log2 histogram and broadcasts back."""
+    plan = plan_of(spark, "graph_degree_powerlaw")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row fit re-join
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" in read and "l_comment" not in read
