@@ -64,6 +64,7 @@ for _mod in (
     "analytics30_q",
     "analytics31_q",
     "analytics32_q",
+    "analytics33_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -127,6 +128,10 @@ _DRIVER_PRIORITY = (
     "ann_binary_hamming_topk",
     "embedding_label_outliers",
     "graph_degree_powerlaw",
+    "documents_filter_funnel",
+    "events_topk_drift_jaccard",
+    "orders_open_aging_buckets",
+    "text_mixed_script_ratio",
     # (d) never-driver-sampled families
     "multimodal_byte_stats",
     "multimodal_audio_frames",

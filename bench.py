@@ -83,6 +83,15 @@ HEADLINE = [
     "dedup_band_sweep",
     "events_lateness_watermark_audit",
     "orders_backlog_timeseries",
+    # round-4 batches 30-32 (first benched in BENCH_r04)
+    "dedup_substring_spans",
+    "documents_ccnet_ppl_buckets",
+    "dedup_edit_distance_blocked",
+    "events_theil_sen_trend",
+    "events_gini_concentration",
+    "ann_sq8_topk",
+    "ann_binary_hamming_topk",
+    "embedding_label_outliers",
 ]
 
 

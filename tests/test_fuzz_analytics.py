@@ -71,6 +71,9 @@ EVENT_QUERIES = (
     "events_spc_xmr_chart",
     "events_theil_sen_trend",
     "events_burstiness_fano",
+    # round-4 batch 33: single-day streams (no consecutive-day pairs ->
+    # empty drift), <k-user days (union < 2k in the Jaccard denominator)
+    "events_topk_drift_jaccard",
 )
 ORDER_QUERIES = (
     "orders_scd2_history",
@@ -85,6 +88,9 @@ ORDER_QUERIES = (
     "orders_skyline_2d",
     "orders_duplicate_payments",
     "scalar_fiscal_calendar",
+    # round-4 batch 33: snapshot == every order date (all age 0),
+    # zero open orders (empty report), single-status inputs
+    "orders_open_aging_buckets",
 )
 
 event = st.tuples(
@@ -229,6 +235,11 @@ DOC_QUERIES = (
     "documents_ccnet_ppl_buckets",
     "dedup_edit_distance_blocked",
     "documents_tokenizer_fertility",
+    # round-4 batch 33: all-duplicate corpora (dedup stage drops all but
+    # one), whitespace-only docs (symbol ratio 1 -> gate g2 drops), CJK
+    # fuzz chars exercising the script-class regexes in both engines
+    "documents_filter_funnel",
+    "text_mixed_script_ratio",
 )
 
 

@@ -1233,3 +1233,39 @@ def test_degree_powerlaw_histogram_sized_fit(spark):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row fit re-join
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "l_partkey" in read and "l_comment" not in read
+
+
+def test_filter_funnel_single_corpus_pass(spark):
+    """All three gates are counted from ONE scored pass: exactly one
+    scan of documents, one content-hash exchange (dedup rank), one
+    global aggregate — never a re-scan per stage."""
+    plan = plan_of(spark, "documents_filter_funnel")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Location: InMemoryFileIndex") <= 2  # tree+detail
+
+
+def test_topk_drift_joins_ranked_rows_only(spark):
+    """The consecutive-day joins run on the ranked top-k rows (k per
+    stream-day), after the raw stream is reduced by one aggregate."""
+    plan = plan_of(spark, "events_topk_drift_jaccard")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # raw-event aggregate has partial+final phases before any join
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_open_aging_pushes_status_filter(spark):
+    """The open-status filter reaches the parquet scan."""
+    plan = plan_of(spark, "orders_open_aging_buckets")
+    assert "In(o_orderstatus" in plan or "o_orderstatus" in [
+        l for l in plan.splitlines() if "PushedFilters" in l
+    ][0]
+
+
+def test_mixed_script_narrow_projection(spark):
+    """Script counting is a pure projection: no explode, no joins, one
+    language rollup plus the presentation sort."""
+    plan = plan_of(spark, "text_mixed_script_ratio")
+    assert "Generate" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
