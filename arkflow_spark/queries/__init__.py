@@ -65,6 +65,7 @@ for _mod in (
     "analytics31_q",
     "analytics32_q",
     "analytics33_q",
+    "analytics34_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -132,6 +133,10 @@ _DRIVER_PRIORITY = (
     "events_topk_drift_jaccard",
     "orders_open_aging_buckets",
     "text_mixed_script_ratio",
+    "supplier_lead_time_scorecard",
+    "lineitem_abc_xyz_matrix",
+    "documents_domain_cap_sample",
+    "text_bigram_kn_logprob",
     # (d) never-driver-sampled families
     "multimodal_byte_stats",
     "multimodal_audio_frames",

@@ -240,6 +240,11 @@ DOC_QUERIES = (
     # fuzz chars exercising the script-class regexes in both engines
     "documents_filter_funnel",
     "text_mixed_script_ratio",
+    # round-4 batch 34: 1-word docs (zero bigrams -> absent from KN
+    # scoring), caps larger than the domain (everything kept), repeated
+    # texts (shared bigram tables)
+    "documents_domain_cap_sample",
+    "text_bigram_kn_logprob",
 )
 
 
@@ -284,6 +289,10 @@ SUPPLY_QUERIES = (
     # round-4 batch 32: single-supplier edge sets (1 histogram bucket ->
     # NULL log-log slope via NULLIF/try_divide in both engines)
     "graph_degree_powerlaw",
+    # round-4 batch 34: single-line suppliers (p90 = the only row),
+    # single-week demand (XYZ 'Z' via the n<2 NULL CV), zero-quantity
+    # weeks, tie-heavy ABC cumulative shares broken by partkey
+    "lineitem_abc_xyz_matrix",
 )
 
 supply_order = st.tuples(

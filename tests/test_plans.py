@@ -1269,3 +1269,37 @@ def test_mixed_script_narrow_projection(spark):
     assert "Generate" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_lead_time_scorecard_broadcasts_supplier_dim(spark):
+    plan = plan_of(spark, "supplier_lead_time_scorecard")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_abc_xyz_windows_on_part_table_only(spark):
+    """The running-share window and the CV aggregate both run on
+    part-keyed aggregates; the raw lineitem scan feeds two partial
+    aggregates and nothing else."""
+    plan = plan_of(spark, "lineitem_abc_xyz_matrix")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 6
+
+
+def test_domain_cap_never_shuffles_text(spark):
+    """The cap rank runs over (source, doc_id, priority) — document
+    text is pruned from the scan entirely."""
+    plan = plan_of(spark, "documents_domain_cap_sample")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read
+    assert "BatchEvalPython" not in plan
+
+
+def test_kn_logprob_broadcasts_all_model_tables(spark):
+    """Bigram/continuation/total tables broadcast onto the token
+    stream; extraction is narrow (posexplode, no window)."""
+    plan = plan_of(spark, "text_bigram_kn_logprob")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total
+    assert "BatchEvalPython" not in plan
