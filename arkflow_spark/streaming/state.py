@@ -972,3 +972,108 @@ def uniform_sample_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def xmr_limits_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    k: float = 2.66,
+) -> DataFrame:
+    """Streaming Shewhart XmR control chart: each arriving point is
+    tested against the natural process limits (xbar +/- k*MRbar)
+    estimated from all PRIOR points of its key, then folded into the
+    running estimate — the stateful twin of the batch
+    `events_spc_xmr_chart` query (which fits limits over the whole
+    table; a live detector must score each point against the past
+    only, exactly like `rolling_zscore_stream` vs the batch z-score).
+
+    State per key is O(1) forever: (n, sum_x, sum_|dx|, n_mr, last,
+    n_out). Sums accumulate pre-quantized values so a restart replays
+    to bit-identical limits. Rows fold in ``ts_col`` order within each
+    micro-batch; cross-batch order is the source's delivery order —
+    pair with an upstream watermark sort for late-data sources.
+
+    Reference scope: arkflow streaming pipelines run such per-batch
+    detectors via the SQL/VRL processors
+    (crates/arkflow-plugin/src/processor/sql.rs); constant state and
+    restart-exactness are the Spark-native re-expression.
+    """
+
+    out_schema = (
+        f"{key_col} STRING, {ts_col} TIMESTAMP, {value_col} DOUBLE, "
+        "xbar DOUBLE, mrbar DOUBLE, ucl DOUBLE, lcl DOUBLE, "
+        "out_of_control BOOLEAN, n BIGINT"
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            n, sum_x, sum_mr, n_mr, last, n_out = state.get
+        else:
+            n, sum_x, sum_mr, n_mr, last, n_out = 0, 0.0, 0.0, 0, None, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            yield pd.DataFrame(
+                columns=[
+                    key_col, ts_col, value_col,
+                    "xbar", "mrbar", "ucl", "lcl", "out_of_control", "n",
+                ]
+            )
+            return
+        batch = batch.sort_values(ts_col, kind="stable")
+        xbars, mrbars, ucls, lcls, flags, ns = [], [], [], [], [], []
+        for v in batch[value_col]:
+            x = float(v)
+            # limits from PRIOR data only (need >= 2 points for MRbar)
+            if n >= 2 and n_mr >= 1:
+                xbar = sum_x / n
+                mrbar = sum_mr / n_mr
+                ucl = xbar + k * mrbar
+                lcl = xbar - k * mrbar
+                out = bool(x > ucl or x < lcl)
+            else:
+                xbar = mrbar = ucl = lcl = None
+                out = False
+            if last is not None:
+                sum_mr += abs(x - last)
+                n_mr += 1
+            sum_x += x
+            n += 1
+            last = x
+            n_out += int(out)
+            xbars.append(xbar)
+            mrbars.append(mrbar)
+            ucls.append(ucl)
+            lcls.append(lcl)
+            flags.append(out)
+            ns.append(n)
+        state.update((n, sum_x, sum_mr, n_mr, last, n_out))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                ts_col: batch[ts_col].values,
+                value_col: batch[value_col].values,
+                "xbar": pd.Series(xbars, dtype="float64"),
+                "mrbar": pd.Series(mrbars, dtype="float64"),
+                "ucl": pd.Series(ucls, dtype="float64"),
+                "lcl": pd.Series(lcls, dtype="float64"),
+                "out_of_control": flags,
+                "n": ns,
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=(
+            "n BIGINT, sum_x DOUBLE, sum_mr DOUBLE, n_mr BIGINT, "
+            "last DOUBLE, n_out BIGINT"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1043,3 +1043,78 @@ def test_stream_uniform_sample_matches_batch_across_restarts(spark, tmp_path):
         for i in range(100)
     )[:K]
     assert stream_sample == batch
+
+
+def test_stream_xmr_limits_state_across_batches(spark, tmp_path):
+    """Streaming XmR must score each point against limits from PRIOR
+    data only and carry (n, sum_x, sum_mr, last) across a checkpoint
+    restart: a spike dropped in the second file is flagged using limits
+    learned from the first file's points."""
+    from arkflow_spark.streaming.state import xmr_limits_stream
+
+    src = str(tmp_path / "xmr_src")
+    # steady series 10 +/- 1 -> MRbar ~1, limits ~10 +/- 2.66
+    rows1 = [
+        (i, f"2024-01-01 00:{i:02d}:00", "a", 10.0 + (i % 2))
+        for i in range(6)
+    ]
+    rows2 = [
+        (6, "2024-01-01 00:06:00", "a", 50.0),   # far outside -> flag
+        (7, "2024-01-01 00:07:00", "a", 10.0),
+    ]
+    mk = lambda rows: (
+        spark.createDataFrame(rows, "id BIGINT, ts STRING, k STRING, v DOUBLE")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
+    )
+    mk(rows1).write.mode("append").parquet(src)
+
+    collected = []
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema("id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE")
+            .parquet(src)
+        )
+        out = xmr_limits_stream(sdf, "k", "ts", "v")
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "xmr_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    mk(rows2).write.mode("append").parquet(src)
+    run_once()  # restart from checkpoint: sums must resume, not reset
+
+    by_n = {r["n"]: r for r in collected if r["k"] == "a"}
+    assert len(by_n) == 8
+    # first two points have no limits yet
+    assert by_n[1]["ucl"] is None and not by_n[1]["out_of_control"]
+    assert by_n[2]["ucl"] is None and not by_n[2]["out_of_control"]
+    # replicate the running-limits recurrence exactly
+    vals = [10.0 + (i % 2) for i in range(6)] + [50.0, 10.0]
+    n = n_mr = 0
+    sum_x = sum_mr = 0.0
+    last = None
+    for i, x in enumerate(vals):
+        if n >= 2 and n_mr >= 1:
+            xbar, mrbar = sum_x / n, sum_mr / n_mr
+            ucl, lcl = xbar + 2.66 * mrbar, xbar - 2.66 * mrbar
+            out = x > ucl or x < lcl
+            row = by_n[i + 1]
+            assert row["ucl"] == ucl and row["lcl"] == lcl, (i, row)
+            assert row["out_of_control"] == out, (i, row)
+        if last is not None:
+            sum_mr += abs(x - last)
+            n_mr += 1
+        sum_x += x
+        n += 1
+        last = x
+    # the spike (7th point, learned limits from file 1) must be flagged
+    assert by_n[7]["out_of_control"] is True
+    assert by_n[8]["out_of_control"] is False
