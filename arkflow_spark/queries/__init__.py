@@ -66,6 +66,7 @@ for _mod in (
     "analytics32_q",
     "analytics33_q",
     "analytics34_q",
+    "analytics35_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -137,6 +138,10 @@ _DRIVER_PRIORITY = (
     "lineitem_abc_xyz_matrix",
     "documents_domain_cap_sample",
     "text_bigram_kn_logprob",
+    "text_repeated_ngram_fractions",
+    "events_hourweek_profile",
+    "orders_eoq_replenishment",
+    "events_hampel_outliers",
     # (d) never-driver-sampled families
     "multimodal_byte_stats",
     "multimodal_audio_frames",

@@ -74,6 +74,11 @@ EVENT_QUERIES = (
     # round-4 batch 33: single-day streams (no consecutive-day pairs ->
     # empty drift), <k-user days (union < 2k in the Jaccard denominator)
     "events_topk_drift_jaccard",
+    # round-4 batch 35: edge frames (4-element neighborhoods, lower
+    # median), constant series (MAD 0 -> nothing flagged), single-cell
+    # hour-of-week profiles
+    "events_hampel_outliers",
+    "events_hourweek_profile",
 )
 ORDER_QUERIES = (
     "orders_scd2_history",
@@ -245,6 +250,9 @@ DOC_QUERIES = (
     # texts (shared bigram tables)
     "documents_domain_cap_sample",
     "text_bigram_kn_logprob",
+    # round-4 batch 35: docs below the gram length (NULL rep-n columns
+    # for that n), all-identical grams (rep fraction -> (n-1)/n)
+    "text_repeated_ngram_fractions",
 )
 
 
@@ -293,6 +301,9 @@ SUPPLY_QUERIES = (
     # single-week demand (XYZ 'Z' via the n<2 NULL CV), zero-quantity
     # weeks, tie-heavy ABC cumulative shares broken by partkey
     "lineitem_abc_xyz_matrix",
+    # round-4 batch 35: 1-day ship spans (years floor at 1/365),
+    # single-part corpora (top-20 = all), demand ties broken by partkey
+    "orders_eoq_replenishment",
 )
 
 supply_order = st.tuples(

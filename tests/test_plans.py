@@ -1303,3 +1303,34 @@ def test_kn_logprob_broadcasts_all_model_tables(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "BroadcastNestedLoopJoin" in plan  # 1-row total
     assert "BatchEvalPython" not in plan
+
+
+def test_rep_ngram_counts_are_two_staged(spark):
+    """(doc, n, gram) counts then doc rollup — both map-side
+    combinable; gram extraction is codegen'd explode, no Python."""
+    plan = plan_of(spark, "text_repeated_ngram_fractions")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_hourweek_profile_single_stream_pass(spark):
+    """The raw stream feeds exactly one aggregate; totals re-join as a
+    broadcast over <=168-cell tables."""
+    plan = plan_of(spark, "events_hourweek_profile")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_eoq_topk_no_global_sort(spark):
+    plan = plan_of(spark, "orders_eoq_replenishment")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hampel_bounded_frame_window(spark):
+    """The neighborhood is a ROWS-bounded frame (7 elements max) inside
+    one keyed window — never a whole-series collect."""
+    plan = plan_of(spark, "events_hampel_outliers")
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert "Window" in plan
