@@ -67,6 +67,9 @@ for _mod in (
     "analytics33_q",
     "analytics34_q",
     "analytics35_q",
+    "analytics36_q",
+    "analytics37_q",
+    "analytics38_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -104,8 +107,51 @@ _DRIVER_PRIORITY = (
     "agg_filter_clause",
     # (b) flagship
     "q1_pricing_summary",
-    # (c) round-4 new operators (inserted as they land this round)
+    # (c) round-4 NEW operators, batches 35-38 (freshest claims first)
+    "text_repeated_ngram_fractions",
+    "events_hourweek_profile",
+    "orders_eoq_replenishment",
+    "events_hampel_outliers",
+    "ann_ivf_pq_search",
+    "events_ks_test",
+    "events_mann_whitney",
+    "lineitem_scd2_pit_revenue",
+    "events_spearman_corr",
+    "lineitem_newsvendor_qstar",
+    "graph_link_prediction_ra",
+    "events_sax_motifs",
+    "dedup_semantic_cluster",
+    "events_chi_square_independence",
+    "events_markov_entropy_rate",
+    "events_holt_winters",
+    # (d) one representative per never-driver-sampled FAMILY (verdict r3
+    # item 6: breadth beats re-proving covered families; the rest of
+    # each family stays below the cut for r5+ rotation)
+    "multimodal_byte_stats",
+    "multimodal_frame_sample",
+    "multimodal_audio_frames",
+    "multimodal_decode_stub",
+    "orders_scd2_history",
+    "orders_merge_upsert",
+    "window_qualify_emulated",
+    "window_count_distinct_emulated",
+    "window_rolling_median",
+    "udf_pandas_scalar",
+    "udf_pandas_grouped_agg",
+    "udf_sql_registered",
+    "udtf_word_explode",
+    "events_asof_join",
+    "join_range_interval",
+    "join_lateral_topk",
+    "scalar_date_bin",
+    "scalar_json",
+    "scalar_variant_shred",
+    "sketch_rollup_hourly_daily",
+    "ml_kmeans_ivf",
     "graph_pagerank_bucketed",
+    # --- below the 50-cut from here: round-4 batches 30-34 (strict-
+    # parity-verified locally; family representatives above) and
+    # remaining never-sampled names for r5+ rotation ---
     "orders_backlog_timeseries",
     "events_bootstrap_ci",
     "lineitem_price_elasticity",
@@ -138,32 +184,13 @@ _DRIVER_PRIORITY = (
     "lineitem_abc_xyz_matrix",
     "documents_domain_cap_sample",
     "text_bigram_kn_logprob",
-    "text_repeated_ngram_fractions",
-    "events_hourweek_profile",
-    "orders_eoq_replenishment",
-    "events_hampel_outliers",
-    # (d) never-driver-sampled families
-    "multimodal_byte_stats",
-    "multimodal_audio_frames",
-    "orders_scd2_history",
-    "orders_merge_upsert",
-    "window_qualify_emulated",
-    "window_count_distinct_emulated",
-    "window_rolling_median",
-    "udf_pandas_scalar",
-    "udf_pandas_grouped_agg",
-    "udtf_word_explode",
     "udf_pandas_window",
-    "events_asof_join",
     "events_asof_join_tolerance",
     "events_asof_join_two_table",
-    "join_range_interval",
     "pivot_event_types",
     "scalar_strings",
     "scalar_regex",
     "scalar_datetime",
-    "scalar_json",
-    "scalar_date_bin",
     "events_skew_salted_agg",
     "text_lang_id",
     "text_token_count",
@@ -239,7 +266,6 @@ _DRIVER_PRIORITY = (
     "dq_validation_suite",
     "events_ddsketch_quantile",
     "text_bpe_pair_merge",
-    "scalar_variant_shred",
     "dedup_containment",
     "documents_length_band_filter",
     "events_cusum_alarm",
@@ -249,13 +275,11 @@ _DRIVER_PRIORITY = (
     "events_holt_trend",
     "events_mahalanobis_outlier",
     # round-3 second-session additions (freshest claims first)
-    "join_lateral_topk",
     "distinct_on_latest",
     "events_ohlc_bars",
     "events_counter_rate",
     "text_zipf_slope",
     "text_hapax_ratio",
-    "sketch_rollup_hourly_daily",
     "text_bigram_logprob",
     "events_value_histogram",
     "documents_quality_classifier",

@@ -79,6 +79,23 @@ EVENT_QUERIES = (
     # hour-of-week profiles
     "events_hampel_outliers",
     "events_hourweek_profile",
+    # round-4 batch 36: one-cohort streams (filtered out), all-tied
+    # values (KS D=0; MWU zero tie-corrected variance -> NULL z),
+    # single-event streams
+    "events_ks_test",
+    "events_mann_whitney",
+    # round-4 batch 37: constant-value / constant-minute streams (zero
+    # rank variance -> NULL rho), sub-8-point streams (no full PAA
+    # window -> empty motif sets), sd=0 streams excluded
+    "events_spearman_corr",
+    "events_sax_motifs",
+    # round-4 batch 38: single-cell contingency grids (dof 0 -> NULL
+    # V via 0-min guard is impossible: r,c >= 1 so dof 0 -> V div 0),
+    # no-transition streams (empty entropy), sub-24h streams (empty
+    # Holt-Winters output)
+    "events_chi_square_independence",
+    "events_markov_entropy_rate",
+    "events_holt_winters",
 )
 ORDER_QUERIES = (
     "orders_scd2_history",
@@ -304,6 +321,15 @@ SUPPLY_QUERIES = (
     # round-4 batch 35: 1-day ship spans (years floor at 1/365),
     # single-part corpora (top-20 = all), demand ties broken by partkey
     "orders_eoq_replenishment",
+    # round-4 batch 36: single-status dims (one open-ended interval),
+    # same-day ship-vs-change boundaries (half-open intervals), empty
+    # change history beyond the first order
+    "lineitem_scd2_pit_revenue",
+    # round-4 batch 37: single-week parts (ECDF = 1 at the only level,
+    # Q* = that level, safety 0), 1-part/2-part graphs (no 2-hop pairs
+    # -> empty link-prediction output)
+    "lineitem_newsvendor_qstar",
+    "graph_link_prediction_ra",
 )
 
 supply_order = st.tuples(

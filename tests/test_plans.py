@@ -1334,3 +1334,108 @@ def test_hampel_bounded_frame_window(spark):
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_ivf_pq_probe_prunes_and_broadcasts(spark):
+    """The ADC probe joins on (bucket, s, code) with the query tables
+    broadcast — other buckets' candidates never reach a shuffle; code
+    argmin and ADC sums both have map-side partials."""
+    plan = plan_of(spark, "ann_ivf_pq_search")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_ks_test_collapses_ties_before_window(spark):
+    """(event_type, value) collapse is a map-side-combinable agg feeding
+    the cumulative window; totals rejoin broadcast (one row/stream)."""
+    plan = plan_of(spark, "events_ks_test")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
+
+
+def test_mann_whitney_is_joinless_single_stream(spark):
+    """Rank-sum moments come from one value-collapse agg + one window +
+    one final agg — no join anywhere in the plan."""
+    plan = plan_of(spark, "events_mann_whitney")
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_scd2_pit_join_broadcasts_dim_no_shuffle_on_facts(spark):
+    """Both the orderkey->custkey attach and the interval dimension are
+    broadcast: the lineitem side reaches the final agg without a
+    pre-join shuffle."""
+    plan = plan_of(spark, "lineitem_scd2_pit_revenue")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_spearman_is_joinless_rank_windows(spark):
+    """Midranks come from rank+count windows (two sorts), moments from
+    one map-side-combinable agg — no join anywhere."""
+    plan = plan_of(spark, "events_spearman_corr")
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_newsvendor_topk_no_global_sort(spark):
+    plan = plan_of(spark, "lineitem_newsvendor_qstar")
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_link_prediction_topk_and_broadcast_degrees(spark):
+    plan = plan_of(spark, "graph_link_prediction_ra")
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sax_broadcasts_stream_stats(spark):
+    """Per-stream moments broadcast onto the tiny PAA table; symbol
+    mapping is pure codegen."""
+    plan = plan_of(spark, "events_sax_motifs")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_pairs_are_bucket_keyed(spark):
+    """The candidate self-join carries the bucket equality — SemDeDup's
+    guarantee that pair count is cluster-bounded, not corpus-quadratic."""
+    plan = plan_of(spark, "dedup_semantic_cluster")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chi_square_grid_is_broadcast_sized(spark):
+    """One count over the stream; the O/E grid builds from broadcast
+    marginals (types x bands, tens of rows)."""
+    plan = plan_of(spark, "events_chi_square_independence")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_entropy_rate_matrix_stays_tiny(spark):
+    plan = plan_of(spark, "events_markov_entropy_rate")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_holt_winters_python_folds_aggregated_series_only(spark):
+    """The sanctioned applyInPandas stage consumes the hourly AGG, not
+    raw events: exactly one Arrow-Python stage fed by a HashAggregate."""
+    plan = plan_of(spark, "events_holt_winters")
+    # formatted explain names each node twice (tree + details)
+    assert plan.count("FlatMapGroupsInPandas") == 2
+    assert plan.count("HashAggregate") >= 4
