@@ -70,6 +70,8 @@ for _mod in (
     "analytics36_q",
     "analytics37_q",
     "analytics38_q",
+    "analytics39_q",
+    "analytics40_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -149,9 +151,17 @@ _DRIVER_PRIORITY = (
     "sketch_rollup_hourly_daily",
     "ml_kmeans_ivf",
     "graph_pagerank_bucketed",
-    # --- below the 50-cut from here: round-4 batches 30-34 (strict-
-    # parity-verified locally; family representatives above) and
-    # remaining never-sampled names for r5+ rotation ---
+    # --- below the 50-cut from here: round-4 batches 39-40 lead the
+    # r5 rotation, then batches 30-34 (strict-parity-verified locally;
+    # family representatives above) and remaining never-sampled names ---
+    "customer_bgnbd_palive",
+    "orders_weibull_cycletime_fit",
+    "events_ljung_box",
+    "supplier_wilson_otd_ci",
+    "documents_survivorship_golden",
+    "events_winsorized_stats",
+    "ann_ivf_pq_rerank",
+    "events_gpd_pot_fit",
     "orders_backlog_timeseries",
     "events_bootstrap_ci",
     "lineitem_price_elasticity",

@@ -92,6 +92,38 @@ HEADLINE = [
     "ann_sq8_topk",
     "ann_binary_hamming_topk",
     "embedding_label_outliers",
+    # round-4 batches 33-35 (first benched in BENCH_r04)
+    "documents_filter_funnel",
+    "events_topk_drift_jaccard",
+    "supplier_lead_time_scorecard",
+    "lineitem_abc_xyz_matrix",
+    "documents_domain_cap_sample",
+    "text_bigram_kn_logprob",
+    "text_repeated_ngram_fractions",
+    "events_hourweek_profile",
+    "orders_eoq_replenishment",
+    "events_hampel_outliers",
+    # round-4 batches 36-40 (first benched in BENCH_r04)
+    "ann_ivf_pq_search",
+    "events_ks_test",
+    "events_mann_whitney",
+    "lineitem_scd2_pit_revenue",
+    "events_spearman_corr",
+    "lineitem_newsvendor_qstar",
+    "graph_link_prediction_ra",
+    "events_sax_motifs",
+    "dedup_semantic_cluster",
+    "events_chi_square_independence",
+    "events_markov_entropy_rate",
+    "events_holt_winters",
+    "customer_bgnbd_palive",
+    "orders_weibull_cycletime_fit",
+    "events_ljung_box",
+    "supplier_wilson_otd_ci",
+    "documents_survivorship_golden",
+    "events_winsorized_stats",
+    "ann_ivf_pq_rerank",
+    "events_gpd_pot_fit",
 ]
 
 

@@ -56,6 +56,12 @@ PROBE_QUERIES = (
     "dedup_containment",
     "documents_ngram_novelty",
     "text_readability_flesch",
+    # round-4 corpus operators
+    "dedup_semantic_cluster",
+    "ann_ivf_pq_search",
+    "ann_ivf_pq_rerank",
+    "documents_survivorship_golden",
+    "text_repeated_ngram_fractions",
 )
 # relational shapes: facts scale 10x (offset keys keep joins consistent),
 # dims stay fixed — the realistic 100 TB growth pattern
@@ -97,6 +103,23 @@ RELATIONAL_QUERIES = (
     "events_geo_grid_hotspots",
     "events_top_paths",
     "orders_cohort_revenue_ltv",
+    # round-4 analytics/supply/graph operators
+    "graph_link_prediction_ra",
+    "events_ks_test",
+    "events_mann_whitney",
+    "events_spearman_corr",
+    "events_holt_winters",
+    "events_sax_motifs",
+    "events_winsorized_stats",
+    "events_gpd_pot_fit",
+    "events_ljung_box",
+    "lineitem_newsvendor_qstar",
+    "customer_bgnbd_palive",
+    "lineitem_scd2_pit_revenue",
+    "supplier_wilson_otd_ci",
+    "orders_weibull_cycletime_fit",
+    "events_hampel_outliers",
+    "events_hourweek_profile",
 )
 
 

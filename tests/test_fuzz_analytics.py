@@ -96,6 +96,14 @@ EVENT_QUERIES = (
     "events_chi_square_independence",
     "events_markov_entropy_rate",
     "events_holt_winters",
+    # round-4 batch 39: sub-7-hour streams (excluded), zero-variance
+    # series (c0 = 0 excluded), lag columns NULL at series heads
+    "events_ljung_box",
+    # round-4 batch 40: 1-2-point streams (p05 = p95 = the value,
+    # std NULL at n=1), single-excess tails (n<2 excluded), b0 = 2*b1
+    # degenerate PWM (NULL xi/sigma via NULLIF)
+    "events_winsorized_stats",
+    "events_gpd_pot_fit",
 )
 ORDER_QUERIES = (
     "orders_scd2_history",
@@ -113,6 +121,9 @@ ORDER_QUERIES = (
     # round-4 batch 33: snapshot == every order date (all age 0),
     # zero open orders (empty report), single-status inputs
     "orders_open_aging_buckets",
+    # round-4 batch 39: single-order customers (x=0 -> P(alive)=1,
+    # t_x=0), all-same-day histories (span 0)
+    "customer_bgnbd_palive",
 )
 
 event = st.tuples(
@@ -270,6 +281,10 @@ DOC_QUERIES = (
     # round-4 batch 35: docs below the gram length (NULL rep-n columns
     # for that n), all-identical grams (rep fraction -> (n-1)/n)
     "text_repeated_ngram_fractions",
+    # round-4 batch 40: repeated texts (multi-member clusters), unicode
+    # vocabulary sort parity (array_sort vs list_sort binary order),
+    # no-duplicate corpora (empty golden output)
+    "documents_survivorship_golden",
 )
 
 
@@ -330,6 +345,12 @@ SUPPLY_QUERIES = (
     # -> empty link-prediction output)
     "lineitem_newsvendor_qstar",
     "graph_link_prediction_ra",
+    # round-4 batch 39: same-day ships (t=0 excluded, possibly-empty
+    # classes), single-distinct-t fits EXCLUDED (the regression
+    # denominator is decimal-vs-double cancellation noise, not exact 0
+    # — fuzz-caught), all-on-time suppliers (Wilson CI at p=1)
+    "orders_weibull_cycletime_fit",
+    "supplier_wilson_otd_ci",
 )
 
 supply_order = st.tuples(

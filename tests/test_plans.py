@@ -1439,3 +1439,65 @@ def test_holt_winters_python_folds_aggregated_series_only(spark):
     # formatted explain names each node twice (tree + details)
     assert plan.count("FlatMapGroupsInPandas") == 2
     assert plan.count("HashAggregate") >= 4
+
+
+def test_bgnbd_single_agg_plus_scalar_broadcast(spark):
+    """RFM statistics come from one map-side-combinable agg; the corpus
+    end is a 1-row broadcast; scoring is pure codegen arithmetic."""
+    plan = plan_of(spark, "customer_bgnbd_palive")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row t_end
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weibull_fit_three_exchanges_no_python(spark):
+    plan = plan_of(spark, "orders_weibull_cycletime_fit")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_ljung_box_one_window_pass_all_lags(spark):
+    """All 6 lag columns come from a single Window node (one sort), and
+    stream moments broadcast onto it."""
+    plan = plan_of(spark, "events_ljung_box")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Window") == 2  # one node, named twice (tree+detail)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_wilson_otd_topk_no_global_sort(spark):
+    plan = plan_of(spark, "supplier_wilson_otd_ci")
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_survivorship_single_fingerprint_shuffle(spark):
+    """Vocabulary fingerprinting is codegen (split/sort/md5, no Python);
+    cluster filter + golden election share ONE fingerprint window."""
+    plan = plan_of(spark, "documents_survivorship_golden")
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_winsorized_bounds_broadcast_back(spark):
+    plan = plan_of(spark, "events_winsorized_stats")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_pq_rerank_shortlist_is_broadcast_probe(spark):
+    """The exact rerank joins a 20-row-per-query shortlist back to the
+    corpus — broadcast lookups, never a second corpus shuffle."""
+    plan = plan_of(spark, "ann_ivf_pq_rerank")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_gpd_pot_windows_and_broadcast_threshold(spark):
+    plan = plan_of(spark, "events_gpd_pot_fit")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
