@@ -72,6 +72,7 @@ for _mod in (
     "analytics38_q",
     "analytics39_q",
     "analytics40_q",
+    "analytics41_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -162,6 +163,10 @@ _DRIVER_PRIORITY = (
     "events_winsorized_stats",
     "ann_ivf_pq_rerank",
     "events_gpd_pot_fit",
+    "ann_ivf_pq_recall_eval",
+    "text_js_divergence_sources",
+    "orders_littles_law_audit",
+    "events_circular_hour_stats",
     "orders_backlog_timeseries",
     "events_bootstrap_ci",
     "lineitem_price_elasticity",

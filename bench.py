@@ -124,6 +124,11 @@ HEADLINE = [
     "events_winsorized_stats",
     "ann_ivf_pq_rerank",
     "events_gpd_pot_fit",
+    # round-4 batch 41 (first benched in BENCH_r04)
+    "ann_ivf_pq_recall_eval",
+    "text_js_divergence_sources",
+    "orders_littles_law_audit",
+    "events_circular_hour_stats",
 ]
 
 

@@ -62,6 +62,7 @@ PROBE_QUERIES = (
     "ann_ivf_pq_rerank",
     "documents_survivorship_golden",
     "text_repeated_ngram_fractions",
+    "text_js_divergence_sources",
 )
 # relational shapes: facts scale 10x (offset keys keep joins consistent),
 # dims stay fixed — the realistic 100 TB growth pattern
@@ -120,6 +121,8 @@ RELATIONAL_QUERIES = (
     "orders_weibull_cycletime_fit",
     "events_hampel_outliers",
     "events_hourweek_profile",
+    "orders_littles_law_audit",
+    "events_circular_hour_stats",
 )
 
 

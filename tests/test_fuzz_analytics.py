@@ -104,6 +104,9 @@ EVENT_QUERIES = (
     # degenerate PWM (NULL xi/sigma via NULLIF)
     "events_winsorized_stats",
     "events_gpd_pot_fit",
+    # round-4 batch 41: single-event streams (R = 1 exactly), midnight
+    # wraparound means, duplicate-timestamp angles
+    "events_circular_hour_stats",
 )
 ORDER_QUERIES = (
     "orders_scd2_history",
@@ -285,6 +288,9 @@ DOC_QUERIES = (
     # vocabulary sort parity (array_sort vs list_sort binary order),
     # no-duplicate corpora (empty golden output)
     "documents_survivorship_golden",
+    # round-4 batch 41: single-source corpora (JSD = 0), words unique to
+    # one source (q-side mass only), unicode token parity
+    "text_js_divergence_sources",
 )
 
 
@@ -351,6 +357,9 @@ SUPPLY_QUERIES = (
     # — fuzz-caught), all-on-time suppliers (Wilson CI at p=1)
     "orders_weibull_cycletime_fit",
     "supplier_wilson_otd_ci",
+    # round-4 batch 41: same-day place/complete (cycle 0, WIP +1/-1 on
+    # one day), zero-completion months (NULL Little's W), 1-day spans
+    "orders_littles_law_audit",
 )
 
 supply_order = st.tuples(

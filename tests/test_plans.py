@@ -1501,3 +1501,36 @@ def test_gpd_pot_windows_and_broadcast_threshold(spark):
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_recall_eval_adds_only_bounded_joins(spark):
+    """The harness composes two registered pipelines and joins their
+    5-row-per-query outputs — no Python, no cartesian blowup."""
+    plan = plan_of(spark, "ann_ivf_pq_recall_eval")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_js_divergence_word_keyed_join(spark):
+    """Per-source and corpus word tables join word-keyed; the two totals
+    broadcast as single rows."""
+    plan = plan_of(spark, "text_js_divergence_sources")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row totals
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_littles_law_day_grid_is_generated(spark):
+    """The day grid comes from explode(sequence(...)) — Generate node —
+    never a driver-side range materialization."""
+    plan = plan_of(spark, "orders_littles_law_audit")
+    assert "BatchEvalPython" not in plan
+    assert "Generate" in plan
+
+
+def test_circular_stats_single_agg_no_window(spark):
+    plan = plan_of(spark, "events_circular_hour_stats")
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
