@@ -73,6 +73,7 @@ for _mod in (
     "analytics39_q",
     "analytics40_q",
     "analytics41_q",
+    "analytics42_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -167,6 +168,10 @@ _DRIVER_PRIORITY = (
     "text_js_divergence_sources",
     "orders_littles_law_audit",
     "events_circular_hour_stats",
+    "orders_croston_forecast",
+    "documents_temperature_mix_weights",
+    "events_running_records",
+    "text_mattr_lexical_diversity",
     "orders_backlog_timeseries",
     "events_bootstrap_ci",
     "lineitem_price_elasticity",

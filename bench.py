@@ -129,6 +129,11 @@ HEADLINE = [
     "text_js_divergence_sources",
     "orders_littles_law_audit",
     "events_circular_hour_stats",
+    # round-4 batch 42 (first benched in BENCH_r04)
+    "orders_croston_forecast",
+    "documents_temperature_mix_weights",
+    "events_running_records",
+    "text_mattr_lexical_diversity",
 ]
 
 

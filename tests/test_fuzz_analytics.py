@@ -107,6 +107,9 @@ EVENT_QUERIES = (
     # round-4 batch 41: single-event streams (R = 1 exactly), midnight
     # wraparound means, duplicate-timestamp angles
     "events_circular_hour_stats",
+    # round-4 batch 42: monotone streams (every point a record),
+    # constant streams (1 record), 1-point streams (ln(1) = 0)
+    "events_running_records",
 )
 ORDER_QUERIES = (
     "orders_scd2_history",
@@ -291,6 +294,11 @@ DOC_QUERIES = (
     # round-4 batch 41: single-source corpora (JSD = 0), words unique to
     # one source (q-side mass only), unicode token parity
     "text_js_divergence_sources",
+    # round-4 batch 42: sub-25-word docs (no MATTR windows -> excluded
+    # from the join), all-identical-word windows (TTR 1/25), temperature
+    # weights on single-source corpora (share 1, epochs 1)
+    "text_mattr_lexical_diversity",
+    "documents_temperature_mix_weights",
 )
 
 
@@ -360,6 +368,9 @@ SUPPLY_QUERIES = (
     # round-4 batch 41: same-day place/complete (cycle 0, WIP +1/-1 on
     # one day), zero-completion months (NULL Little's W), 1-day spans
     "orders_littles_law_audit",
+    # round-4 batch 42: single-demand-week parts (anchor only, rate =
+    # size), consecutive-week demand (interval 1), k > n top cut
+    "orders_croston_forecast",
 )
 
 supply_order = st.tuples(

@@ -1534,3 +1534,35 @@ def test_circular_stats_single_agg_no_window(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_croston_python_folds_demand_weeks_only(spark):
+    """Croston's recurrence folds the aggregated nonzero weekly series
+    (top parts broadcast in), never raw lineitems."""
+    plan = plan_of(spark, "orders_croston_forecast")
+    assert plan.count("FlatMapGroupsInPandas") == 2  # tree + detail
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_temperature_mix_single_agg(spark):
+    plan = plan_of(spark, "documents_temperature_mix_weights")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row normalizers
+    assert "SortMergeJoin" not in plan
+
+
+def test_running_records_one_sort_pass(spark):
+    """Running max + row_number share one window sort; no joins."""
+    plan = plan_of(spark, "events_running_records")
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Window") == 2  # one node (tree + detail)
+
+
+def test_mattr_fanout_is_doc_bounded(spark):
+    """Window-type counting joins tokens to window starts doc-keyed —
+    per-document fan-out, no cartesian across documents."""
+    plan = plan_of(spark, "text_mattr_lexical_diversity")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
