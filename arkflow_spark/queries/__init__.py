@@ -74,6 +74,7 @@ for _mod in (
     "analytics40_q",
     "analytics41_q",
     "analytics42_q",
+    "analytics43_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -172,6 +173,10 @@ _DRIVER_PRIORITY = (
     "documents_temperature_mix_weights",
     "events_running_records",
     "text_mattr_lexical_diversity",
+    "graph_community_label_prop",
+    "events_decayed_rate",
+    "lineitem_price_index",
+    "embedding_intrinsic_dim_twonn",
     "orders_backlog_timeseries",
     "events_bootstrap_ci",
     "lineitem_price_elasticity",

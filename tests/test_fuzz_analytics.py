@@ -110,6 +110,9 @@ EVENT_QUERIES = (
     # round-4 batch 42: monotone streams (every point a record),
     # constant streams (1 record), 1-point streams (ln(1) = 0)
     "events_running_records",
+    # round-4 batch 43: anchor == every event (age 0, weight 1),
+    # single-event streams (freshness exactly 1)
+    "events_decayed_rate",
 )
 ORDER_QUERIES = (
     "orders_scd2_history",
@@ -371,6 +374,11 @@ SUPPLY_QUERIES = (
     # round-4 batch 42: single-demand-week parts (anchor only, rate =
     # size), consecutive-week demand (interval 1), k > n top cut
     "orders_croston_forecast",
+    # round-4 batch 43: single-year corpora (index exactly 1.0 on the
+    # base year only), parts absent from the base year (excluded),
+    # 1-part/2-part graphs (min-label floods in round 1)
+    "lineitem_price_index",
+    "graph_community_label_prop",
 )
 
 supply_order = st.tuples(
@@ -444,6 +452,9 @@ VECTOR_QUERIES = (
     "ann_sq8_topk",
     "ann_binary_hamming_topk",
     "embedding_label_outliers",
+    # round-4 batch 43: all-duplicate samples (every r1 = 0 -> excluded,
+    # NULL dimension), distance ties broken by cand id
+    "embedding_intrinsic_dim_twonn",
 )
 
 

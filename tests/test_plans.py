@@ -1566,3 +1566,35 @@ def test_mattr_fanout_is_doc_bounded(spark):
     plan = plan_of(spark, "text_mattr_lexical_diversity")
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_label_prop_rounds_are_min_agg_joins(spark):
+    """Each round is one edge-keyed join + integer min-agg (Pregel
+    dataflow); no Python, no cartesian."""
+    plan = plan_of(spark, "graph_community_label_prop")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_decayed_rate_single_agg_broadcast_anchor(spark):
+    plan = plan_of(spark, "events_decayed_rate")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row anchor
+    assert "Window" not in plan
+
+
+def test_price_index_part_keyed_base_join(spark):
+    plan = plan_of(spark, "lineitem_price_index")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_twonn_allpairs_is_sample_bounded(spark):
+    """The quadratic stage runs on the vec_id < 200 sample with the
+    right side broadcast — the scan carries the sample pushdown."""
+    plan = plan_of(spark, "embedding_intrinsic_dim_twonn")
+    assert "BatchEvalPython" not in plan
+    assert "LessThan(vec_id,200)" in plan
+    assert "BroadcastNestedLoopJoin" in plan
