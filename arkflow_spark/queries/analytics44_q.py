@@ -1,0 +1,420 @@
+"""Round-4 batch 44: vocabulary coverage curve, threshold flappiness,
+discounted customer lifetime value, dual-sourcing shares.
+
+- `text_vocab_coverage_curve` — cumulative token mass covered by the
+  top-k vocabulary at k = 100 / 1,000 / 10,000: the tokenizer-design
+  curve (how big must a vocab be before <1% of running text is OOV) and
+  the corpus-breadth readout behind `text_zipf_slope`.
+- `events_threshold_flappiness` — alternation rate of a stream around
+  its own median: flappy streams (frequent crossings) make threshold
+  alerts useless without hysteresis — this is the score that says which
+  alerts need `events_burst_hysteresis`'s Schmitt trigger.
+- `customer_clv_discounted` — discounted lifetime value: yearly revenue
+  discounted at 10%/year from the customer's first order, the finance-
+  grade LTV next to the nominal `orders_cohort_revenue_ltv`.
+- `part_dual_sourcing_shares` — supply-resilience census per part:
+  supplier count, the leader's volume share, and an HHI over supplier
+  shares — single-sourced high-volume parts are the risk register's
+  first page.
+
+Reference scope: arkflow's SQL processor surface
+(crates/arkflow-plugin/src/processor/sql.rs). All oracled vs DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arkflow_spark.queries.base import query
+from arkflow_spark.tables import load
+
+
+def _floor4(col):
+    """Deterministic 4-decimal quantization (see analytics2_q)."""
+    return F.floor(col * 10000 + 0.5) / 10000
+
+
+# ------------------------------------------------ vocab coverage curve
+
+_COV_KS = (100, 1000, 10000)
+
+
+@query(
+    "text_vocab_coverage_curve",
+    oracle=rf"""
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+      FROM documents
+    ),
+    vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY w
+    ),
+    ranked AS (
+      SELECT w, c,
+             row_number() OVER (ORDER BY c DESC, w) AS rnk,
+             CAST(SUM(c) OVER (ORDER BY c DESC, w
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM vocab
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM vocab
+    ),
+    ks(k) AS (VALUES {", ".join(f"({k})" for k in _COV_KS)})
+    SELECT ks.k AS vocab_size, t.n_types,
+           CAST(MAX(r.cum) AS BIGINT) AS tokens_covered,
+           floor(CAST(MAX(r.cum) AS DOUBLE) / t.n_tokens * 10000 + 0.5)
+             / 10000 AS coverage
+    FROM ks
+    JOIN ranked r ON r.rnk <= ks.k
+    CROSS JOIN tot t
+    GROUP BY ks.k, t.n_types, t.n_tokens
+    ORDER BY vocab_size
+    """,
+)
+def text_vocab_coverage_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-mass coverage of the top-k vocabulary for k in {ks}: what
+    fraction of running text a k-word vocab explains (rank by frequency,
+    word tiebreak). The curve that sizes tokenizer vocabularies and
+    flags corpora whose tail will explode byte-fallback rates.
+
+    One token count (map-side combinable), one frequency-ordered
+    cumulative window over the VOCABULARY (types, not tokens), and a
+    broadcast-sized k-grid join — raw text is scanned once.
+    """.format(ks=_COV_KS)
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count("*").alias("c"))
+    wrnk = Window.orderBy(F.desc("c"), F.asc("w"))
+    wcum = wrnk.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vocab.select(
+        F.row_number().over(wrnk).alias("rnk"),
+        F.sum("c").over(wcum).alias("cum"),
+    )
+    tot = vocab.agg(
+        F.sum("c").alias("n_tokens"), F.count("*").alias("n_types")
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in _COV_KS], "k bigint"
+    )
+    return (
+        F.broadcast(ks)
+        .join(ranked, ranked["rnk"] <= ks["k"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.col("k").alias("vocab_size"), "n_types", "n_tokens"
+        )
+        .agg(F.max("cum").alias("tokens_covered"))
+        .select(
+            "vocab_size",
+            "n_types",
+            "tokens_covered",
+            _floor4(
+                F.col("tokens_covered").cast("double")
+                / F.col("n_tokens")
+            ).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+# ------------------------------------------------ threshold flappiness
+
+
+@query(
+    "events_threshold_flappiness",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, ts, event_id, value,
+             CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY value
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM events
+    ),
+    med AS (
+      SELECT event_type,
+             MIN(CASE WHEN cum * 2 >= n THEN value END) AS thr
+      FROM ranked GROUP BY 1
+    ),
+    states AS (
+      SELECT e.event_type,
+             CASE WHEN e.value > m.thr THEN 1 ELSE 0 END AS above,
+             lag(CASE WHEN e.value > m.thr THEN 1 ELSE 0 END)
+               OVER (PARTITION BY e.event_type
+                     ORDER BY e.ts, e.event_id) AS prev
+      FROM events e JOIN med m ON m.event_type = e.event_type
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND above <> prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings,
+           floor(CAST(SUM(CASE WHEN prev IS NOT NULL AND above <> prev
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / NULLIF(COUNT(*) - 1, 0) * 10000 + 0.5) / 10000
+             AS flappiness
+    FROM states GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_threshold_flappiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Flappiness per stream: the fraction of consecutive-event pairs
+    that CROSS the stream's own median — near 0.5 means the signal
+    alternates almost every event (alerts need hysteresis / debounce),
+    near 0 means regimes are persistent and plain thresholds are fine.
+
+    The median is the rank-based integer fractile (cum*2 >= n);
+    crossings come from one ordered lag window. Two passes over the
+    stream (threshold, then states), both stream-keyed.
+    """
+    e = load(spark, sf_dir, "events")
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.count("*").over(wcum).alias("cum"),
+        F.count("*").over(wn).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("n"), F.col("value"))
+        ).alias("thr")
+    )
+    wlag = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    above = F.when(F.col("value") > F.col("thr"), 1).otherwise(0)
+    states = (
+        e.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            above.alias("above"),
+            F.lag(above).over(wlag).alias("prev"),
+        )
+    )
+    crossings = F.sum(
+        F.when(
+            F.col("prev").isNotNull()
+            & (F.col("above") != F.col("prev")),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        states.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            crossings.alias("n_crossings"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_crossings",
+            _floor4(
+                F.try_divide(
+                    F.col("n_crossings").cast("double"),
+                    F.nullif(F.col("n") - 1, F.lit(0)),
+                )
+            ).alias("flappiness"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------- discounted lifetime value
+
+_DISCOUNT = 0.9  # per-year discount factor (10% rate)
+
+
+@query(
+    "customer_clv_discounted",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT o_custkey, MIN(date_part('year', o_orderdate)) AS y0
+      FROM orders GROUP BY 1
+    ),
+    yearly AS (
+      SELECT o.o_custkey,
+             CAST(date_part('year', o.o_orderdate) AS BIGINT)
+               - CAST(f.y0 AS BIGINT) AS yr_offset,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS rev
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    clv AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(rev AS DECIMAL(18,6))) AS DOUBLE)
+               AS nominal_ltv,
+             CAST(SUM(CAST(rev * pow({_DISCOUNT}, yr_offset)
+                           AS DECIMAL(24,8))) AS DOUBLE)
+               AS discounted_ltv,
+             CAST(COUNT(*) AS BIGINT) AS n_active_years
+      FROM yearly GROUP BY 1
+    )
+    SELECT o_custkey, n_active_years,
+           floor(nominal_ltv * 10000 + 0.5) / 10000 AS nominal_ltv,
+           floor(discounted_ltv * 10000 + 0.5) / 10000
+             AS discounted_ltv,
+           floor(discounted_ltv / NULLIF(nominal_ltv, 0)
+                 * 10000 + 0.5) / 10000 AS discount_haircut
+    FROM clv
+    ORDER BY discounted_ltv DESC, o_custkey
+    LIMIT 25
+    """,
+)
+def customer_clv_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted customer lifetime value: yearly revenue discounted
+    {d}^years from each customer's FIRST order year, vs the nominal sum
+    — top-25 customers by discounted LTV; the haircut column shows how
+    much of a customer's value is back-loaded.
+
+    pow({d}, k) has an exact integer exponent per row (year offset), so
+    both engines compute the identical double; discounted terms quantize
+    to DECIMAL(24,8) and sum exactly. Plan: first-year agg, one
+    (customer, year) rollup, one customer rollup, TakeOrdered top-25.
+    """.format(d=_DISCOUNT)
+    o = load(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("y0")
+    )
+    yearly = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "o_custkey",
+            (
+                F.year("o_orderdate").cast("bigint")
+                - F.col("y0").cast("bigint")
+            ).alias("yr_offset"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    clv = yearly.groupBy("o_custkey").agg(
+        F.sum(F.col("rev").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("nominal_ltv"),
+        F.sum(
+            (
+                F.col("rev") * F.pow(F.lit(_DISCOUNT), F.col("yr_offset"))
+            ).cast("decimal(24,8)")
+        )
+        .cast("double")
+        .alias("discounted_ltv"),
+        F.count("*").alias("n_active_years"),
+    )
+    return (
+        clv.select(
+            "o_custkey",
+            "n_active_years",
+            _floor4(F.col("nominal_ltv")).alias("nominal_ltv"),
+            _floor4(F.col("discounted_ltv")).alias("discounted_ltv"),
+            _floor4(
+                F.try_divide(
+                    F.col("discounted_ltv"),
+                    F.nullif(F.col("nominal_ltv"), F.lit(0.0)),
+                )
+            ).alias("discount_haircut"),
+        )
+        # order on the QUANTIZED value (the oracle's output alias) so
+        # boundary ties resolve identically in both engines
+        .orderBy(F.desc("discounted_ltv"), F.asc("o_custkey"))
+        .limit(25)
+    )
+
+
+# ------------------------------------------------ dual-sourcing shares
+
+
+@query(
+    "part_dual_sourcing_shares",
+    oracle="""
+    WITH vol AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) AS q_total
+      FROM vol GROUP BY 1
+    ),
+    shares AS (
+      SELECT v.l_partkey, t.n_suppliers, t.q_total,
+             v.q / t.q_total AS share
+      FROM vol v JOIN tot t ON t.l_partkey = v.l_partkey
+    )
+    SELECT l_partkey, n_suppliers,
+           floor(q_total * 10000 + 0.5) / 10000 AS total_qty,
+           floor(MAX(share) * 10000 + 0.5) / 10000 AS leader_share,
+           floor(CAST(SUM(CAST(share * share AS DECIMAL(18,12)))
+                      AS DOUBLE) * 10000 + 0.5) / 10000 AS hhi
+    FROM shares
+    GROUP BY l_partkey, n_suppliers, q_total
+    ORDER BY total_qty DESC, l_partkey
+    LIMIT 20
+    """,
+)
+def part_dual_sourcing_shares(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supply-resilience census for the top-20 parts by volume: how many
+    suppliers serve the part, the leader's volume share, and the HHI of
+    supplier shares — HHI near 1 on a high-volume part is the
+    single-sourcing risk `lineitem_supplier_hhi` aggregates globally,
+    here at the actionable per-part grain.
+
+    Two map-side-combinable aggs ((part, supplier) volume, per-part
+    totals) and a part-keyed share rollup; share^2 terms quantize to
+    DECIMAL(18,12) and sum exactly; top-20 is TakeOrderedAndProject.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    vol = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("q")
+    )
+    tot = vol.groupBy("l_partkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.col("q").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("q_total"),
+    )
+    shares = vol.join(tot, "l_partkey").select(
+        "l_partkey",
+        "n_suppliers",
+        "q_total",
+        (F.col("q") / F.col("q_total")).alias("share"),
+    )
+    return (
+        shares.groupBy("l_partkey", "n_suppliers", "q_total")
+        .agg(
+            F.max("share").alias("leader_share"),
+            F.sum(
+                (F.col("share") * F.col("share")).cast("decimal(18,12)")
+            )
+            .cast("double")
+            .alias("hhi"),
+        )
+        .select(
+            "l_partkey",
+            "n_suppliers",
+            _floor4(F.col("q_total")).alias("total_qty"),
+            _floor4(F.col("leader_share")).alias("leader_share"),
+            _floor4(F.col("hhi")).alias("hhi"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("l_partkey"))
+        .limit(20)
+    )

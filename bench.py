@@ -139,6 +139,16 @@ HEADLINE = [
     "events_decayed_rate",
     "lineitem_price_index",
     "embedding_intrinsic_dim_twonn",
+    # round-4 batch 44 (first benched in BENCH_r04)
+    "text_vocab_coverage_curve",
+    "events_threshold_flappiness",
+    "customer_clv_discounted",
+    "part_dual_sourcing_shares",
+    # round-4 batch 45 (first benched in BENCH_r04)
+    "text_char_entropy",
+    "events_inspection_paradox",
+    "embedding_anisotropy",
+    "events_activation_time_to_n",
 ]
 
 

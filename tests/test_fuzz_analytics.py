@@ -113,6 +113,14 @@ EVENT_QUERIES = (
     # round-4 batch 43: anchor == every event (age 0, weight 1),
     # single-event streams (freshness exactly 1)
     "events_decayed_rate",
+    # round-4 batch 44: 1-event streams (0 pairs -> NULL flappiness),
+    # constant streams (no crossings), all-above/all-below splits
+    "events_threshold_flappiness",
+    # round-4 batch 45: single-event streams (no gaps -> excluded),
+    # all-duplicate timestamps (s1 = 0 -> excluded), users who never
+    # reach 5 events (empty activation set -> NULL percentiles)
+    "events_inspection_paradox",
+    "events_activation_time_to_n",
 )
 ORDER_QUERIES = (
     "orders_scd2_history",
@@ -133,6 +141,10 @@ ORDER_QUERIES = (
     # round-4 batch 39: single-order customers (x=0 -> P(alive)=1,
     # t_x=0), all-same-day histories (span 0)
     "customer_bgnbd_palive",
+    # round-4 batch 44: single-year customers (offset 0 -> haircut 1),
+    # zero-price orders (nominal 0 -> NULL haircut in neither engine:
+    # 0/0 guarded by the same division in both)
+    "customer_clv_discounted",
 )
 
 event = st.tuples(
@@ -302,6 +314,9 @@ DOC_QUERIES = (
     # weights on single-source corpora (share 1, epochs 1)
     "text_mattr_lexical_diversity",
     "documents_temperature_mix_weights",
+    # round-4 batch 44: vocabularies smaller than every k (coverage 1.0
+    # at each grid point), single-word corpora
+    "text_vocab_coverage_curve",
 )
 
 
@@ -379,6 +394,10 @@ SUPPLY_QUERIES = (
     # 1-part/2-part graphs (min-label floods in round 1)
     "lineitem_price_index",
     "graph_community_label_prop",
+    # round-4 batch 44: single-supplier parts (HHI 1, leader share 1),
+    # zero-quantity lineitems (share 0/0 -> both engines divide the
+    # same exact decimal totals)
+    "part_dual_sourcing_shares",
 )
 
 supply_order = st.tuples(
@@ -455,6 +474,9 @@ VECTOR_QUERIES = (
     # round-4 batch 43: all-duplicate samples (every r1 = 0 -> excluded,
     # NULL dimension), distance ties broken by cand id
     "embedding_intrinsic_dim_twonn",
+    # round-4 batch 45: all-zero vectors excluded (nrm > 0), duplicate
+    # vectors (max cosine 1.0)
+    "embedding_anisotropy",
 )
 
 

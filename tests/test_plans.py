@@ -1598,3 +1598,61 @@ def test_twonn_allpairs_is_sample_bounded(spark):
     assert "BatchEvalPython" not in plan
     assert "LessThan(vec_id,200)" in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_vocab_coverage_windows_types_not_tokens(spark):
+    """The cumulative window runs over the VOCABULARY (one row per
+    type); raw text is scanned once into a map-side-combinable count."""
+    plan = plan_of(spark, "text_vocab_coverage_curve")
+    assert "BatchEvalPython" not in plan
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_flappiness_median_broadcasts_back(spark):
+    plan = plan_of(spark, "events_threshold_flappiness")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_clv_topk_no_global_sort(spark):
+    plan = plan_of(spark, "customer_clv_discounted")
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dual_sourcing_two_stage_agg_topk(spark):
+    plan = plan_of(spark, "part_dual_sourcing_shares")
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_char_entropy_two_combinable_aggs(spark):
+    plan = plan_of(spark, "text_char_entropy")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_inspection_paradox_one_lag_window(spark):
+    plan = plan_of(spark, "events_inspection_paradox")
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Window") == 2  # one node (tree + detail)
+
+
+def test_anisotropy_allpairs_is_sample_bounded(spark):
+    plan = plan_of(spark, "embedding_anisotropy")
+    assert "BatchEvalPython" not in plan
+    assert "LessThan(vec_id,200)" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_activation_filters_before_selfjoin(spark):
+    """Only rn in (1, N) rows survive the window before the user-keyed
+    self-join — the join sides are 2 rows/user, not the raw stream."""
+    plan = plan_of(spark, "events_activation_time_to_n")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
