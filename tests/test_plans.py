@@ -1656,3 +1656,11 @@ def test_activation_filters_before_selfjoin(spark):
     plan = plan_of(spark, "events_activation_time_to_n")
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mattr_incremental_has_no_window_start_fanout(spark):
+    """The O(n) last-occurrence formulation: one (doc, word) lag window
+    + one doc rollup — the (n-w+1)*w token-window join is gone."""
+    plan = plan_of(spark, "text_mattr_lexical_diversity")
+    assert plan.count("Window") == 2  # one node (tree + detail)
+    assert "Generate" in plan  # the posexplode, not a window-start grid
