@@ -450,7 +450,7 @@ def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pwm AS (
       SELECT event_type, u, n,
              CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / n AS b0,
-             CAST(SUM(CAST((i - 1.0) / (n - 1) * y AS DECIMAL(24,10)))
+             CAST(SUM(CAST((n - i) / (n - 1.0) * y AS DECIMAL(24,10)))
                   AS DOUBLE) / n AS b1
       FROM exc
       WHERE n >= 2
@@ -468,13 +468,16 @@ def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_gpd_pot_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generalized-Pareto fit to each stream's excesses over its
     empirical p90, via probability-weighted moments (Hosking/Wallis
-    closed form): b0 = mean excess, b1 = plotting-position-weighted
-    mean, xi = 2 - b0/(b0-2*b1), sigma = 2*b0*b1/(b0-2*b1). A positive
+    1987 closed form): b0 = mean excess, b1 = alpha_1 = E[Y*(1-F(Y))]
+    estimated with the descending plotting position (n-i)/(n-1) over
+    ascending ranks i, xi = 2 - b0/(b0-2*b1), sigma =
+    2*b0*b1/(b0-2*b1). Sanity anchors (test_gpd_sanity): exponential
+    excesses => xi ~ 0, sigma ~ mean, and sigma > 0 always. A positive
     xi confirms a heavy tail (cross-check `events_hill_tail_index`);
     xi < 0 bounds the tail.
 
     The weighted moment accumulates as exact DECIMAL(24,10) of
-    per-point mirrored doubles ((i-1)/(n-1) is an IEEE-exact-inputs
+    per-point mirrored doubles ((n-i)/(n-1) is an IEEE-exact-inputs
     division); the p90 threshold is the integer fractile test
     cum*10 >= 9n. Plan: one cumulative window for the threshold, a
     broadcast threshold join, one rank window over the ~10% excess
@@ -525,8 +528,8 @@ def events_gpd_pot_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.sum(
                     (
-                        (F.col("i") - 1.0)
-                        / (F.col("n") - 1)
+                        (F.col("n") - F.col("i"))
+                        / (F.col("n") - 1.0)
                         * F.col("y")
                     ).cast("decimal(24,10)")
                 ).cast("double")

@@ -335,15 +335,23 @@ _TWONN_N = 200
 @query(
     "embedding_intrinsic_dim_twonn",
     oracle=f"""
-    WITH x AS (
+    WITH ok AS (
+      -- full-length, NULL-free vectors only: a ragged or NULL-element
+      -- embedding would otherwise take engine-specific NULL semantics
+      -- through the pair distance (Spark zip_with pads with NULL,
+      -- DuckDB joins shared indices)
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id < {_TWONN_N} AND len(embedding) = 64
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    ),
+    x AS (
       -- micro-quantized integer coordinates: distances become EXACT
       -- integers, so nearest-neighbour ranking cannot flip on
       -- reduction-order noise (the dedup_embedding_lsh discipline)
       SELECT vec_id, g.i AS i,
              CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000)
                   AS BIGINT) AS v
-      FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
-      WHERE g.i <= len(embedding) AND vec_id < {_TWONN_N}
+      FROM ok CROSS JOIN generate_series(1, 64) g(i)
     ),
     d2 AS (
       SELECT a.vec_id AS va, b.vec_id AS vb,
@@ -381,13 +389,18 @@ def embedding_intrinsic_dim_twonn(
     numbers.
 
     Points with a zero first-neighbour distance (exact duplicates) are
-    excluded in both engines (ln ratio undefined). ln terms quantize to
-    DECIMAL(18,10) and sum exactly. The all-pairs stage is bounded to
+    excluded in both engines (ln ratio undefined), as are ragged or
+    NULL-element embeddings (Spark's zip_with NULL-pads a short vector,
+    DuckDB's index join would keep the partial overlap — the filter
+    makes both engines see only full 64-dim vectors). ln terms quantize
+    to DECIMAL(18,10) and sum exactly. The all-pairs stage is bounded to
     the {n}-vector sample ({n}^2 pairs) — the estimator needs a sample,
     not the corpus; at 100 TB feed it a per-partition uniform sample.
     """.format(n=_TWONN_N)
     e = load(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") < _TWONN_N
+        (F.col("vec_id") < _TWONN_N)
+        & (F.size("embedding") == 64)
+        & ~F.exists("embedding", lambda x: x.isNull())
     )
     # micro-quantized integer coordinates: exact integer distances, so
     # NN ranking cannot flip on reduction-order noise

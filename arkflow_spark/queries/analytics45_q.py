@@ -8,9 +8,9 @@ embedding anisotropy, activation time-to-N.
   `text_quality_score`'s word-level rules.
 - `events_inspection_paradox` — the waiting-time paradox audit per
   stream: mean inter-arrival gap vs the size-biased mean residual
-  E[g^2]/(2*E[g]) a random observer actually experiences. A large ratio
-  means bursty arrivals — "average gap" dashboards understate real
-  waiting several-fold.
+  E[g^2]/(2*E[g]) a random observer actually experiences, and their
+  ratio (Poisson baseline 1, perfectly regular 0.5, > 1 = bursty
+  arrivals whose "average gap" dashboards understate real waiting).
 - `embedding_anisotropy` — mean pairwise cosine over a bounded sample:
   the anisotropy score (Ethayarajh 2019); embeddings crowded into a
   cone (mean cosine >> 0) degrade cosine-based retrieval — the
@@ -137,7 +137,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(s1 / n_gaps * 10000 + 0.5) / 10000 AS mean_gap_min,
            floor(s2 / (2 * s1) * 10000 + 0.5) / 10000
              AS observer_wait_min,
-           floor((s2 / (2 * s1)) / (s1 / n_gaps / 2) * 10000 + 0.5)
+           floor((s2 / (2 * s1)) / (s1 / n_gaps) * 10000 + 0.5)
              / 10000 AS paradox_ratio
     FROM m
     WHERE n_gaps > 0 AND s1 > 0
@@ -149,9 +149,11 @@ def events_inspection_paradox(
 ) -> DataFrame:
     """Waiting-time paradox audit per stream: the naive mean
     inter-arrival gap, the mean residual wait a random observer actually
-    experiences (E[g^2] / 2E[g]), and their ratio against the Poisson
-    baseline (ratio 1 = memoryless; >> 1 = bursty arrivals whose
-    "average gap" dashboards understate real waits).
+    experiences (E[g^2] / 2E[g]), and their ratio to the mean gap.
+    Baselines: memoryless Poisson arrivals give ratio 1 (wait = mean
+    gap), a perfectly regular stream gives 0.5 (wait = half the gap),
+    and > 1 means bursty arrivals whose "average gap" dashboards
+    understate real waits.
 
     Gaps come from one ordered lag window in exact integer
     microseconds; first and second moments accumulate as exact decimals
@@ -184,7 +186,7 @@ def events_inspection_paradox(
             "n_gaps",
             _floor4(mean_gap).alias("mean_gap_min"),
             _floor4(wait).alias("observer_wait_min"),
-            _floor4(wait / (mean_gap / 2)).alias("paradox_ratio"),
+            _floor4(wait / mean_gap).alias("paradox_ratio"),
         )
         .orderBy("event_type")
     )
@@ -198,10 +200,17 @@ _ANISO_N = 200
 @query(
     "embedding_anisotropy",
     oracle=f"""
-    WITH x AS (
+    WITH ok AS (
+      -- full-length, NULL-free vectors only (same discipline as
+      -- embedding_intrinsic_dim_twonn: Spark zip_with NULL-pads ragged
+      -- vectors while an index join keeps the partial overlap)
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id < {_ANISO_N} AND len(embedding) = 64
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    ),
+    x AS (
       SELECT vec_id, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS v
-      FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
-      WHERE g.i <= len(embedding) AND vec_id < {_ANISO_N}
+      FROM ok CROSS JOIN generate_series(1, 64) g(i)
     ),
     nrm AS (
       SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id
@@ -243,7 +252,9 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arkflow_spark.queries.vector_q import _dot, _norm
 
     e = load(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") < _ANISO_N
+        (F.col("vec_id") < _ANISO_N)
+        & (F.size("embedding") == 64)
+        & ~F.exists("embedding", lambda x: x.isNull())
     )
     withn = e.select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")

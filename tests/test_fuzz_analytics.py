@@ -510,3 +510,49 @@ def test_quantized_ann_matches_duckdb(
     for name in VECTOR_QUERIES:
         res = compare(name, spark, str(sf), QUERIES[name], ORACLE[name])
         assert res.ok, (name, str(res))
+
+
+# round-5 (ADVICE r4): ragged / NULL-element embeddings must be filtered
+# identically by both engines in the all-pairs geometry diagnostics —
+# Spark's zip_with NULL-pads a short vector while DuckDB's shared-index
+# join keeps the partial overlap, so an unfiltered ragged vector silently
+# diverges. Only the two hardened queries claim this contract.
+RAGGED_SAFE_QUERIES = (
+    "embedding_intrinsic_dim_twonn",
+    "embedding_anisotropy",
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.large_base_example,
+    ],
+)
+@given(
+    vecs=st.lists(vec, min_size=17, max_size=30),
+    short_len=st.integers(min_value=0, max_value=63),
+    null_pos=st.integers(min_value=0, max_value=63),
+)
+def test_ragged_embeddings_match_duckdb(
+    spark, tmp_path_factory, vecs, short_len, null_pos
+):
+    base = vecs[0]
+    ragged = base[:short_len]  # shorter than 64
+    with_null = list(base)
+    with_null[null_pos] = None  # full-length but a NULL element
+    data = [(i, v, i % 3) for i, v in enumerate(vecs)]
+    data.append((len(data), ragged, 0))
+    data.append((len(data), with_null, 1))
+    sf = tmp_path_factory.mktemp("ragfuzz")
+    _write(
+        spark,
+        str(sf / "embeddings.parquet"),
+        data,
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    for name in RAGGED_SAFE_QUERIES:
+        res = compare(name, spark, str(sf), QUERIES[name], ORACLE[name])
+        assert res.ok, (name, str(res))
