@@ -98,6 +98,68 @@ for _mod in (
 # type-sensitive hash. Cumulative driver coverage is tracked in
 # COVERAGE.md.
 _DRIVER_PRIORITY = (
+    # ========== ROUND-5 HEAD (the driver samples the first 50) ==========
+    # (a) queries CHANGED this round — the driver must re-prove them:
+    # ADVICE r4 semantic fixes (GPD PWM weight, inspection-paradox
+    # baseline, ragged-embedding filters), the five corpus-scaled
+    # window queries converted to functions/distributed_rank, three
+    # more conversions found by the new gate (activation, KM, skyline),
+    # two limit-before-rank rewrites, the session-addressed bucketed
+    # indexes, and the NEW bucketed label-prop twin.
+    "events_gpd_pot_fit",
+    "events_inspection_paradox",
+    "embedding_intrinsic_dim_twonn",
+    "embedding_anisotropy",
+    "customer_rfm_segments",
+    "lineitem_abc_pareto",
+    "lineitem_abc_migration",
+    "lineitem_abc_xyz_matrix",
+    "documents_curriculum_order",
+    "events_activation_time_to_n",
+    "events_survival_km",
+    "orders_skyline_2d",
+    "text_pmi_cooccurrence",
+    "text_vocab_topk",
+    "graph_pagerank_bucketed",
+    "graph_community_label_prop_bucketed",
+    "graph_community_label_prop",
+    # (b) the staged never-driver-sampled rotation (r4 plan): batches
+    # 39-42 remnants, then 44-45 remnants and earlier never-sampled
+    # names
+    "customer_bgnbd_palive",
+    "orders_weibull_cycletime_fit",
+    "events_ljung_box",
+    "supplier_wilson_otd_ci",
+    "documents_survivorship_golden",
+    "events_winsorized_stats",
+    "ann_ivf_pq_rerank",
+    "ann_ivf_pq_recall_eval",
+    "text_js_divergence_sources",
+    "orders_littles_law_audit",
+    "events_circular_hour_stats",
+    "orders_croston_forecast",
+    "documents_temperature_mix_weights",
+    "events_running_records",
+    "text_mattr_lexical_diversity",
+    "events_decayed_rate",
+    "lineitem_price_index",
+    "text_vocab_coverage_curve",
+    "events_threshold_flappiness",
+    "customer_clv_discounted",
+    "part_dual_sourcing_shares",
+    "text_char_entropy",
+    "orders_backlog_timeseries",
+    "events_bootstrap_ci",
+    "lineitem_price_elasticity",
+    "documents_quality_threshold_sweep",
+    "dedup_band_sweep",
+    "events_lateness_watermark_audit",
+    "customer_interpurchase_gaps",
+    "lineitem_discount_anova",
+    "events_uniform_sample_hashprio",
+    "documents_rag_chunks",
+    "events_hill_tail_index",
+    # ========== below the 50-cut: round-4 driver-green head ==========
     # (a) round-3 HUGEINT fixes — six driver-red rows in CORRECTNESS_r03
     "events_apdex_score",
     "events_incident_mtbf",
@@ -155,49 +217,6 @@ _DRIVER_PRIORITY = (
     "scalar_variant_shred",
     "sketch_rollup_hourly_daily",
     "ml_kmeans_ivf",
-    "graph_pagerank_bucketed",
-    # --- below the 50-cut from here: round-4 batches 39-40 lead the
-    # r5 rotation, then batches 30-34 (strict-parity-verified locally;
-    # family representatives above) and remaining never-sampled names ---
-    "customer_bgnbd_palive",
-    "orders_weibull_cycletime_fit",
-    "events_ljung_box",
-    "supplier_wilson_otd_ci",
-    "documents_survivorship_golden",
-    "events_winsorized_stats",
-    "ann_ivf_pq_rerank",
-    "events_gpd_pot_fit",
-    "ann_ivf_pq_recall_eval",
-    "text_js_divergence_sources",
-    "orders_littles_law_audit",
-    "events_circular_hour_stats",
-    "orders_croston_forecast",
-    "documents_temperature_mix_weights",
-    "events_running_records",
-    "text_mattr_lexical_diversity",
-    "graph_community_label_prop",
-    "events_decayed_rate",
-    "lineitem_price_index",
-    "embedding_intrinsic_dim_twonn",
-    "text_vocab_coverage_curve",
-    "events_threshold_flappiness",
-    "customer_clv_discounted",
-    "part_dual_sourcing_shares",
-    "text_char_entropy",
-    "events_inspection_paradox",
-    "embedding_anisotropy",
-    "events_activation_time_to_n",
-    "orders_backlog_timeseries",
-    "events_bootstrap_ci",
-    "lineitem_price_elasticity",
-    "documents_quality_threshold_sweep",
-    "dedup_band_sweep",
-    "events_lateness_watermark_audit",
-    "customer_interpurchase_gaps",
-    "lineitem_discount_anova",
-    "events_uniform_sample_hashprio",
-    "documents_rag_chunks",
-    "events_hill_tail_index",
     "orders_otif_fill_rate",
     "dedup_substring_spans",
     "documents_ccnet_ppl_buckets",
@@ -216,7 +235,6 @@ _DRIVER_PRIORITY = (
     "orders_open_aging_buckets",
     "text_mixed_script_ratio",
     "supplier_lead_time_scorecard",
-    "lineitem_abc_xyz_matrix",
     "documents_domain_cap_sample",
     "text_bigram_kn_logprob",
     "udf_pandas_window",
@@ -229,7 +247,6 @@ _DRIVER_PRIORITY = (
     "events_skew_salted_agg",
     "text_lang_id",
     "text_token_count",
-    "text_vocab_topk",
     "text_pii_redact",
     "dedup_simhash",
     "dedup_embedding_lsh",
@@ -240,7 +257,6 @@ _DRIVER_PRIORITY = (
     "events_markov_transitions",
     "part_fuzzy_name_join",
     "documents_dsir_weights",
-    "text_pmi_cooccurrence",
     "embedding_pca_power",
     "lineitem_copurchase_pairs",
     # --- below the 50-cut from here (driver-green in earlier rounds or
@@ -266,7 +282,6 @@ _DRIVER_PRIORITY = (
     "documents_weighted_sample_ares",
     "events_feature_crosses_hashed",
     "ann_hard_negatives",
-    "documents_curriculum_order",
     "events_power_analysis",
     "events_ar2_forecast",
     "text_code_detection",
@@ -276,7 +291,6 @@ _DRIVER_PRIORITY = (
     "events_drift_psi",
     "lineitem_margin_waterfall",
     "orders_mix_shift_decomposition",
-    "lineitem_abc_migration",
     "graph_kcore_peel",
     "events_forecast_eval_wape",
     "events_lttb_downsample",
@@ -287,7 +301,6 @@ _DRIVER_PRIORITY = (
     "events_percentile_bands",
     "events_retention_halflife",
     "events_cuped_adjustment",
-    "orders_skyline_2d",
     "events_burst_hysteresis",
     "agg_bitmap_distinct",
     "text_rake_keywords",
@@ -319,7 +332,6 @@ _DRIVER_PRIORITY = (
     "events_value_histogram",
     "documents_quality_classifier",
     "events_changepoint_score",
-    "customer_rfm_segments",
     "scalar_lambda_higher_order",
     "sketch_sliding_distinct",
     "graph_pagerank_bipartite",
@@ -329,11 +341,9 @@ _DRIVER_PRIORITY = (
     "events_welch_ttest",
     "events_running_reset_sum",
     "events_seasonal_residual",
-    "lineitem_abc_pareto",
     "events_histogram_equidepth",
     "agg_geo_harmonic_mean",
     "graph_triangle_count",
-    "events_survival_km",
     "events_autocorr",
     "events_benford_deviation",
     "events_conversion_latency",

@@ -269,6 +269,7 @@ def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("errors"),
     )
     w = (
+        # scale: calendar-bounded (hourly grid)
         Window.orderBy(F.unix_timestamp("h"))
         .rangeBetween(-(_BURN_LONG_H - 1) * 3600, Window.currentRow)
     )

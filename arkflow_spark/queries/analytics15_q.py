@@ -189,11 +189,20 @@ def documents_curriculum_order(
     the row — rerun it anywhere, same training order (the property the
     A-Res sampler provides for sampling, applied to ordering).
 
-    Scale: two global rank windows over a narrow projection — at 100 TB
-    curriculum ranks would come from quantile bucketing
-    (`events_histogram_equidepth` shape) instead of a total order; the
-    stage assignment is already that shape (ntile 4).
+    Scale: the three global orderings (length rank, hardness rank,
+    final curriculum order) are exact distributed ranks
+    (functions/distributed_rank: range partition -> per-partition rank
+    -> broadcast offsets), bit-identical to the window forms with no
+    single-partition sort — the plan survives any corpus size.
     """
+    from arkflow_spark.functions.distributed_rank import (
+        N,
+        RN,
+        exact_ntile,
+        percent_rank_of,
+        with_global_order,
+    )
+
     d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     words = F.regexp_count(F.lower(F.trim(F.col("text"))), F.lit(r"\S+"))
     sentences = F.greatest(
@@ -211,24 +220,35 @@ def documents_curriculum_order(
     scored = d.select(
         "doc_id", "n_chars", flesch.alias("flesch")
     ).filter(words > 0)
-    w_len = Window.orderBy("n_chars", "doc_id")
-    w_hard = Window.orderBy(F.col("flesch").desc(), "doc_id")
-    ranked = scored.select(
-        "doc_id",
-        "n_chars",
-        _floor4(F.col("flesch")).alias("flesch"),
-        F.percent_rank().over(w_len).alias("r_len"),
-        F.percent_rank().over(w_hard).alias("r_hard"),
+    g1 = (
+        with_global_order(scored, [F.asc("n_chars"), F.asc("doc_id")])
+        .withColumn("r_len", percent_rank_of(F.col(RN), F.col(N)))
+        .drop(RN, N)
+    )
+    ranked = (
+        with_global_order(g1, [F.desc("flesch"), F.asc("doc_id")])
+        .withColumn("r_hard", percent_rank_of(F.col(RN), F.col(N)))
+        .drop(RN, N)
+        .select(
+            "doc_id",
+            "n_chars",
+            _floor4(F.col("flesch")).alias("flesch"),
+            "r_len",
+            "r_hard",
+        )
     )
     diff = (F.col("r_len") + F.col("r_hard")) / 2
-    w_cur = Window.orderBy(diff, "doc_id")
-    return ranked.select(
+    cur = with_global_order(
+        ranked.withColumn("__diff", diff),
+        [F.asc("__diff"), F.asc("doc_id")],
+    )
+    return cur.select(
         "doc_id",
         "n_chars",
         "flesch",
-        _floor4(diff).alias("difficulty"),
-        F.row_number().over(w_cur).alias("curriculum_rank"),
-        F.ntile(4).over(w_cur).alias("stage"),
+        _floor4(F.col("__diff")).alias("difficulty"),
+        F.col(RN).alias("curriculum_rank"),
+        exact_ntile(F.col(RN), F.col(N), 4).alias("stage"),
     ).orderBy("curriculum_rank")
 
 

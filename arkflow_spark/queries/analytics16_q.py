@@ -253,6 +253,7 @@ def events_incident_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type") == "error"
     )
+    # scale: minority-class stream (error events; filter pushed to scan)
     w = Window.orderBy("ts", "event_id")
     ep = F.unix_micros(F.col("ts").cast("timestamp"))
     err = e.select(
@@ -277,6 +278,7 @@ def events_incident_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("ended"),
         F.count("*").alias("n_errors"),
     )
+    # scale: incident-bounded (one row per detected incident)
     w_inc = Window.orderBy("incident_id")
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
     sp = incidents.select(

@@ -147,6 +147,7 @@ def events_dau_mau_stickiness(
             (F.col("hi") + 1).alias("d"), F.lit(-1).alias("delta")
         )
     )
+    # scale: calendar-bounded (per-day delta table)
     w_sweep = Window.orderBy("d").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

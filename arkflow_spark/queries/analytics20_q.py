@@ -136,18 +136,21 @@ _ABC_CUTOVER = "1995-01-01"
 
 
 def _abc_class_sql(pred: str) -> str:
+    # rev stays DECIMAL through the running sum (associative => the
+    # distributed local+offset prefix sum on the Spark side is
+    # bit-identical); only the share division goes to double
     return f"""
       SELECT l_partkey,
              CASE WHEN cum <= 0.8 THEN 'A'
                   WHEN cum <= 0.95 THEN 'B' ELSE 'C' END AS cls
       FROM (
         SELECT l_partkey,
-               SUM(rev) OVER (ORDER BY rev DESC, l_partkey)
-                 / SUM(rev) OVER () AS cum
+               CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey)
+                    AS DOUBLE)
+                 / CAST(SUM(rev) OVER () AS DOUBLE) AS cum
         FROM (
           SELECT l_partkey,
-                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                      AS DOUBLE) AS rev
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
           FROM lineitem WHERE {pred}
           GROUP BY l_partkey
         )
@@ -175,31 +178,34 @@ def lineitem_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre/post {c} periods, then the part-level transition matrix
     ('-' = absent that period) — the re-planning trigger report
     (a part decaying A->C changes its stocking policy). Revenue
-    reduces as exact decimal; the cumulative-share window runs over
-    the per-part aggregate.
+    reduces as exact decimal; the cumulative share is a distributed
+    prefix sum (functions/distributed_rank), not a single-partition
+    window, and stays decimal until the share division so the split
+    local+offset sum is bit-identical to a sequential one.
 
-    Scale: each period is one part-keyed reduction + a rank window
-    over parts (dim-sized, not fact-sized); the transition join keys
-    on the part.
+    Scale: each period is one part-keyed reduction + a range-partitioned
+    prefix sum over parts (dim-sized, not fact-sized); the transition
+    join keys on the part.
     """.format(c=_ABC_CUTOVER)
+    from arkflow_spark.functions.distributed_rank import with_global_order
+
     li = load(spark, sf_dir, "lineitem")
     cutoff = F.lit(_ABC_CUTOVER).cast("timestamp_ntz")
 
     def classes(df):
         rev = df.groupBy("l_partkey").agg(
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("double")
             .alias("rev")
         )
-        w_cum = (
-            Window.orderBy(F.col("rev").desc(), "l_partkey")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        g = with_global_order(
+            rev,
+            [F.col("rev").desc(), F.asc("l_partkey")],
+            sums={"rev": F.col("rev")},
         )
-        w_all = Window.rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-        cum = F.sum("rev").over(w_cum) / F.sum("rev").over(w_all)
-        return rev.select(
+        cum = F.col("__cum_rev").cast("double") / F.col(
+            "__tot_rev"
+        ).cast("double")
+        return g.select(
             "l_partkey",
             F.when(cum <= 0.8, "A")
             .when(cum <= 0.95, "B")

@@ -89,6 +89,7 @@ def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mon",
             "cal_month",
             "rev",
+            # scale: calendar-bounded (months)
             F.row_number().over(Window.orderBy("mon")).alias("rn"),
             F.count("*")
             .over(

@@ -85,6 +85,7 @@ def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = pts.groupBy("d").agg(F.sum("delta").alias("net"))
     from pyspark.sql import Window
 
+    # scale: calendar-bounded (per-day delta table)
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     return (
         daily.select(

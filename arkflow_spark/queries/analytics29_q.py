@@ -73,6 +73,7 @@ def events_uniform_sample_hashprio(
         "event_id", "event_type", prio.alias("priority")
     ).withColumn(
         "rk",
+        # scale: rank-filter executes as per-partition WindowGroupLimit
         F.row_number().over(Window.orderBy("priority", "event_id")),
     )
     return (

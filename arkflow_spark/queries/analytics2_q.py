@@ -462,14 +462,17 @@ def events_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto inventory classification: parts ranked by revenue,
-    cumulative-share cut at 80% (A) and 95% (B). The cumulative window is
-    a global ordered sum — fine up to tens of millions of DISTINCT parts
-    in one task since the input is already reduced to one row per part; at
-    catalog scales beyond that, the same plan range-partitions on revenue
-    and adds per-partition offset sums (two passes), which preserves these
-    exact decimal semantics. Sums stay DECIMAL until the final share
-    division so the A/B boundary comparison is engine-stable.
+    cumulative-share cut at 80% (A) and 95% (B). The cumulative revenue
+    is a distributed prefix sum (functions/distributed_rank:
+    range-partition on (revenue desc, partkey), per-partition running
+    sums, broadcast per-partition offsets) — no single-partition sort,
+    so the plan holds at any part-catalog size. Sums stay DECIMAL until
+    the final share division, which ALSO makes the split local+offset
+    sum bit-identical to a sequential running sum (decimal addition is
+    associative), keeping the A/B boundary comparison engine-stable.
     """
+    from arkflow_spark.functions.distributed_rank import with_global_order
+
     li = load(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(
@@ -478,15 +481,14 @@ def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rev")
     )
-    w_cum = (
-        Window.orderBy(F.desc("rev"), "l_partkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_tot = Window.partitionBy()
-    ranked = rev.select(
+    ranked = with_global_order(
+        rev,
+        [F.desc("rev"), F.asc("l_partkey")],
+        sums={"rev": F.col("rev")},
+    ).select(
         "rev",
-        F.sum("rev").over(w_cum).alias("cum"),
-        F.sum("rev").over(w_tot).alias("tot"),
+        F.col("__cum_rev").alias("cum"),
+        F.col("__tot_rev").alias("tot"),
     )
     share = F.col("cum").cast("double") / F.col("tot").cast("double")
     classed = ranked.select(

@@ -155,16 +155,20 @@ supplier_lead_time_scorecard.__doc__ = (
     "lineitem_abc_xyz_matrix",
     oracle=r"""
     WITH rev AS (
+      -- revenue stays DECIMAL through the running share (associative
+      -- sums => the Spark side's distributed prefix sum is
+      -- bit-identical); casts to double only at the divisions
       SELECT l_partkey,
-             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
-                                 * 100 + 0.5) / 100
-                           AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                            * 100 + 0.5) / 100
+                      AS DECIMAL(18,2))) AS revenue
       FROM lineitem GROUP BY l_partkey
     ),
     abc AS (
       SELECT l_partkey, revenue,
-             SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey)
-               / SUM(revenue) OVER () AS cum_share
+             CAST(SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey)
+                  AS DOUBLE)
+               / CAST(SUM(revenue) OVER () AS DOUBLE) AS cum_share
       FROM rev
     ),
     abc_cls AS (
@@ -224,11 +228,15 @@ def lineitem_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     predictability axis.
 
     Scale: two part-keyed aggregates off the same scan lineage (revenue
-    and weekly demand), one running-share window over the part table
-    (cardinality = parts, not lines), a part-keyed join of the two
-    classifications, and a 9-cell rollup. CV moments use exact decimal
-    sums so class boundaries cannot flip between engines.
+    and weekly demand), a distributed prefix sum for the running share
+    (functions/distributed_rank — cardinality = parts, not lines, and
+    no single-partition sort), a part-keyed join of the two
+    classifications, and a 9-cell rollup. Revenue and CV moments use
+    exact decimal sums so class boundaries cannot flip between engines
+    or partitionings.
     """
+    from arkflow_spark.functions.distributed_rank import with_global_order
+
     li = load(spark, sf_dir, "lineitem")
     cents = (
         F.floor(
@@ -238,17 +246,18 @@ def lineitem_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 100
     )
     rev = li.groupBy("l_partkey").agg(
-        F.sum(cents.cast("decimal(18,2)")).cast("double").alias("revenue")
+        F.sum(cents.cast("decimal(18,2)")).alias("revenue")
     )
-    wall = Window.orderBy(F.desc("revenue"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wtot = Window.partitionBy()
-    abc_cls = rev.select(
+    abc_cls = with_global_order(
+        rev,
+        [F.desc("revenue"), F.asc("l_partkey")],
+        sums={"revenue": F.col("revenue")},
+    ).select(
         "l_partkey",
         "revenue",
         (
-            F.sum("revenue").over(wall) / F.sum("revenue").over(wtot)
+            F.col("__cum_revenue").cast("double")
+            / F.col("__tot_revenue").cast("double")
         ).alias("cum_share"),
     ).select(
         "l_partkey",

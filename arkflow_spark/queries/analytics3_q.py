@@ -78,10 +78,15 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     a user's consecutive purchases are observed durations; the tail from
     the last purchase to the corpus horizon is right-censored. The
     estimator's running product Π(1 - d_i/n_i) is computed as an ordered
-    decimal log-sum (exact, engine-stable) over ONE ordered pass of the
-    grouped duration table; at-risk counts come from an exclusive-frame
-    cumulative count, so nothing is quadratic in distinct durations.
+    decimal log-sum (exact, engine-stable); at-risk counts come from an
+    exclusive cumulative count. Both cumulations are distributed prefix
+    sums (functions/distributed_rank) over the grouped duration table —
+    distinct durations scale with the corpus at second resolution, so
+    no single-partition sort; decimal log terms keep the split
+    local+offset sum bit-identical to the oracle's sequential one.
     """
+    from arkflow_spark.functions.distributed_rank import with_global_order
+
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     p = (
@@ -102,33 +107,32 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = d.groupBy("dur").agg(
         F.count("*").alias("m"), F.sum("obs").alias("d_ev")
     )
-    w_prev = Window.orderBy("dur").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    w_cum = Window.orderBy("dur").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    km = grp.crossJoin(F.broadcast(total)).select(
-        "dur",
-        "d_ev",
-        (
-            F.col("n_total")
-            - F.coalesce(F.sum("m").over(w_prev), F.lit(0))
-        ).alias("n_risk"),
+    km = (
+        with_global_order(grp, [F.asc("dur")], sums={"m": F.col("m")})
+        .crossJoin(F.broadcast(total))
+        .select(
+            "dur",
+            "d_ev",
+            # exclusive prefix: inclusive cum minus the row's own count
+            (
+                F.col("n_total") - (F.col("__cum_m") - F.col("m"))
+            ).alias("n_risk"),
+        )
     )
     lterm = F.log(
         F.greatest(
             1 - F.col("d_ev") * 1.0 / F.col("n_risk"), F.lit(1e-12)
         )
     )
-    surv = km.select(
+    surv = with_global_order(
+        km.withColumn("__l", lterm.cast("decimal(18,6)")),
+        [F.asc("dur")],
+        sums={"l": F.col("__l")},
+    ).select(
         "dur",
         "d_ev",
         "n_risk",
-        F.sum(lterm.cast("decimal(18,6)"))
-        .over(w_cum)
-        .cast("double")
-        .alias("lsum"),
+        F.col("__cum_l").cast("double").alias("lsum"),
     )
     return (
         surv.filter(F.col("d_ev") > 0)

@@ -403,6 +403,7 @@ def orders_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("delta").alias("delta"))
     )
+    # scale: calendar-bounded (per-day delta table)
     wday = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, 0
     )

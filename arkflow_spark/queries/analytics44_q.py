@@ -93,6 +93,7 @@ def text_vocab_coverage_curve(
         ).alias("w")
     )
     vocab = words.groupBy("w").agg(F.count("*").alias("c"))
+    # scale: vocab-bounded (distinct tokens)
     wrnk = Window.orderBy(F.desc("c"), F.asc("w"))
     wcum = wrnk.rowsBetween(Window.unboundedPreceding, 0)
     ranked = vocab.select(

@@ -335,9 +335,20 @@ def events_activation_time_to_n(
     `events_conversion_latency`'s single-step funnel.
 
     One user-keyed row_number window; first/{n}th rows self-join on the
-    user key (two tiny filtered sides); the global percentile window
-    runs over one row per activated user.
+    user key (two tiny filtered sides); the global percentile position
+    is an exact distributed rank (functions/distributed_rank — one row
+    per activated user, corpus-scaled, so no single-partition sort).
+    The (hours, user_id) tie-break is fractile-equivalent to the
+    oracle's arbitrary-tie ROWS count: a run of equal hours qualifies
+    iff its LAST position passes the integer fractile test, identical
+    under any tie permutation.
     """.format(n=_ACT_N)
+    from arkflow_spark.functions.distributed_rank import (
+        N,
+        RN,
+        with_global_order,
+    )
+
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
@@ -350,18 +361,15 @@ def events_activation_time_to_n(
         "user_id", F.col("ts").alias("tn")
     )
     spans = f.join(n5, "user_id").select(
+        "user_id",
         (
             (F.unix_micros("tn") - F.unix_micros("t0")) / 3600000000.0
-        ).alias("hours")
+        ).alias("hours"),
     )
-    wcum = Window.orderBy("hours").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wall = Window.partitionBy()
-    ranked = spans.select(
-        "hours",
-        F.count("*").over(wcum).alias("cum"),
-        F.count("*").over(wall).alias("n"),
+    ranked = with_global_order(
+        spans, [F.asc("hours"), F.asc("user_id")]
+    ).select(
+        "hours", F.col(RN).alias("cum"), F.col(N).alias("n")
     )
     return ranked.agg(
         F.max("n").alias("n_activated"),

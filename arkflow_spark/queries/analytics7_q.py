@@ -69,25 +69,31 @@ def orders_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     DBs).
 
     The naive formulation is a quadratic NOT EXISTS self-join; in 2D it
-    collapses to two window passes: the running max price over STRICTLY
-    later dates (value-based RANGE frame excludes date peers) and the max
-    among date peers. A point survives iff it beats the first and ties
-    none-worse on the second. One global sort — and because the skyline
-    test only needs the running max, at 100 TB the same test runs
-    per-partition with a broadcast of per-partition max blocks (monoid
-    merge), never a cross join.
+    collapses to running maxima over DATES: reduce orders to a per-date
+    max price (one map-side-combinable aggregate — the date table is
+    calendar-bounded, a few thousand rows no matter the corpus), take
+    the exclusive running max over later dates on that tiny table, and
+    broadcast-join the two maxima back onto orders. A point survives
+    iff it beats every strictly-later date's max and ties none-worse on
+    its own date. No corpus-scaled global sort anywhere.
     """
     o = load(spark, sf_dir, "orders")
-    w_later = (
-        Window.orderBy(
-            F.unix_micros(F.col("o_orderdate").cast("timestamp")).desc()
-        ).rangeBetween(Window.unboundedPreceding, -1)
+    daymax = o.groupBy("o_orderdate").agg(
+        F.max("o_totalprice").alias("max_same")
     )
-    w_same = Window.partitionBy("o_orderdate")
-    staged = o.select(
+    # running max over STRICTLY later dates: exclusive prefix on the
+    # per-date table  # scale: calendar-bounded (distinct order dates)
+    w_later = Window.orderBy(F.desc("o_orderdate")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    dm = daymax.select(
+        "o_orderdate",
+        "max_same",
+        F.max("max_same").over(w_later).alias("max_later"),
+    )
+    staged = o.join(F.broadcast(dm), "o_orderdate").select(
         "o_orderkey", "o_orderdate", "o_totalprice",
-        F.max("o_totalprice").over(w_later).alias("max_later"),
-        F.max("o_totalprice").over(w_same).alias("max_same"),
+        "max_later", "max_same",
     )
     return (
         staged.filter(

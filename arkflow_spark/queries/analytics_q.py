@@ -691,15 +691,21 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     monetary value, each quintiled (deterministic o_custkey tie-break),
     rolled up to segment sizes and revenue.
 
-    Scale notes: the customer aggregate is one shuffle; the three ntile
-    windows are global-order operations over the already-reduced
-    per-customer table (1 row per customer). At extreme customer counts
-    ntile's single-partition sort is the bottleneck — the percentile
-    route (quintile = width_bucket over percent_rank, computable per
-    partition range) removes it; here the reduced table is small enough
-    that the exact ntile is the honest construction. The max-date scalar
-    rides along as a broadcast single-row aggregate.
+    Scale notes: the customer aggregate is one shuffle; each quintile is
+    an EXACT ntile computed scale-safely (functions/distributed_rank:
+    range-partition on the sort key, per-partition rank, broadcast
+    per-partition offsets, closed-form bucket from (row_number, n)) —
+    bit-identical to the window ntile with no single-partition sort, so
+    the plan survives any customer count. The max-date scalar rides
+    along as a broadcast single-row aggregate.
     """
+    from arkflow_spark.functions.distributed_rank import (
+        N,
+        RN,
+        exact_ntile,
+        with_global_order,
+    )
+
     o = load(spark, sf_dir, "orders")
     maxd = o.agg(F.max("o_orderdate").alias("d"))
     base = (
@@ -721,22 +727,18 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    r = F.ntile(5).over(
-        Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-    )
-    f = F.ntile(5).over(
-        Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    )
-    m = F.ntile(5).over(
-        Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    )
-    scored = base.select(
-        "o_custkey",
-        "monetary",
-        r.alias("r"),
-        f.alias("f"),
-        m.alias("m"),
-    )
+    scored = base
+    for out, order in (
+        ("r", [F.asc("recency_days"), F.asc("o_custkey")]),
+        ("f", [F.desc("frequency"), F.asc("o_custkey")]),
+        ("m", [F.desc("monetary"), F.asc("o_custkey")]),
+    ):
+        scored = (
+            with_global_order(scored, order)
+            .withColumn(out, exact_ntile(F.col(RN), F.col(N), 5))
+            .drop(RN, N)
+        )
+    scored = scored.select("o_custkey", "monetary", "r", "f", "m")
     return (
         scored.groupBy("r", "f", "m")
         .agg(
@@ -901,6 +903,7 @@ def lineitem_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = pair.orderBy(
         F.desc("n_pair"), F.asc("part_a"), F.asc("part_b")
     ).limit(20)
+    # scale: top-k-bounded (window after limit 20)
     rw = Window.orderBy(F.desc("n_pair"), F.asc("part_a"), F.asc("part_b"))
     ia = item.select(
         F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")

@@ -439,9 +439,13 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nt))
         .select("a", "b", "n_ab", pmi)
     )
+    # top-30 via TakeOrderedAndProject (per-partition heaps, no global
+    # sort); the numbering window then touches only 30 rows
+    # scale: top-k-bounded (window after limit 30)
     rw = Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
     return (
-        scored.withColumn("rnk", F.row_number().over(rw))
-        .filter(F.col("rnk") <= 30)
+        scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(30)
+        .withColumn("rnk", F.row_number().over(rw))
         .orderBy("rnk")
     )

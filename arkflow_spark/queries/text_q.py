@@ -302,6 +302,7 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank AFTER the top-k: orderBy+limit compiles to TakeOrderedAndProject
     # (per-partition heaps, no global sort); the rank window then touches
     # only 100 rows instead of the whole vocabulary
+    # scale: top-k-bounded (window after limit 100)
     topk = counts.orderBy(F.desc("n"), F.asc("token")).limit(100)
     w = Window.orderBy(F.desc("n"), F.asc("token"))
     return topk.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")
