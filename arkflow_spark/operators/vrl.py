@@ -27,13 +27,19 @@ Semantics preserved from the reference processor:
 - an invalid ``timezone`` falls back to the default with a warning
   (``test_invalid_timezone_falls_back``).
 
-Documented deviations (MIGRATION.md): ``target, err = expr`` lowers
-the expression to its infallible (NULL-on-error) variant and binds the
-``err`` local to SQL NULL — error *messages* are not materialized;
-``abort`` drops the row (the engine's route analog); ``del`` inside a
-conditional is rejected (columns cannot be conditionally dropped);
-``parse_json`` needs a schema (second argument or the processor's
-``schemas:`` hint) because Spark columns are statically typed.
+``target, err = expr`` lowers the expression to its infallible
+(NULL-on-error) variant and materializes ``err`` as a per-row error
+MESSAGE ('function call error for "fn": ...', non-NULL exactly when the
+call failed) — mirroring the reference's surfaced VRL errors
+(vrl.rs:60-106) — captured BEFORE the target write so
+``.v, err = to_int!(.v)`` reports on the original value. ``del`` inside
+a conditional NULLs the field for matching rows (columns are statically
+typed and cannot be conditionally dropped).
+
+Documented deviations (MIGRATION.md): ``abort`` drops the row (the
+engine's route analog); ``parse_json`` needs a schema (second argument
+or the processor's ``schemas:`` hint) because Spark columns are
+statically typed.
 """
 
 from __future__ import annotations
@@ -479,6 +485,15 @@ class _Lowerer:
         if isinstance(node, Not):
             return f"(NOT {self.sql(node.expr)})"
         if isinstance(node, Bin):
+            # VRL null comparisons are membership tests, not SQL
+            # three-valued logic: `x == null` / `x != null` must lower
+            # to IS [NOT] NULL (bare `x != NULL` is never TRUE in SQL)
+            if node.op in ("==", "!="):
+                for a, b in ((node.left, node.right),
+                             (node.right, node.left)):
+                    if isinstance(b, Lit) and b.value == "NULL":
+                        neg = " NOT" if node.op == "!=" else ""
+                        return f"({self.sql(a)} IS{neg} NULL)"
             l, r = self.sql(node.left), self.sql(node.right)
             if node.op == "+" and (
                 self._is_string(node.left) or self._is_string(node.right)
@@ -625,8 +640,37 @@ class VrlProgram:
         self.lowerer = _Lowerer(schemas or {})
         stmts = _Parser(_tokenize(statement)).parse_program()
         self.ops: list = []
+        self.hidden: list[str] = []  # materialized err locals, dropped last
         for s in stmts:
             self._lower_stmt(s, cond=None)
+
+    def _bind_err(self, err_local: str, expr) -> None:
+        """``target, err = expr``: materialize the error as a hidden
+        column BEFORE the target write (so it reflects pre-assignment
+        inputs even when the target overwrites its own source, the
+        canonical ``.v, err = to_int!(.v)`` pattern), then bind the
+        local to that column. The message mirrors the reference's
+        surfaced VRL errors (vrl.rs:78-80 formats the resolve error;
+        in-program err captures carry VRL's 'function call error for
+        "fn"' text): non-NULL exactly when the fallible call failed
+        (its NULL-on-error variant returned NULL)."""
+        lw = self.lowerer
+        col = f"__vrl_err_{len(self.hidden)}"
+        if isinstance(expr, Call) and expr.fallible:
+            probe = lw.sql(lw.infallible(expr))
+            msg = (
+                f'function call error for "{expr.name}":'
+                " call failed (null result)"
+            ).replace("'", "''")
+            err_sql = (
+                f"(CASE WHEN ({probe}) IS NULL THEN '{msg}'"
+                " ELSE CAST(NULL AS STRING) END)"
+            )
+        else:
+            err_sql = "CAST(NULL AS STRING)"
+        self.ops.append(_SetOp(col, err_sql))
+        self.hidden.append(col)
+        lw.locals[err_local] = _quote(col)
 
     def _lower_stmt(self, s, cond: str | None) -> None:
         lw = self.lowerer
@@ -642,10 +686,12 @@ class VrlProgram:
             return
         if isinstance(s, Del):
             if cond is not None:
-                raise VrlCompileError(
-                    "vrl: del() inside if is unsupported (columns cannot"
-                    " be conditionally dropped; assign null instead)"
-                )
+                # Spark columns are statically typed and cannot be
+                # conditionally dropped: conditional del NULLs the field
+                # for matching rows (VRL readers observe the same "field
+                # absent" semantics through NULL)
+                self.ops.append(_SetOp(s.fld, "NULL", cond_sql=cond))
+                return
             self.ops.append(_DropOp(s.fld))
             return
         if isinstance(s, LocalAssign):
@@ -653,10 +699,10 @@ class VrlProgram:
                 raise VrlCompileError(
                     "vrl: variable assignment inside if is unsupported"
                 )
+            if s.err_local:
+                self._bind_err(s.err_local, s.expr)
             expr = lw.infallible(s.expr) if s.err_local else s.expr
             lw.locals[s.name] = f"({lw.sql(expr)})"
-            if s.err_local:
-                lw.locals[s.err_local] = "NULL"
             return
         if isinstance(s, Assign):
             if not s.target.parts:  # root reshape: . = parse_json!(.f)
@@ -677,12 +723,12 @@ class VrlProgram:
                 raise VrlCompileError(
                     "vrl: assignment targets top-level fields only"
                 )
+            if s.err_local:
+                self._bind_err(s.err_local, s.expr)
             expr = lw.infallible(s.expr) if s.err_local else s.expr
             self.ops.append(
                 _SetOp(s.target.parts[0], lw.sql(expr), cond_sql=cond)
             )
-            if s.err_local:
-                lw.locals[s.err_local] = "NULL"
             return
         if isinstance(s, If):
             c = lw.sql(s.cond)
@@ -723,6 +769,8 @@ class VrlProgram:
                 out = out.withColumn("__vrl_root__", F.expr(op.source_sql))
                 keep = meta_columns(out)
                 out = out.select("__vrl_root__.*", *keep)
+        if self.hidden:  # materialized err locals are not output fields
+            out = out.drop(*[c for c in self.hidden if c in out.columns])
         return out
 
 

@@ -151,6 +151,13 @@ HEADLINE = [
     "events_activation_time_to_n",
     # round-5: bucketed twin for the slowest r4 headline (VERDICT #5)
     "graph_community_label_prop_bucketed",
+    # round-5: distributed-rank conversions (VERDICT #1) — benched so
+    # the plan change's cost is tracked round-over-round
+    "customer_rfm_segments",
+    "lineitem_abc_pareto",
+    "documents_curriculum_order",
+    "orders_skyline_2d",
+    "text_pmi_cooccurrence",
 ]
 
 

@@ -52,9 +52,15 @@ def test_unconditional_abort_rejected():
         _proc("abort")
 
 
-def test_conditional_del_rejected():
-    with pytest.raises(VrlCompileError):
-        _proc("if .a > 1 { del(.b) }")
+def test_conditional_del_nulls_matching_rows(spark):
+    # round-5: conditional del is supported by NULLing the field for
+    # matching rows (a statically-typed column cannot be conditionally
+    # dropped); unconditional del still drops the column.
+    df = spark.createDataFrame([(1, "k"), (9, "s")], "a long, b string")
+    out = _proc("if .a > 1 { del(.b) }").process(spark, df)
+    assert "b" in out.columns
+    got = sorted(((r["a"], r["b"]) for r in out.collect()))
+    assert got == [(1, "k"), (9, None)]
 
 
 def test_parse_json_without_schema_rejected():
@@ -242,3 +248,47 @@ def test_vrl_example_yaml_end_to_end(spark):
     rows = eng.streams[0].output.batches[0]
     assert all(r["v2"] == r["value"] * 2 for r in rows)
     assert all(r["sensor"] == "temp_1" for r in rows)
+
+
+# ----------------- err message materialization (vrl.rs:60-106, round-5)
+
+
+def test_err_message_materialized_on_failure(spark):
+    # the reference surfaces VRL error text; `t, err =` must bind err to
+    # a per-row message, non-NULL exactly when the fallible call failed
+    df = spark.createDataFrame([("7",), ("oops",)], "s string")
+    prog = (
+        '.n, err = to_int!(.s)\n'
+        'if err != null { .status = "bad" } else { .status = "ok" }'
+    )
+    out = _proc(prog).process(spark, df)
+    by_s = {r["s"]: (r["n"], r["status"]) for r in out.collect()}
+    assert by_s["7"] == (7, "ok")
+    assert by_s["oops"][0] is None and by_s["oops"][1] == "bad"
+    # the materialized err column is internal, never an output field
+    assert not [c for c in out.columns if c.startswith("__vrl_err")]
+
+
+def test_err_message_text_names_function(spark):
+    df = spark.createDataFrame([("oops",)], "s string")
+    out = _proc('.n, err = to_int!(.s)\n.msg = err').process(spark, df)
+    msg = out.collect()[0]["msg"]
+    assert msg is not None and 'function call error for "to_int"' in msg
+
+
+def test_err_reports_on_pre_assignment_value(spark):
+    # the canonical self-overwrite: .v, err = to_int!(.v) — err must
+    # reflect the ORIGINAL string, not the already-converted target
+    df = spark.createDataFrame([("7",), ("oops",)], "v string")
+    prog = '.v, err = to_int!(.v)\n.failed = err != null'
+    out = _proc(prog).process(spark, df)
+    got = {r["failed"] for r in out.collect()}
+    assert got == {True, False}
+
+
+def test_err_null_for_infallible_expression(spark):
+    # reference example shape: arithmetic cannot fail -> err is NULL
+    df = spark.createDataFrame([(10,)], "value long")
+    out = _proc(".v2, err = .value * 2\n.e = err").process(spark, df)
+    r = out.collect()[0]
+    assert r["v2"] == 20 and r["e"] is None
