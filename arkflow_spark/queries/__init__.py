@@ -77,6 +77,8 @@ for _mod in (
     "analytics43_q",
     "analytics44_q",
     "analytics45_q",
+    "analytics46_q",
+    "analytics47_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -123,7 +125,16 @@ _DRIVER_PRIORITY = (
     "graph_pagerank_bucketed",
     "graph_community_label_prop_bucketed",
     "graph_community_label_prop",
-    # (b) the staged never-driver-sampled rotation (r4 plan): batches
+    # (b) round-5 NEW operators (batches 46-47 — freshest claims first)
+    "events_page_hinkley_drift",
+    "orders_interrupted_time_series",
+    "dedup_bloom_prefilter",
+    "events_tail_codependence",
+    "text_heaps_law_fit",
+    "multimodal_duplicate_frames",
+    "documents_cross_shard_overlap",
+    "ann_cosine_range_search",
+    # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names
     "customer_bgnbd_palive",

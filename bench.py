@@ -158,6 +158,15 @@ HEADLINE = [
     "documents_curriculum_order",
     "orders_skyline_2d",
     "text_pmi_cooccurrence",
+    # round-5 batches 46-47 (first benched in BENCH_r05)
+    "events_page_hinkley_drift",
+    "orders_interrupted_time_series",
+    "dedup_bloom_prefilter",
+    "events_tail_codependence",
+    "text_heaps_law_fit",
+    "multimodal_duplicate_frames",
+    "documents_cross_shard_overlap",
+    "ann_cosine_range_search",
 ]
 
 

@@ -1763,3 +1763,16 @@ def test_label_prop_bucketed_round_join_exchange_free(spark):
         assert "Exchange" not in join_subtree, join_subtree[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bloom_prefilter_broadcasts_buckets_and_joins_candidates_only(
+    spark,
+):
+    """The bloom-style prefilter must show up in the plan: the seen
+    set's distinct bucket table broadcasts (two BroadcastHashJoins —
+    anti for definitely-new, semi for candidates) and the exact
+    fingerprint anti-join runs only on the candidate branch."""
+    plan = plan_of(spark, "dedup_bloom_prefilter")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan
