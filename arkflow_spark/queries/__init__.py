@@ -79,6 +79,8 @@ for _mod in (
     "analytics45_q",
     "analytics46_q",
     "analytics47_q",
+    "analytics48_q",
+    "analytics49_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -134,6 +136,12 @@ _DRIVER_PRIORITY = (
     "multimodal_duplicate_frames",
     "documents_cross_shard_overlap",
     "ann_cosine_range_search",
+    "events_mann_kendall_trend",
+    "lineitem_return_shrinkage",
+    "text_stopword_stylometry",
+    "embedding_silhouette_simplified",
+    "embedding_matryoshka_prefix_recall",
+    "dedup_minhash_bbit_calibration",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

@@ -1077,3 +1077,101 @@ def xmr_limits_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def page_hinkley_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    delta: float = 0.0,
+    lam: float = 10.0,
+    direction: str = "increase",
+) -> DataFrame:
+    """Streaming Page-Hinkley changepoint detector: the online form of
+    the batch `events_page_hinkley_drift` query. Each arriving point
+    folds into the running mean, the cumulative deviation
+    m_t += (x_t - mean_t -/+ delta), and the running extreme of m; the
+    PH statistic is the gap between m and its extreme, alarming when it
+    exceeds ``lam``. ``direction='increase'`` tracks the running MIN
+    (detects upward mean shifts); ``'decrease'`` tracks the MAX.
+
+    State per key is O(1) forever: (n, sum_x, m, extreme, n_alarms).
+    Values quantize to 6 decimals before folding so a checkpoint restart
+    replays to bit-identical statistics (the `xmr_limits_stream`
+    discipline). Unlike the batch twin — which centers on the FULL
+    corpus mean — the online mean adapts as data arrives, which is what
+    a live detector must do.
+
+    Reference scope: arkflow streaming pipelines run such per-batch
+    detectors via the SQL/VRL processors
+    (crates/arkflow-plugin/src/processor/sql.rs); constant state and
+    restart-exactness are the Spark-native re-expression.
+    """
+    if direction not in ("increase", "decrease"):
+        raise ValueError("direction must be 'increase' or 'decrease'")
+    inc = direction == "increase"
+
+    out_schema = (
+        f"{key_col} STRING, {ts_col} TIMESTAMP, {value_col} DOUBLE, "
+        "m DOUBLE, ph_stat DOUBLE, alarm BOOLEAN, n BIGINT"
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            n, sum_x, m, extreme, n_alarms = state.get
+        else:
+            n, sum_x, m, extreme, n_alarms = 0, 0.0, 0.0, 0.0, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            yield pd.DataFrame(
+                columns=[
+                    key_col, ts_col, value_col,
+                    "m", "ph_stat", "alarm", "n",
+                ]
+            )
+            return
+        batch = batch.sort_values(ts_col, kind="stable")
+        ms, stats, alarms, ns = [], [], [], []
+        for v in batch[value_col]:
+            x = round(float(v), 6)  # pre-quantize: restart-exact sums
+            sum_x += x
+            n += 1
+            mean = sum_x / n
+            dev = (x - mean - delta) if inc else (x - mean + delta)
+            m = round(m + dev, 9)
+            extreme = min(extreme, m) if inc else max(extreme, m)
+            stat = (m - extreme) if inc else (extreme - m)
+            alarm = bool(stat > lam)
+            n_alarms += int(alarm)
+            ms.append(m)
+            stats.append(stat)
+            alarms.append(alarm)
+            ns.append(n)
+        state.update((n, sum_x, m, extreme, n_alarms))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                ts_col: batch[ts_col].values,
+                value_col: batch[value_col].values,
+                "m": pd.Series(ms, dtype="float64"),
+                "ph_stat": pd.Series(stats, dtype="float64"),
+                "alarm": alarms,
+                "n": ns,
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=(
+            "n BIGINT, sum_x DOUBLE, m DOUBLE, extreme DOUBLE, "
+            "n_alarms BIGINT"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

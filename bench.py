@@ -167,6 +167,12 @@ HEADLINE = [
     "multimodal_duplicate_frames",
     "documents_cross_shard_overlap",
     "ann_cosine_range_search",
+    "events_mann_kendall_trend",
+    "lineitem_return_shrinkage",
+    "text_stopword_stylometry",
+    "embedding_silhouette_simplified",
+    "embedding_matryoshka_prefix_recall",
+    "dedup_minhash_bbit_calibration",
 ]
 
 

@@ -1118,3 +1118,69 @@ def test_stream_xmr_limits_state_across_batches(spark, tmp_path):
     # the spike (7th point, learned limits from file 1) must be flagged
     assert by_n[7]["out_of_control"] is True
     assert by_n[8]["out_of_control"] is False
+
+
+def test_stream_page_hinkley_state_across_batches(spark, tmp_path):
+    """Streaming Page-Hinkley must carry (n, sum_x, m, extreme) across a
+    checkpoint restart: a level shift delivered in the second file must
+    alarm against statistics learned from the first file's points, and
+    the recurrence must replay bit-identically."""
+    from arkflow_spark.streaming.state import page_hinkley_stream
+
+    src = str(tmp_path / "ph_src")
+    rows1 = [
+        (i, f"2024-01-01 00:{i:02d}:00", "a", 10.0 + (i % 2))
+        for i in range(6)
+    ]
+    # sustained upward shift: cumulative deviations should exceed lam
+    rows2 = [
+        (6 + j, f"2024-01-01 00:{6 + j:02d}:00", "a", 40.0)
+        for j in range(4)
+    ]
+    mk = lambda rows: (
+        spark.createDataFrame(rows, "id BIGINT, ts STRING, k STRING, v DOUBLE")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
+    )
+    mk(rows1).write.mode("append").parquet(src)
+
+    collected = []
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema("id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE")
+            .parquet(src)
+        )
+        out = page_hinkley_stream(sdf, "k", "ts", "v", lam=20.0)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ph_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    mk(rows2).write.mode("append").parquet(src)
+    run_once()  # restart from checkpoint: state must resume, not reset
+
+    by_n = {r["n"]: r for r in collected if r["k"] == "a"}
+    assert len(by_n) == 10
+    # replicate the recurrence exactly (incl. the restart boundary)
+    vals = [10.0 + (i % 2) for i in range(6)] + [40.0] * 4
+    n, sum_x, m, extreme = 0, 0.0, 0.0, 0.0
+    for i, x in enumerate(vals):
+        x = round(x, 6)
+        sum_x += x
+        n += 1
+        m = round(m + (x - sum_x / n), 9)
+        extreme = min(extreme, m)
+        stat = m - extreme
+        row = by_n[i + 1]
+        assert row["m"] == m and row["ph_stat"] == stat, (i, row)
+        assert row["alarm"] == (stat > 20.0), (i, row)
+    # steady prefix never alarms; the sustained shift does
+    assert not by_n[6]["alarm"]
+    assert by_n[10]["alarm"]
