@@ -33,7 +33,9 @@ def attach_fake_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     payload = F.encode(F.col(text_col), "utf-8")
     h = F.conv(F.substring(F.md5(F.col(text_col)), 1, 6), 16, 10).cast("int")
     return df.select(
-        F.col(id_col).cast("bigint").alias("media_id"),
+        # id type is preserved (bigint on the real tables; the scale
+        # probe's synthetic corpus uses suffixed string ids)
+        F.col(id_col).alias("media_id"),
         payload.alias("payload"),
         F.lit("image/fake").alias("media_type"),
         F.struct(

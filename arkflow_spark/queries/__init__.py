@@ -81,6 +81,7 @@ for _mod in (
     "analytics47_q",
     "analytics48_q",
     "analytics49_q",
+    "analytics50_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -142,6 +143,9 @@ _DRIVER_PRIORITY = (
     "embedding_silhouette_simplified",
     "embedding_matryoshka_prefix_recall",
     "dedup_minhash_bbit_calibration",
+    "documents_license_screen",
+    "events_gpd_return_levels",
+    "events_hourly_type_entropy",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

@@ -333,10 +333,12 @@ def orders_interrupted_time_series(
     "dedup_bloom_prefilter",
     oracle="""
     WITH seen AS (
-      SELECT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0
+      SELECT md5(text) AS fp FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('0','1','2')
     ),
     new_docs AS (
-      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 0
+      SELECT doc_id, md5(text) AS fp FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
     )
     SELECT n.doc_id, n.fp
     FROM new_docs n
@@ -345,7 +347,8 @@ def orders_interrupted_time_series(
     """,
 )
 def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup of a "new" shard (doc_id % 5 = 0) against the
+    """Incremental dedup of a "new" shard (a deterministic ~19% hash
+    split on md5(doc_id) — portable to string or numeric ids) against the
     already-ingested corpus (the rest), with a bloom-style prefilter: a
     single-hash bloom represented declaratively as the DISTINCT hash
     buckets (xxhash64 mod 2^20) of the seen fingerprints, broadcast to
@@ -370,8 +373,11 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     fp = F.md5("text").alias("fp")
     m = 1 << 20
-    seen = d.filter(F.col("doc_id") % 5 != 0).select(fp)
-    new_docs = d.filter(F.col("doc_id") % 5 == 0).select("doc_id", fp)
+    is_new = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1
+    ).isin("0", "1", "2")
+    seen = d.filter(~is_new).select(fp)
+    new_docs = d.filter(is_new).select("doc_id", fp)
     bucket = F.pmod(F.xxhash64("fp"), F.lit(m)).alias("bk")
     seen_buckets = seen.select(bucket).distinct()
     tagged = new_docs.select("doc_id", "fp", bucket)

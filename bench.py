@@ -173,6 +173,9 @@ HEADLINE = [
     "embedding_silhouette_simplified",
     "embedding_matryoshka_prefix_recall",
     "dedup_minhash_bbit_calibration",
+    "documents_license_screen",
+    "events_gpd_return_levels",
+    "events_hourly_type_entropy",
 ]
 
 

@@ -63,6 +63,17 @@ PROBE_QUERIES = (
     "documents_survivorship_golden",
     "text_repeated_ngram_fractions",
     "text_js_divergence_sources",
+    # round-5 corpus operators
+    "text_heaps_law_fit",
+    "dedup_minhash_bbit_calibration",
+    "dedup_bloom_prefilter",
+    "documents_cross_shard_overlap",
+    "text_stopword_stylometry",
+    "multimodal_duplicate_frames",
+    "embedding_matryoshka_prefix_recall",
+    "embedding_silhouette_simplified",
+    "ann_cosine_range_search",
+    "documents_curriculum_order",
 )
 # relational shapes: facts scale 10x (offset keys keep joins consistent),
 # dims stay fixed — the realistic 100 TB growth pattern
@@ -123,6 +134,18 @@ RELATIONAL_QUERIES = (
     "events_hourweek_profile",
     "orders_littles_law_audit",
     "events_circular_hour_stats",
+    # round-5 distributed-rank conversions + new operators
+    "lineitem_abc_pareto",
+    "lineitem_abc_xyz_matrix",
+    "events_survival_km",
+    "events_activation_time_to_n",
+    "orders_skyline_2d",
+    "events_page_hinkley_drift",
+    "orders_interrupted_time_series",
+    "events_tail_codependence",
+    "events_mann_kendall_trend",
+    "lineitem_return_shrinkage",
+    "graph_community_label_prop_bucketed",
 )
 
 
