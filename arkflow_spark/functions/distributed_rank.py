@@ -15,10 +15,16 @@ scales with the corpus. The classic distributed construction replaces it:
 
 The only unpartitioned window left runs over that per-partition aggregate
 (#rows = number of range partitions, never corpus-scaled), which is the
-same O(cluster) shape as Spark's own non-grouped aggregation. Exchange
-reuse dedupes the range shuffle between the rank branch and the offsets
-branch, so the whole construction costs two exchanges of the (already
-reduced) input.
+same O(cluster) shape as Spark's own non-grouped aggregation. The
+range-partitioned input is materialized once (localCheckpoint) and BOTH
+branches — per-partition ranks and per-partition counts — read that one
+layout, so the whole construction costs one shuffle plus one
+materialization of the (already reduced) input. The materialization is
+load-bearing for correctness, not just speed: RangePartitioner samples
+its boundaries with a seed derived from the RDD id, so letting each
+branch re-execute the exchange can place rows in different partitions
+per branch, and local-rank + offset stops being a permutation (caught
+by tests/test_plans.py::test_distributed_rank_is_permutation).
 
 Exactness contract: callers must pass a TOTAL ordering (include a unique
 tie-break column) so ranks are well-defined, and must keep prefix-summed
@@ -70,8 +76,23 @@ def with_global_order(
     p = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
-    ranged = df.repartitionByRange(p, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # Materialize the range partitioning ONCE. The construction reads
+    # `ranged` from two branches (the per-partition window and the
+    # per-partition counts); without materialization each branch may
+    # re-execute the range exchange, and RangePartitioner's boundary
+    # SAMPLING is seeded by the RDD id — a fresh id per evaluation —
+    # so the two branches can land rows in DIFFERENT partitions and the
+    # local-rank + offset sum stops being a permutation (observed:
+    # duplicate/missing global ranks on a 10k-row input whenever
+    # exchange reuse didn't kick in). localCheckpoint pins one
+    # evaluated partitioning that both branches read. (On a cluster,
+    # prefer reliable checkpoint() if executor loss during the query
+    # is a concern; the partition layout cost is the same one shuffle
+    # either way.)
+    ranged = (
+        df.repartitionByRange(p, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     wloc = (
         Window.partitionBy("__pid")

@@ -82,6 +82,7 @@ for _mod in (
     "analytics48_q",
     "analytics49_q",
     "analytics50_q",
+    "analytics51_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -146,6 +147,13 @@ _DRIVER_PRIORITY = (
     "documents_license_screen",
     "events_gpd_return_levels",
     "events_hourly_type_entropy",
+    # (b) round-5 batch 51 (hypothesis tests; kruskal + wilcoxon also
+    # re-prove the distributed_rank permutation fix through the driver)
+    "events_kruskal_wallis",
+    "events_levene_bf",
+    "events_jarque_bera",
+    "events_wilcoxon_signed_rank",
+    "events_benjamini_hochberg",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names
