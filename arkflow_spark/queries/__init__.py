@@ -83,6 +83,8 @@ for _mod in (
     "analytics49_q",
     "analytics50_q",
     "analytics51_q",
+    "analytics52_q",
+    "analytics53_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -154,6 +156,15 @@ _DRIVER_PRIORITY = (
     "events_jarque_bera",
     "events_wilcoxon_signed_rank",
     "events_benjamini_hochberg",
+    # (b) round-5 batch 52 (density & structure)
+    "events_dbscan_grid_1d",
+    "events_kde_silverman_grid",
+    "orders_chain_ladder",
+    "events_quantile_normalization_map",
+    # (b) round-5 batch 53 (linkage, CMS, lead-lag)
+    "part_entity_resolution_fs",
+    "agg_count_min_sketch",
+    "events_granger_hourly",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names
