@@ -85,6 +85,7 @@ for _mod in (
     "analytics51_q",
     "analytics52_q",
     "analytics53_q",
+    "analytics54_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -165,6 +166,10 @@ _DRIVER_PRIORITY = (
     "part_entity_resolution_fs",
     "agg_count_min_sketch",
     "events_granger_hourly",
+    # (b) round-5 batch 54 (exact tau-b, Allan variance, turning points)
+    "lineitem_kendall_tau",
+    "events_allan_variance",
+    "events_turning_points",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names
