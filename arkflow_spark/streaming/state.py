@@ -1175,3 +1175,159 @@ def page_hinkley_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------- P^2 quantile
+
+
+def p2_fold_value(
+    st: tuple, x: float, p: float
+) -> tuple:
+    """One P-square (Jain & Chlamtac 1985) fold step: advance the
+    5-marker state with observation ``x`` for target quantile ``p``.
+    Pure function so the streaming operator and any batch replay share
+    the exact recurrence (restart-exactness = driving this fold over
+    the concatenated stream).
+
+    State tuple: (n, q1..q5 heights, p1..p5 marker positions). For
+    n < 5 the heights buffer the first observations; at n == 5 they
+    sort into the initial markers.
+    """
+    n, q, pos = st[0], list(st[1]), list(st[2])
+    x = round(float(x), 6)  # pre-quantize: restart-exact state
+    if n < 5:
+        q[n] = x
+        n += 1
+        if n == 5:
+            q.sort()
+            pos = [1, 2, 3, 4, 5]
+        return (n, tuple(q), tuple(pos))
+    # locate cell k (1-based marker indices; k in 1..4)
+    if x < q[0]:
+        q[0] = x
+        k = 1
+    elif x >= q[4]:
+        q[4] = x
+        k = 4
+    else:
+        k = 1
+        while not (q[k - 1] <= x < q[k]):
+            k += 1
+    n += 1
+    for i in range(k, 5):  # markers k+1..5 shift right
+        pos[i] += 1
+    d = (0.0, p / 2, p, (1 + p) / 2, 1.0)
+    for i in (1, 2, 3):  # interior markers
+        desired = 1 + (n - 1) * d[i]
+        di = desired - pos[i]
+        if (di >= 1 and pos[i + 1] - pos[i] > 1) or (
+            di <= -1 and pos[i - 1] - pos[i] < -1
+        ):
+            s = 1 if di >= 1 else -1
+            # parabolic (P^2) prediction, fall back to linear if it
+            # would break marker monotonicity
+            qp = q[i] + s / (pos[i + 1] - pos[i - 1]) * (
+                (pos[i] - pos[i - 1] + s)
+                * (q[i + 1] - q[i])
+                / (pos[i + 1] - pos[i])
+                + (pos[i + 1] - pos[i] - s)
+                * (q[i] - q[i - 1])
+                / (pos[i] - pos[i - 1])
+            )
+            if not (q[i - 1] < qp < q[i + 1]):
+                qp = q[i] + s * (q[i + s] - q[i]) / (pos[i + s] - pos[i])
+            q[i] = round(qp, 9)
+            pos[i] += s
+    return (n, tuple(q), tuple(pos))
+
+
+def p2_estimate(st: tuple) -> float:
+    """Current quantile estimate from P^2 state: the middle marker once
+    initialized, else the midpoint of the sorted warm-up buffer."""
+    n, q = st[0], st[1]
+    if n >= 5:
+        return q[2]
+    if n == 0:
+        return float("nan")
+    buf = sorted(q[:n])
+    return buf[(n - 1) // 2]
+
+
+def p2_quantile_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    p: float = 0.9,
+) -> DataFrame:
+    """Streaming P-square quantile estimator: O(1) state per key — five
+    marker heights + positions — tracking the running ``p``-quantile
+    without storing observations (Jain & Chlamtac 1985). The constant-
+    state alternative to `ddsketch_stream` when a single target
+    quantile (p99 latency, p50 gap) is all the dashboard needs: 11
+    numbers per key, mergeable-by-replay, restart-exact.
+
+    Each output row carries the estimate AFTER folding that row in.
+    Restart-exactness: values pre-quantize to 6 decimals and marker
+    updates round to 9, and the whole fold lives in the pure
+    `p2_fold_value` — a checkpoint restart replays to bit-identical
+    markers (the `xmr_limits_stream` discipline; the test drives the
+    same fold over the concatenated stream and compares exactly).
+
+    Reference scope: arkflow streaming pipelines compute rolling
+    quantiles via SQL-processor windows
+    (crates/arkflow-plugin/src/processor/sql.rs); the P^2 sketch is the
+    bounded-state Spark-native form.
+    """
+    if not (0.0 < p < 1.0):
+        raise ValueError("p must be in (0, 1)")
+
+    out_schema = (
+        f"{key_col} STRING, {ts_col} TIMESTAMP, {value_col} DOUBLE, "
+        "estimate DOUBLE, n BIGINT"
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            flat = state.get
+            st = (flat[0], tuple(flat[1:6]), tuple(flat[6:11]))
+        else:
+            st = (0, (0.0,) * 5, (0, 0, 0, 0, 0))
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            yield pd.DataFrame(
+                columns=[key_col, ts_col, value_col, "estimate", "n"]
+            )
+            return
+        batch = batch.sort_values(ts_col, kind="stable")
+        ests, ns = [], []
+        for v in batch[value_col]:
+            st = p2_fold_value(st, v, p)
+            ests.append(p2_estimate(st))
+            ns.append(st[0])
+        state.update((st[0], *st[1], *st[2]))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                ts_col: batch[ts_col].values,
+                value_col: batch[value_col].values,
+                "estimate": pd.Series(ests, dtype="float64"),
+                "n": ns,
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=(
+            "n BIGINT, q1 DOUBLE, q2 DOUBLE, q3 DOUBLE, q4 DOUBLE, "
+            "q5 DOUBLE, p1 BIGINT, p2 BIGINT, p3 BIGINT, p4 BIGINT, "
+            "p5 BIGINT"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1184,3 +1184,65 @@ def test_stream_page_hinkley_state_across_batches(spark, tmp_path):
     # steady prefix never alarms; the sustained shift does
     assert not by_n[6]["alarm"]
     assert by_n[10]["alarm"]
+
+
+def test_stream_p2_quantile_state_across_batches(spark, tmp_path):
+    """Streaming P-square markers must survive a checkpoint restart:
+    estimates after the second file must equal a single pure-fold pass
+    over the CONCATENATED stream (state continuity), and the final
+    estimate must sit near the true quantile of the data."""
+    from arkflow_spark.streaming.state import (
+        p2_estimate,
+        p2_fold_value,
+        p2_quantile_stream,
+    )
+
+    # deterministic pseudo-uniform values in [0, 100)
+    vals1 = [((i * 37) % 100) + 0.5 for i in range(40)]
+    vals2 = [((i * 53) % 100) + 0.25 for i in range(40)]
+    rows1 = [
+        (i, f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}", "a", v)
+        for i, v in enumerate(vals1)
+    ]
+    rows2 = [
+        (40 + j, f"2024-01-01 01:{j // 60:02d}:{j % 60:02d}", "a", v)
+        for j, v in enumerate(vals2)
+    ]
+    mk = lambda rows: (
+        spark.createDataFrame(rows, "id BIGINT, ts STRING, k STRING, v DOUBLE")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
+    )
+    mk(rows1).write.mode("append").parquet(str(tmp_path / "p2_src"))
+
+    collected = []
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema("id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE")
+            .parquet(str(tmp_path / "p2_src"))
+        )
+        out = p2_quantile_stream(sdf, "k", "ts", "v", p=0.9)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "p2_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    mk(rows2).write.mode("append").parquet(str(tmp_path / "p2_src"))
+    run_once()  # restart: markers must resume, not re-initialize
+
+    by_n = {r["n"]: r for r in collected if r["k"] == "a"}
+    assert len(by_n) == 80
+    # ground truth: one pure fold over the concatenated stream
+    st = (0, (0.0,) * 5, (0, 0, 0, 0, 0))
+    for i, x in enumerate(vals1 + vals2):
+        st = p2_fold_value(st, x, 0.9)
+        assert by_n[i + 1]["estimate"] == p2_estimate(st), (i, by_n[i + 1])
+    # the p90 estimate of ~uniform(0,100) data must land near 90
+    assert 75.0 <= by_n[80]["estimate"] <= 100.0
