@@ -86,6 +86,7 @@ for _mod in (
     "analytics52_q",
     "analytics53_q",
     "analytics54_q",
+    "analytics55_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -170,6 +171,11 @@ _DRIVER_PRIORITY = (
     "lineitem_kendall_tau",
     "events_allan_variance",
     "events_turning_points",
+    # (b) round-5 batch 55 (JL audit, isotonic, Friedman, spectral H)
+    "embedding_jl_distortion",
+    "events_isotonic_hourly",
+    "events_friedman_daily",
+    "events_spectral_entropy",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names
