@@ -87,6 +87,7 @@ for _mod in (
     "analytics53_q",
     "analytics54_q",
     "analytics55_q",
+    "analytics56_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -176,6 +177,11 @@ _DRIVER_PRIORITY = (
     "events_isotonic_hourly",
     "events_friedman_daily",
     "events_spectral_entropy",
+    # (b) round-5 batch 56 (Theil decomposition, exact 2-changepoint,
+    # EB shrinkage)
+    "lineitem_theil_decomposition",
+    "events_segmentation_2cp_daily",
+    "events_eb_shrinkage",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names
