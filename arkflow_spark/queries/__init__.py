@@ -88,6 +88,7 @@ for _mod in (
     "analytics54_q",
     "analytics55_q",
     "analytics56_q",
+    "analytics57_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -182,6 +183,12 @@ _DRIVER_PRIORITY = (
     "lineitem_theil_decomposition",
     "events_segmentation_2cp_daily",
     "events_eb_shrinkage",
+    # (b) round-5 batch 57 (TOPSIS, centroid classifier, Erlang-C,
+    # mojibake screen)
+    "supplier_topsis_scorecard",
+    "embedding_centroid_classifier",
+    "events_erlang_staffing",
+    "text_mojibake_garbage_screen",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

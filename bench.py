@@ -176,6 +176,29 @@ HEADLINE = [
     "documents_license_screen",
     "events_gpd_return_levels",
     "events_hourly_type_entropy",
+    # round-5 batches 51-56 (first benched in BENCH_r05)
+    "events_kruskal_wallis",
+    "events_wilcoxon_signed_rank",
+    "events_benjamini_hochberg",
+    "events_dbscan_grid_1d",
+    "events_kde_silverman_grid",
+    "orders_chain_ladder",
+    "part_entity_resolution_fs",
+    "agg_count_min_sketch",
+    "events_granger_hourly",
+    "lineitem_kendall_tau",
+    "events_allan_variance",
+    "embedding_jl_distortion",
+    "events_isotonic_hourly",
+    "events_friedman_daily",
+    "events_spectral_entropy",
+    "lineitem_theil_decomposition",
+    "events_segmentation_2cp_daily",
+    "events_eb_shrinkage",
+    "supplier_topsis_scorecard",
+    "embedding_centroid_classifier",
+    "events_erlang_staffing",
+    "text_mojibake_garbage_screen",
 ]
 
 
