@@ -89,6 +89,7 @@ for _mod in (
     "analytics55_q",
     "analytics56_q",
     "analytics57_q",
+    "analytics58_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -189,6 +190,10 @@ _DRIVER_PRIORITY = (
     "embedding_centroid_classifier",
     "events_erlang_staffing",
     "text_mojibake_garbage_screen",
+    # (b) round-5 batch 58 (shot segmentation, MI, SampEn)
+    "multimodal_shot_boundaries",
+    "events_mutual_information",
+    "events_sample_entropy",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

@@ -199,6 +199,9 @@ HEADLINE = [
     "embedding_centroid_classifier",
     "events_erlang_staffing",
     "text_mojibake_garbage_screen",
+    "multimodal_shot_boundaries",
+    "events_mutual_information",
+    "events_sample_entropy",
 ]
 
 
