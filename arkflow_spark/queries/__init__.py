@@ -90,6 +90,7 @@ for _mod in (
     "analytics56_q",
     "analytics57_q",
     "analytics58_q",
+    "analytics59_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -194,6 +195,10 @@ _DRIVER_PRIORITY = (
     "multimodal_shot_boundaries",
     "events_mutual_information",
     "events_sample_entropy",
+    # (b) round-5 batch 59 (NDCG eval, Bradley-Terry, conformal)
+    "ann_retrieval_ndcg",
+    "documents_bradley_terry_sources",
+    "events_conformal_interval",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

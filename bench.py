@@ -202,6 +202,9 @@ HEADLINE = [
     "multimodal_shot_boundaries",
     "events_mutual_information",
     "events_sample_entropy",
+    "ann_retrieval_ndcg",
+    "documents_bradley_terry_sources",
+    "events_conformal_interval",
 ]
 
 
