@@ -205,6 +205,9 @@ HEADLINE = [
     "ann_retrieval_ndcg",
     "documents_bradley_terry_sources",
     "events_conformal_interval",
+    "events_sliding_rate_limit_audit",
+    "part_demand_classification_syntetos",
+    "events_markov_hitting_time",
 ]
 
 
