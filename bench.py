@@ -208,6 +208,9 @@ HEADLINE = [
     "events_sliding_rate_limit_audit",
     "part_demand_classification_syntetos",
     "events_markov_hitting_time",
+    "ann_mmr_rerank",
+    "events_otsu_threshold",
+    "customer_decile_gains",
 ]
 
 
