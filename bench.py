@@ -211,6 +211,9 @@ HEADLINE = [
     "ann_mmr_rerank",
     "events_otsu_threshold",
     "customer_decile_gains",
+    "events_shapley_attribution",
+    "events_gumbel_block_maxima",
+    "text_structured_extraction_rates",
 ]
 
 
