@@ -214,6 +214,9 @@ HEADLINE = [
     "events_shapley_attribution",
     "events_gumbel_block_maxima",
     "text_structured_extraction_rates",
+    "events_scan_statistic",
+    "part_safety_stock_service_levels",
+    "events_twoway_anova_unweighted",
 ]
 
 
