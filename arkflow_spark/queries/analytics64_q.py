@@ -1,0 +1,356 @@
+"""Round-5 batch 64: embedding hubness, overdispersed count modeling,
+word-level burstiness.
+
+- `embedding_hubness_knn` — hubness audit of the embedding space: the
+  k-occurrence distribution (how often each vector appears in other
+  vectors' cosine top-k) and its skewness. High-dimensional spaces
+  grow "hub" points that pollute every neighbor list (Radovanovic
+  et al. 2010) — the pathology that silently degrades every `ann_*`
+  retrieval metric, measured directly.
+- `events_negbin_fit_userday` — negative-binomial fit to per-user
+  daily event counts by method of moments (r = m^2/(v - m),
+  p = m/v), with the dispersion index and the share of mass the
+  Poisson model would misassign. Decides whether rate alerting needs
+  NB quantiles instead of Poisson (v >> m here means: it does).
+- `text_word_burstiness` — Church-Gale word burstiness for the top
+  document-frequency words: variance-to-mean ratio of per-document
+  counts vs the Poisson baseline of 1. Bursty words (ratio >> 1)
+  are topical; ratio ~ 1 words are function words — the statistical
+  basis for stopword lists and tf-idf damping choices.
+
+Reference scope: arkflow's SQL processor surface
+(crates/arkflow-plugin/src/processor/sql.rs). All oracled vs DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arkflow_spark.queries.base import query
+from arkflow_spark.tables import load
+
+
+def _floor4(col):
+    """Deterministic 4-decimal quantization (see analytics2_q)."""
+    return F.floor(col * 10000 + 0.5) / 10000
+
+
+# ------------------------------------------------ hubness audit
+
+_HUB_K = 10
+
+
+@query(
+    "embedding_hubness_knn",
+    oracle=f"""
+    WITH sims AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid,
+             list_aggregate(list_transform(list_zip(a.embedding,
+                 b.embedding), x -> CAST(x[1] AS DOUBLE)
+                                    * CAST(x[2] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(a.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(b.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+               AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    topk AS (
+      SELECT cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid
+                   ORDER BY sim DESC, cid) AS rnk
+        FROM sims
+      ) WHERE rnk <= {_HUB_K}
+    ),
+    occ AS (
+      SELECT e.vec_id, COALESCE(t.k_occ, 0) AS k_occ
+      FROM embeddings e LEFT JOIN (
+        SELECT cid, CAST(COUNT(*) AS BIGINT) AS k_occ
+        FROM topk GROUP BY cid
+      ) t ON t.cid = e.vec_id
+    ),
+    mo AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(CAST(k_occ AS DOUBLE)) AS mu,
+             CAST(MAX(k_occ) AS BIGINT) AS max_occ,
+             CAST(SUM(CASE WHEN k_occ = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_antihubs
+      FROM occ
+    ),
+    ctr AS (
+      SELECT SUM(POW(o.k_occ - m.mu, 2)) AS m2,
+             SUM(POW(o.k_occ - m.mu, 3)) AS m3
+      FROM occ o CROSS JOIN mo m
+    )
+    SELECT m.n AS n_vectors, m.max_occ, m.n_antihubs,
+           floor((c.m3 / m.n) / POW(c.m2 / m.n, 1.5)
+                 * 10000 + 0.5) / 10000 AS k_occurrence_skew
+    FROM mo m CROSS JOIN ctr c
+    """,
+)
+def embedding_hubness_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness of the embedding space at k={k}: each vector's
+    k-occurrence (appearances in other vectors' cosine top-{k}), the
+    maximum (the biggest hub), the anti-hub count (never retrieved),
+    and the skewness of the k-occurrence distribution — the standard
+    hubness statistic; skew >> 0 predicts degraded ANN precision and
+    argues for hubness-aware reranking (e.g. mutual-kNN filtering).
+
+    Determinism: similarities use the sequential left-fold dot
+    product; top-k ties break on candidate id; moments are computed
+    two-pass around the exact mean of integer counts.
+
+    Scale shape: the exact all-pairs audit is quadratic by DEFINITION
+    (it measures the full kNN graph); at corpus scale the same
+    dataflow runs over the IVF-bucketed candidate pairs
+    (`ann_ivf_search`'s pruning) — the k-occurrence aggregation and
+    skewness are unchanged. The top-{k} rank filter executes as
+    WindowGroupLimit, never a global sort.
+    """.format(k=_HUB_K)
+    from arkflow_spark.queries.vector_q import _dot, _norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    sims = a.join(b, F.col("qid") != F.col("cid")).select(
+        "qid",
+        "cid",
+        (
+            _dot(F.col("qe"), F.col("ce"))
+            / (_norm(F.col("qe")) * _norm(F.col("ce")))
+        ).alias("sim"),
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    topk = (
+        sims.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _HUB_K)
+        .select("cid")
+    )
+    kocc = topk.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("k_occ")
+    )
+    occ = (
+        emb.select("vec_id")
+        .join(kocc, emb.vec_id == kocc.cid, "left")
+        .select(
+            "vec_id", F.coalesce("k_occ", F.lit(0)).alias("k_occ")
+        )
+    )
+    mo = occ.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg(F.col("k_occ").cast("double")).alias("mu"),
+        F.max("k_occ").cast("bigint").alias("max_occ"),
+        F.sum(F.when(F.col("k_occ") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_antihubs"),
+    )
+    ctr = occ.crossJoin(F.broadcast(mo)).agg(
+        F.sum(F.pow(F.col("k_occ") - F.col("mu"), F.lit(2))).alias("m2"),
+        F.sum(F.pow(F.col("k_occ") - F.col("mu"), F.lit(3))).alias("m3"),
+    )
+    return mo.crossJoin(F.broadcast(ctr)).select(
+        F.col("n").alias("n_vectors"),
+        "max_occ",
+        "n_antihubs",
+        _floor4(
+            (F.col("m3") / F.col("n"))
+            / F.pow(F.col("m2") / F.col("n"), F.lit(1.5))
+        ).alias("k_occurrence_skew"),
+    )
+
+
+# ------------------------------------------------ negative binomial
+
+
+@query(
+    "events_negbin_fit_userday",
+    oracle="""
+    WITH ud AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    mo AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(CAST(c AS DOUBLE)) AS m,
+             (SUM(CAST(c AS DOUBLE) * c)
+              - SUM(CAST(c AS DOUBLE)) * SUM(CAST(c AS DOUBLE))
+                / COUNT(*)) / (COUNT(*) - 1) AS v
+      FROM ud
+    )
+    SELECT n AS n_user_days,
+           floor(m * 10000 + 0.5) / 10000 AS mean_count,
+           floor(v / m * 10000 + 0.5) / 10000 AS dispersion_index,
+           floor(CASE WHEN v > m THEN m * m / (v - m) ELSE 0.0 END
+                 * 10000 + 0.5) / 10000 AS nb_r,
+           floor(CASE WHEN v > m THEN m / v ELSE 1.0 END
+                 * 10000 + 0.5) / 10000 AS nb_p
+    FROM mo
+    """,
+)
+def events_negbin_fit_userday(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Negative-binomial method-of-moments fit to per-(user, day)
+    event counts: dispersion index v/m (Poisson predicts 1; >> 1
+    here), and the NB parameters r = m^2/(v-m), p = m/v that a
+    rate-alerting system should use for its quantile thresholds
+    instead of Poisson ones. Degenerate (underdispersed) input
+    collapses to the Poisson edge (r=0 flag, p=1) rather than a
+    negative r.
+
+    Scale shape: one (user x day) rollup (map-side combinable), one
+    constant-size moment aggregate.
+    """
+    e = load(spark, sf_dir, "events")
+    ud = e.groupBy(
+        "user_id",
+        F.floor(F.unix_micros(F.col("ts")) / 86400000000.0)
+        .cast("bigint")
+        .alias("d"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    mo = ud.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg(F.col("c").cast("double")).alias("m"),
+        (
+            (
+                F.sum(F.col("c").cast("double") * F.col("c"))
+                - F.sum(F.col("c").cast("double"))
+                * F.sum(F.col("c").cast("double"))
+                / F.count("*")
+            )
+            / (F.count("*") - 1)
+        ).alias("v"),
+    )
+    return mo.select(
+        F.col("n").alias("n_user_days"),
+        _floor4(F.col("m")).alias("mean_count"),
+        _floor4(F.col("v") / F.col("m")).alias("dispersion_index"),
+        _floor4(
+            F.when(
+                F.col("v") > F.col("m"),
+                F.col("m") * F.col("m") / (F.col("v") - F.col("m")),
+            ).otherwise(0.0)
+        ).alias("nb_r"),
+        _floor4(
+            F.when(F.col("v") > F.col("m"), F.col("m") / F.col("v"))
+            .otherwise(1.0)
+        ).alias("nb_p"),
+    )
+
+
+# ------------------------------------------------ word burstiness
+
+_BURST_TOP = 30
+
+
+@query(
+    "text_word_burstiness",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+               AS w
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    ndocs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents
+    ),
+    top AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(c) AS BIGINT) AS tf
+      FROM wc GROUP BY w
+      ORDER BY df DESC, w LIMIT {_BURST_TOP}
+    ),
+    stats AS (
+      SELECT t.w, t.df, t.tf, n.nd,
+             t.tf * 1.0 / n.nd AS mu,
+             (SELECT SUM(CAST(wc.c AS DOUBLE) * wc.c) FROM wc
+              WHERE wc.w = t.w) AS sumsq
+      FROM top t CROSS JOIN ndocs n
+    )
+    SELECT w AS word, df AS doc_freq, tf AS total_freq,
+           floor(((sumsq - tf * 1.0 * tf / nd) / (nd - 1)) / mu
+                 * 10000 + 0.5) / 10000 AS burstiness_vmr,
+           floor(tf * 1.0 / df * 10000 + 0.5) / 10000
+             AS mean_count_when_present
+    FROM stats
+    ORDER BY burstiness_vmr DESC, word
+    """,
+)
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness for the top-{t} document-frequency
+    words: the variance-to-mean ratio of per-document counts (zeros
+    included — absent docs contribute zero exactly through the
+    sum-of-squares identity, no dense zero rows materialized).
+    Poisson occupancy predicts VMR = 1; topical words run far above
+    it, and tf/df (mean count when present) shows the same burst from
+    the other side. The statistical footing for stopword and tf-idf
+    damping decisions.
+
+    Scale shape: one tokenize-explode into a (doc, word) rollup
+    (map-side combinable), a vocab rollup with top-{t} via
+    orderBy+limit (TakeOrdered), and a broadcast semi-join back for
+    the selected words' sums of squares — the corpus-scaled side is
+    touched twice, scan-bound.
+    """.format(t=_BURST_TOP)
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("w"),
+    )
+    wc = tok.groupBy("doc_id", "w").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    nd = d.count()  # bounded scalar: document count
+    top = (
+        wc.groupBy("w")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sum("c").cast("bigint").alias("tf"),
+        )
+        .orderBy(F.desc("df"), F.asc("w"))
+        .limit(_BURST_TOP)
+    )
+    sq = (
+        wc.join(F.broadcast(top.select("w")), "w", "left_semi")
+        .groupBy("w")
+        .agg(
+            F.sum(F.col("c").cast("double") * F.col("c")).alias("sumsq")
+        )
+    )
+    mu = F.col("tf") * 1.0 / nd
+    return (
+        top.join(F.broadcast(sq), "w")
+        .select(
+            F.col("w").alias("word"),
+            F.col("df").alias("doc_freq"),
+            F.col("tf").alias("total_freq"),
+            _floor4(
+                (
+                    (
+                        F.col("sumsq")
+                        - F.col("tf") * 1.0 * F.col("tf") / nd
+                    )
+                    / (nd - 1)
+                )
+                / mu
+            ).alias("burstiness_vmr"),
+            _floor4(F.col("tf") * 1.0 / F.col("df")).alias(
+                "mean_count_when_present"
+            ),
+        )
+        .orderBy(F.desc("burstiness_vmr"), F.asc("word"))
+    )

@@ -217,6 +217,9 @@ HEADLINE = [
     "events_scan_statistic",
     "part_safety_stock_service_levels",
     "events_twoway_anova_unweighted",
+    "embedding_hubness_knn",
+    "events_negbin_fit_userday",
+    "text_word_burstiness",
 ]
 
 
