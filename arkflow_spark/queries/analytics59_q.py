@@ -338,12 +338,18 @@ def documents_bradley_terry_sources(
             F.count("*").cast("double").alias("n_ij"),
         )
     )
-    sym = duels.unionAll(
-        duels.select(
-            F.col("sj").alias("si"),
-            F.col("si").alias("sj"),
-            (F.col("n_ij") - F.col("w_ij")).alias("w_ij"),
-            "n_ij",
+    from arkflow_spark.queries.base import materialize_bounded
+
+    # pin the sources^2-bounded duel grid: the 3 MM rounds would
+    # otherwise re-execute the rank-pairing lineage each round
+    sym = materialize_bounded(
+        duels.unionAll(
+            duels.select(
+                F.col("sj").alias("si"),
+                F.col("si").alias("sj"),
+                (F.col("n_ij") - F.col("w_ij")).alias("w_ij"),
+                "n_ij",
+            )
         )
     )
     p = sym.select(F.col("si").alias("s")).distinct().withColumn(

@@ -300,7 +300,11 @@ def events_markov_hitting_time(
         "prev", F.col("event_type").alias("next")
     ).agg(F.count("*").cast("bigint").alias("n"))
     tot = t.groupBy("prev").agg(F.sum("n").cast("bigint").alias("tot"))
-    p = (
+    from arkflow_spark.queries.base import materialize_bounded
+
+    # pin the states^2-bounded matrix: the 16 Jacobi rounds would
+    # otherwise re-execute the corpus lag-window lineage each round
+    p = materialize_bounded(
         t.join(F.broadcast(tot), "prev")
         .filter(F.col("prev") != _HIT_TARGET)
         .select(

@@ -145,61 +145,48 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(_MMR_SHORTLIST)
     )
-    a = shortlist.alias("a")
-    b = shortlist.alias("b")
-    pairsim = (
-        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("ida"),
-            F.col("b.vec_id").alias("idb"),
-            (
-                _dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (
-                    _norm(F.col("a.embedding"))
-                    * _norm(F.col("b.embedding"))
-                )
-            ).alias("sim"),
-        )
-    )
-    slim = shortlist.select("vec_id", "rel")
-    picked = None  # DataFrame of (vec_id, rel, pick_order)
+    # Greedy selection runs DRIVER-SIDE over the bounded shortlist
+    # (the sanctioned bounded-collect pattern): Spark owns the corpus
+    # scan + top-k; the k x shortlist greedy loop is constant-size.
+    # Pair similarities use the SAME sequential left-fold double
+    # arithmetic as the engine `_dot` and DuckDB's list_aggregate, so
+    # parity is bit-exact.
+    rows = shortlist.collect()  # bounded: _MMR_SHORTLIST rows
+
+    def cos(ea, eb) -> float:
+        acc = 0.0
+        for x, y in zip(ea, eb):
+            acc += float(x) * float(y)
+        na = 0.0
+        for x in ea:
+            na += float(x) * float(x)
+        nb = 0.0
+        for y in eb:
+            nb += float(y) * float(y)
+        return acc / (na**0.5 * nb**0.5)
+
+    sim = {
+        (r1["vec_id"], r2["vec_id"]): cos(r1["embedding"], r2["embedding"])
+        for r1 in rows
+        for r2 in rows
+        if r1["vec_id"] != r2["vec_id"]
+    }
+    remaining = {r["vec_id"]: r["rel"] for r in rows}
+    picked: list[tuple[int, int, float]] = []
     for i in range(1, _MMR_PICKS + 1):
-        if picked is None:
-            cand = slim.withColumn("pen", F.lit(0.0))
-        else:
-            pen = (
-                pairsim.join(
-                    F.broadcast(picked.select(F.col("vec_id").alias("idb"))),
-                    "idb",
-                )
-                .groupBy(F.col("ida").alias("vec_id"))
-                .agg(F.max("sim").alias("pen"))
+        best = None
+        for vid in sorted(remaining):
+            pen = max(
+                (sim[(vid, p)] for _, p, _ in picked), default=0.0
             )
-            cand = (
-                slim.join(
-                    F.broadcast(
-                        picked.select(F.col("vec_id").alias("ex"))
-                    ),
-                    slim.vec_id == F.col("ex"),
-                    "left_anti",
-                )
-                .join(F.broadcast(pen), "vec_id", "left")
-                .withColumn("pen", F.coalesce("pen", F.lit(0.0)))
-            )
-        pick = (
-            cand.withColumn(
-                "mmr",
-                _MMR_LAMBDA * F.col("rel")
-                - (1 - _MMR_LAMBDA) * F.col("pen"),
-            )
-            .orderBy(F.desc("mmr"), F.asc("vec_id"))
-            .limit(1)
-            .select(
-                "vec_id", "rel", F.lit(i).cast("bigint").alias("pick_order")
-            )
-        )
-        picked = pick if picked is None else picked.unionAll(pick)
-    return picked.select(
+            mmr = _MMR_LAMBDA * remaining[vid] - (1 - _MMR_LAMBDA) * pen
+            if best is None or mmr > best[0]:
+                best = (mmr, vid)
+        picked.append((i, best[1], remaining.pop(best[1])))
+    out = spark.createDataFrame(
+        picked, "pick_order BIGINT, vec_id BIGINT, rel DOUBLE"
+    )
+    return out.select(
         "pick_order", "vec_id", _floor4(F.col("rel")).alias("relevance")
     ).orderBy("pick_order")
 

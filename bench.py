@@ -220,6 +220,8 @@ HEADLINE = [
     "embedding_hubness_knn",
     "events_negbin_fit_userday",
     "text_word_burstiness",
+    "lineitem_segmented_price_quantity",
+    "events_energy_distance_cohorts",
 ]
 
 
