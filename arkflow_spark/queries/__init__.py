@@ -97,6 +97,7 @@ for _mod in (
     "analytics63_q",
     "analytics64_q",
     "analytics65_q",
+    "analytics66_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -230,6 +231,9 @@ _DRIVER_PRIORITY = (
     # (b) round-5 batch 65 (segmented OLS, energy distance)
     "lineitem_segmented_price_quantity",
     "events_energy_distance_cohorts",
+    # (b) round-5 batch 66 (exact 1-D k-means, length mixture EM)
+    "events_kmeans1d_binned",
+    "documents_length_mixture_em",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

@@ -119,11 +119,14 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristic parallelization of the sequential algorithm).
 
     Determinism: all similarities use the sequential left-fold dot
-    product; argmax ties break on vec_id.
+    product (engine expression for the shortlist, the identical
+    Python fold for the pair grid); argmax ties break on vec_id.
 
-    Scale shape: one broadcast-query scan + top-{sl}
-    (TakeOrderedAndProject), one bounded {sl}x{sl} pair-similarity
-    table, then {k} constant-size selection rounds.
+    Scale shape: Spark owns the corpus side — one broadcast-query
+    scan + top-{sl} (TakeOrderedAndProject); the {k}-pick greedy loop
+    then runs driver-side over the BOUNDED {sl}-row shortlist (the
+    sanctioned bounded-collect pattern — a k x shortlist^2 loop, no
+    corpus access, no per-round lineage re-execution).
     """.format(sl=_MMR_SHORTLIST, q=_MMR_QUERY, k=_MMR_PICKS, lam=_MMR_LAMBDA)
     from arkflow_spark.queries.vector_q import _dot, _norm
 

@@ -222,6 +222,8 @@ HEADLINE = [
     "text_word_burstiness",
     "lineitem_segmented_price_quantity",
     "events_energy_distance_cohorts",
+    "events_kmeans1d_binned",
+    "documents_length_mixture_em",
 ]
 
 
