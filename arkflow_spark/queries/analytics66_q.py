@@ -431,10 +431,12 @@ def documents_length_mixture_em(
     the basis for length-band filtering thresholds
     (`documents_length_band_filter`).
 
-    Scale shape: the corpus contributes one ln-transform histogram
-    rollup; all {r} EM rounds run on the {nb}-row grid (window sums
-    over the bounded bin table). Variance floors (1e-4) guard
-    degenerate components identically in both engines.
+    Scale shape: the corpus contributes one bounds aggregate and one
+    ln-transform histogram rollup (both map-side combinable); the
+    {r} EM rounds then run driver-side over the collected {nb}-row
+    grid (the sanctioned bounded-collect pattern — constant-size
+    work, no per-round lineage re-execution). Variance floors (1e-4)
+    guard degenerate components identically in both engines.
     """.format(r=_EM_ROUNDS, nb=_EM_BINS)
     d = load(spark, sf_dir, "documents")
     x = d.select(
@@ -481,61 +483,51 @@ def documents_length_mixture_em(
         "var0",
         "n",
     )
-    state = cells.select(
-        "bin",
-        "m",
-        "c",
-        "n",
-        F.lit(0.5).alias("w1"),
-        F.col("q1").alias("mu1"),
-        F.col("q3").alias("mu2"),
-        (F.col("var0") / 2).alias("s1"),
-        (F.col("var0") / 2).alias("s2"),
-    )
-    # every EM round's global sums are single-row aggregates over the
-    # 128-row histogram grid, never over documents
+    # The EM rounds run DRIVER-SIDE over the collected 128-row grid
+    # (the sanctioned bounded-collect pattern): Spark owns the two
+    # corpus scans (bounds + histogram); the 5 x 128 update loop is
+    # constant-size, with the identical closed-form updates the
+    # oracle's unrolled CTE chain computes.
+    grid = cells.collect()  # bounded: _EM_BINS rows
+    n_docs = grid[0]["n"] if grid else 0
+    w1 = 0.5
+    mu1 = grid[0]["q1"] if grid else 0.0
+    mu2 = grid[0]["q3"] if grid else 0.0
+    s1 = (grid[0]["var0"] / 2) if grid else 1.0
+    s2 = s1
+    ms = [(r["m"], r["c"]) for r in grid]
     for _ in range(_EM_ROUNDS):
-        p1 = (
-            F.col("w1")
-            / F.sqrt("s1")
-            * F.exp(
-                -0.5 * (F.col("c") - F.col("mu1")) ** 2 / F.col("s1")
+        sw = sm1 = sc1 = sq1 = sm2 = sc2 = sq2 = 0.0
+        for m, c in ms:
+            d1 = c - mu1
+            d2 = c - mu2
+            p1 = w1 / s1**0.5 * __import__("math").exp(
+                -0.5 * d1 * d1 / s1
             )
-        )
-        p2 = (
-            (1 - F.col("w1"))
-            / F.sqrt("s2")
-            * F.exp(
-                -0.5 * (F.col("c") - F.col("mu2")) ** 2 / F.col("s2")
+            p2 = (1 - w1) / s2**0.5 * __import__("math").exp(
+                -0.5 * d2 * d2 / s2
             )
-        )
-        rstep = state.withColumn(
-            "r1", p1 / F.nullif(p1 + p2, F.lit(0))
-        )
-        mr1 = F.col("m") * F.col("r1")
-        mr2 = F.col("m") * (1 - F.col("r1"))
-        params = rstep.agg(
-            (F.sum(mr1) / F.sum("m")).alias("w1"),
-            (F.sum(mr1 * F.col("c")) / F.sum(mr1)).alias("mu1"),
-            (F.sum(mr2 * F.col("c")) / F.sum(mr2)).alias("mu2"),
-            F.greatest(
-                F.sum(mr1 * F.col("c") * F.col("c")) / F.sum(mr1)
-                - F.pow(
-                    F.sum(mr1 * F.col("c")) / F.sum(mr1), F.lit(2)
-                ),
-                F.lit(0.0001),
-            ).alias("s1"),
-            F.greatest(
-                F.sum(mr2 * F.col("c") * F.col("c")) / F.sum(mr2)
-                - F.pow(
-                    F.sum(mr2 * F.col("c")) / F.sum(mr2), F.lit(2)
-                ),
-                F.lit(0.0001),
-            ).alias("s2"),
-        )
-        state = rstep.select("bin", "m", "c", "n").crossJoin(
-            F.broadcast(params)
-        )
+            tot = p1 + p2
+            r1 = p1 / tot if tot else 0.0
+            mr1 = m * r1
+            mr2 = m * (1 - r1)
+            sw += m
+            sm1 += mr1
+            sc1 += mr1 * c
+            sq1 += mr1 * c * c
+            sm2 += mr2
+            sc2 += mr2 * c
+            sq2 += mr2 * c * c
+        w1 = sm1 / sw
+        mu1 = sc1 / sm1
+        mu2 = sc2 / sm2
+        s1 = max(sq1 / sm1 - (sc1 / sm1) ** 2, 0.0001)
+        s2 = max(sq2 / sm2 - (sc2 / sm2) ** 2, 0.0001)
+    state = spark.createDataFrame(
+        [(int(n_docs), w1, mu1, mu2, s1, s2)],
+        "n BIGINT, w1 DOUBLE, mu1 DOUBLE, mu2 DOUBLE, "
+        "s1 DOUBLE, s2 DOUBLE",
+    )
     return state.select(
         F.col("n").alias("n_docs"),
         _floor4(F.col("w1")).alias("weight_short"),
