@@ -1331,3 +1331,82 @@ def p2_quantile_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------- rate limiter
+
+
+def rate_limit_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    limit: int = 5,
+    window_s: int = 60,
+) -> DataFrame:
+    """Streaming sliding-log rate limiter: per key, keep the timestamps
+    of the last ``limit`` ACCEPTED events; a new event is dropped when
+    ``limit`` accepted events already sit inside the trailing
+    ``window_s`` seconds. Dropped events do NOT enter the log (true
+    enforcement semantics — contrast `events_sliding_rate_limit_audit`,
+    the batch dry-run that counts all events). State per key is O(limit)
+    forever; integer epoch seconds make replay restart-exact.
+
+    Reference scope: arkflow enforces rate limits in the HTTP source
+    middleware (rate_limiter.rs; re-expressed in
+    sources/http_ingest.py); this operator applies the same policy to
+    any keyed stream inside the dataflow.
+    """
+    out_schema = (
+        f"{key_col} STRING, {ts_col} TIMESTAMP, "
+        "accepted BOOLEAN, in_window BIGINT, n_dropped BIGINT"
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            (log_csv, n_dropped) = state.get
+            log = [int(x) for x in log_csv.split(",") if x]
+        else:
+            log, n_dropped = [], 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            yield pd.DataFrame(
+                columns=[
+                    key_col, ts_col, "accepted", "in_window", "n_dropped",
+                ]
+            )
+            return
+        batch = batch.sort_values(ts_col, kind="stable")
+        acc, inw, drops = [], [], []
+        for ts in batch[ts_col]:
+            sec = int(pd.Timestamp(ts).value // 1_000_000_000)
+            log = [t for t in log if t > sec - window_s]
+            ok = len(log) < limit
+            if ok:
+                log.append(sec)
+            else:
+                n_dropped += 1
+            acc.append(ok)
+            inw.append(len(log))
+            drops.append(n_dropped)
+        state.update((",".join(str(t) for t in log), n_dropped))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                ts_col: batch[ts_col].values,
+                "accepted": acc,
+                "in_window": inw,
+                "n_dropped": drops,
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="log_csv STRING, n_dropped BIGINT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

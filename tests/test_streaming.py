@@ -1246,3 +1246,66 @@ def test_stream_p2_quantile_state_across_batches(spark, tmp_path):
         assert by_n[i + 1]["estimate"] == p2_estimate(st), (i, by_n[i + 1])
     # the p90 estimate of ~uniform(0,100) data must land near 90
     assert 75.0 <= by_n[80]["estimate"] <= 100.0
+
+
+def test_stream_rate_limit_sliding_log_across_batches(spark, tmp_path):
+    """The sliding-log limiter must carry its accepted-timestamp log
+    across a checkpoint restart: events early in the second file must
+    be throttled against acceptances from the FIRST file, and the
+    cumulative drop counter must not reset."""
+    from arkflow_spark.streaming.state import rate_limit_stream
+
+    # 8 events in one minute (limit 3/60s): first 3 accepted, 5 dropped
+    rows1 = [
+        (i, f"2024-01-01 00:00:{i * 5:02d}", "a", 1.0) for i in range(8)
+    ]
+    # next file: 2 more inside the same window (dropped), then 3 after
+    # the window expires (accepted)
+    rows2 = [
+        (8, "2024-01-01 00:00:50", "a", 1.0),
+        (9, "2024-01-01 00:00:55", "a", 1.0),
+        (10, "2024-01-01 00:02:00", "a", 1.0),
+        (11, "2024-01-01 00:02:05", "a", 1.0),
+        (12, "2024-01-01 00:02:10", "a", 1.0),
+    ]
+    mk = lambda rows: (
+        spark.createDataFrame(rows, "id BIGINT, ts STRING, k STRING, v DOUBLE")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
+    )
+    mk(rows1).write.mode("append").parquet(str(tmp_path / "rl_src"))
+
+    collected = []
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema("id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE")
+            .parquet(str(tmp_path / "rl_src"))
+        )
+        out = rate_limit_stream(sdf, "k", "ts", limit=3, window_s=60)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "rl_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    mk(rows2).write.mode("append").parquet(str(tmp_path / "rl_src"))
+    run_once()
+
+    rows = sorted(
+        (r for r in collected if r["k"] == "a"), key=lambda r: r["ts"]
+    )
+    assert len(rows) == 13
+    accepted = [r["accepted"] for r in rows]
+    # file 1: 3 accepted then 5 dropped
+    assert accepted[:8] == [True] * 3 + [False] * 5
+    # file 2 within-window events throttled by FILE-1 acceptances
+    assert accepted[8:10] == [False, False]
+    # window expired: acceptances resume
+    assert accepted[10:] == [True, True, True]
+    assert rows[-1]["n_dropped"] == 7
