@@ -98,6 +98,7 @@ for _mod in (
     "analytics64_q",
     "analytics65_q",
     "analytics66_q",
+    "analytics67_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -234,6 +235,9 @@ _DRIVER_PRIORITY = (
     # (b) round-5 batch 66 (exact 1-D k-means, length mixture EM)
     "events_kmeans1d_binned",
     "documents_length_mixture_em",
+    # (b) round-5 batch 67 (runs test, Kneedle knee)
+    "events_runs_test",
+    "documents_quality_knee_kneedle",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

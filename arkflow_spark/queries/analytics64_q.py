@@ -38,6 +38,16 @@ def _floor4(col):
 
 # ------------------------------------------------ hubness audit
 
+
+def _dot_unit(a, b):
+    """Left-fold dot product of two pre-normalized double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 _HUB_K = 10
 
 
@@ -99,8 +109,11 @@ def embedding_hubness_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     argues for hubness-aware reranking (e.g. mutual-kNN filtering).
 
     Determinism: similarities use the sequential left-fold dot
-    product; top-k ties break on candidate id; moments are computed
-    two-pass around the exact mean of integer counts.
+    product over pre-normalized vectors (the oracle normalizes at
+    pair time — algebraically identical, fp-different only in the
+    last ulp, far inside the top-k ordering margins; ties break on
+    candidate id); moments are computed two-pass around the exact
+    mean of integer counts.
 
     Scale shape: the exact all-pairs audit is quadratic by DEFINITION
     (it measures the full kNN graph); at corpus scale the same
@@ -112,19 +125,27 @@ def embedding_hubness_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arkflow_spark.queries.vector_q import _dot, _norm
 
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    # normalize ONCE per vector (one pass): cosine then costs a single
+    # fold per pair instead of three — the norm folds were 2/3 of the
+    # all-pairs work and Spark evaluates higher-order functions
+    # interpreted (CodegenFallback), so this is a 3x on the hot loop
+    unit = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double") / _norm(F.col("embedding")),
+        ).alias("ue"),
     )
-    b = emb.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    a = unit.select(
+        F.col("vec_id").alias("qid"), F.col("ue").alias("qe")
+    )
+    b = unit.select(
+        F.col("vec_id").alias("cid"), F.col("ue").alias("ce")
     )
     sims = a.join(b, F.col("qid") != F.col("cid")).select(
         "qid",
         "cid",
-        (
-            _dot(F.col("qe"), F.col("ce"))
-            / (_norm(F.col("qe")) * _norm(F.col("ce")))
-        ).alias("sim"),
+        _dot_unit(F.col("qe"), F.col("ce")).alias("sim"),
     )
     wr = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
     topk = (

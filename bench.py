@@ -224,6 +224,8 @@ HEADLINE = [
     "events_energy_distance_cohorts",
     "events_kmeans1d_binned",
     "documents_length_mixture_em",
+    "events_runs_test",
+    "documents_quality_knee_kneedle",
 ]
 
 
