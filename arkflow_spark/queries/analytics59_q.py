@@ -298,8 +298,9 @@ def documents_bradley_terry_sources(
     ~1e-12, under the quantum).
 
     Scale shape: per-source top-{d} via rank windows partitioned by
-    source (WindowGroupLimit), then all joins on the SOURCE-bounded
-    grid; three MM rounds = three bounded self-joins, no driver loop.
+    source (WindowGroupLimit), one duel rollup on the SOURCE-bounded
+    grid; the three MM rounds then run driver-side over the collected
+    duel grid (the sanctioned bounded-collect pattern).
     """.format(d=_BT_PAIR_DEPTH)
     d = load(spark, sf_dir, "documents")
     wsrc = Window.partitionBy("source").orderBy("doc_id")
@@ -338,11 +339,11 @@ def documents_bradley_terry_sources(
             F.count("*").cast("double").alias("n_ij"),
         )
     )
-    from arkflow_spark.queries.base import materialize_bounded
-
-    # pin the sources^2-bounded duel grid: the 3 MM rounds would
-    # otherwise re-execute the rank-pairing lineage each round
-    sym = materialize_bounded(
+    # The MM rounds run DRIVER-SIDE over the collected duel grid
+    # (bounded: sources^2 rows) — a DataFrame loop over local
+    # relations makes Catalyst re-optimize per round; the Python loop
+    # computes the identical closed-form updates.
+    sym_rows = (
         duels.unionAll(
             duels.select(
                 F.col("sj").alias("si"),
@@ -350,52 +351,46 @@ def documents_bradley_terry_sources(
                 (F.col("n_ij") - F.col("w_ij")).alias("w_ij"),
                 "n_ij",
             )
-        )
+        ).collect()
     )
-    p = sym.select(F.col("si").alias("s")).distinct().withColumn(
-        "p", F.lit(1.0)
-    )
+    srcs = sorted({r["si"] for r in sym_rows})
+    pv = {s0: 1.0 for s0 in srcs}
     for _ in range(3):
-        pa = p.select(F.col("s").alias("si"), F.col("p").alias("p_i"))
-        pb = p.select(F.col("s").alias("sj"), F.col("p").alias("p_j"))
-        p = (
-            sym.join(F.broadcast(pa), "si")
-            .join(F.broadcast(pb), "sj")
-            .groupBy(F.col("si").alias("s"))
-            .agg(
-                (
-                    F.sum("w_ij")
-                    / F.sum(
-                        F.col("n_ij") / (F.col("p_i") + F.col("p_j"))
-                    )
-                ).alias("p")
-            )
-        )
-    # scale: source-count-bounded window — normalization runs over the
-    # bounded source list, never over documents
-    wall = Window.partitionBy()
-    normd = p.select(
-        "s",
+        npv = {}
+        for s0 in srcs:
+            wsum = 0.0
+            dsum = 0.0
+            for r in sym_rows:
+                if r["si"] != s0:
+                    continue
+                wsum += r["w_ij"]
+                dsum += r["n_ij"] / (pv[s0] + pv[r["sj"]])
+            npv[s0] = wsum / dsum
+        pv = npv
+    mean_p = sum(pv.values()) / len(pv)
+    wins_py = {}
+    for r in sym_rows:
+        w0, n0 = wins_py.get(r["si"], (0.0, 0.0))
+        wins_py[r["si"]] = (w0 + r["w_ij"], n0 + r["n_ij"])
+    out_rows = [
         (
-            F.col("p")
-            / F.sum("p").over(wall)
-            * F.count("*").over(wall)
-        ).alias("strength"),
-    )
-    wins = sym.groupBy(F.col("si").alias("s")).agg(
-        F.sum("w_ij").cast("bigint").alias("n_wins"),
-        F.sum("n_ij").cast("bigint").alias("n_duels"),
-    )
-    return (
-        normd.join(wins, "s")
-        .select(
-            F.col("s").alias("source"),
-            _floor4(F.col("strength")).alias("bt_strength"),
-            "n_wins",
-            "n_duels",
+            s0,
+            pv[s0] / mean_p,
+            int(wins_py[s0][0]),
+            int(wins_py[s0][1]),
         )
-        .orderBy(F.desc("bt_strength"), F.asc("source"))
+        for s0 in srcs
+    ]
+    normd = spark.createDataFrame(
+        out_rows,
+        "source STRING, strength DOUBLE, n_wins BIGINT, n_duels BIGINT",
     )
+    return normd.select(
+        "source",
+        _floor4(F.col("strength")).alias("bt_strength"),
+        "n_wins",
+        "n_duels",
+    ).orderBy(F.desc("bt_strength"), F.asc("source"))
 
 
 # ------------------------------------------------ split conformal

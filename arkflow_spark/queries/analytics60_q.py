@@ -288,8 +288,10 @@ def events_markov_hitting_time(
     engines, so parity is exact by construction.
 
     Scale shape: the corpus contributes ONE lag-window pass and one
-    (state x state) rollup; all {r} iteration rounds are joins on the
-    states^2-bounded matrix — a loop over a 5x5 grid, not over data.
+    (state x state) rollup; the {r} iteration rounds then run
+    driver-side over the collected states^2-bounded matrix (the
+    sanctioned bounded-collect pattern — constant-size work, no
+    per-round plan growth).
     """.format(tgt=_HIT_TARGET, r=_HIT_ROUNDS)
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -300,38 +302,36 @@ def events_markov_hitting_time(
         "prev", F.col("event_type").alias("next")
     ).agg(F.count("*").cast("bigint").alias("n"))
     tot = t.groupBy("prev").agg(F.sum("n").cast("bigint").alias("tot"))
-    from arkflow_spark.queries.base import materialize_bounded
-
-    # pin the states^2-bounded matrix: the 16 Jacobi rounds would
-    # otherwise re-execute the corpus lag-window lineage each round
-    p = materialize_bounded(
+    # The Jacobi rounds run DRIVER-SIDE over the collected
+    # states^2-bounded matrix (the sanctioned bounded-collect
+    # pattern): a DataFrame loop over local relations makes Catalyst
+    # re-optimize a lineage that doubles per round (~8s measured for
+    # 16 rounds on a 25-row matrix); the Python loop is microseconds
+    # with the identical closed-form updates.
+    pr = (
         t.join(F.broadcast(tot), "prev")
         .filter(F.col("prev") != _HIT_TARGET)
         .select(
             "prev", "next", (F.col("n") * 1.0 / F.col("tot")).alias("p")
         )
+        .collect()  # bounded: states^2 rows
     )
-    h = p.select(F.col("prev").alias("s")).distinct().withColumn(
-        "h", F.lit(0.0)
-    )
+    states = sorted({r["prev"] for r in pr})
+    h = {s0: 0.0 for s0 in states}
     for _ in range(_HIT_ROUNDS):
-        hh = h.select(F.col("s").alias("next"), F.col("h").alias("h_next"))
-        h = (
-            p.join(F.broadcast(hh), "next", "left")
-            .groupBy(F.col("prev").alias("s"))
-            .agg(
-                (
-                    1.0
-                    + F.sum(
-                        F.when(
-                            F.col("next") == _HIT_TARGET, 0.0
-                        ).otherwise(
-                            F.col("p") * F.coalesce("h_next", F.lit(0.0))
-                        )
-                    )
-                ).alias("h")
-            )
-        )
+        nh = {}
+        for s0 in states:
+            acc = 0.0
+            for r in pr:
+                if r["prev"] != s0 or r["next"] == _HIT_TARGET:
+                    continue
+                acc += r["p"] * h.get(r["next"], 0.0)
+            nh[s0] = 1.0 + acc
+        h = nh
+    out = spark.createDataFrame(
+        [(s0, h[s0]) for s0 in states], "s STRING, h DOUBLE"
+    )
+    h = out
     return h.select(
         F.col("s").alias("from_state"),
         _floor4(F.col("h")).alias(f"expected_steps_to_{_HIT_TARGET}"),

@@ -50,6 +50,11 @@ def get_spark(
             os.environ.get("ARKFLOW_WAREHOUSE", "/tmp/arkflow-warehouse"),
         )
         .config("spark.driver.memory", os.environ.get("ARKFLOW_DRIVER_MEM", "8g"))
+        # the 100-entry default generated-class cache thrashes once a
+        # session runs hundreds of distinct plans (the bench measured
+        # later queries paying multi-second recompiles on EVERY run);
+        # benchmark/driver sessions here are exactly that shape
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
