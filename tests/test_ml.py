@@ -131,3 +131,18 @@ def test_ivf_index_partitioned_write_prunes_probe(spark, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan
     expected = {r.vec_id for r in assigned.filter(F.col("bucket") == 2).collect()}
     assert {r.vec_id for r in probe.collect()} == expected
+
+
+def test_hubness_numpy_topk_is_deterministic(spark):
+    """The vectorized kNN-graph pass (numpy matmul + lexsort top-k)
+    must produce identical output across evaluations — the lexsort
+    tie-break on candidate id is what pins it; argpartition-style
+    unstable selection would flake the driver's hash."""
+    from tests.conftest import SF_SMOKE
+
+    from arkflow_spark.queries import QUERIES
+
+    a = QUERIES["embedding_hubness_knn"](spark, SF_SMOKE).collect()
+    b = QUERIES["embedding_hubness_knn"](spark, SF_SMOKE).collect()
+    assert a == b
+    assert a[0]["n_vectors"] > 0
