@@ -121,13 +121,23 @@ def _pois_case(u_expr: str) -> str:
 
 
 def _bootstrap_oracle() -> str:
-    u = "(('0x' || substr(md5(CAST(event_id * {B} + b AS VARCHAR)), 1, 8))::BIGINT % 1000000) / 1000000.0".format(
-        B=_B
-    )
+    # one md5 yields FOUR independent 15-bit uniform draws: group
+    # g = b // 4 keys the hash, ONE radix conversion takes 15 hex chars
+    # (60 bits), and chunk j = b % 4 selects 15 bits by integer
+    # div/mod — 4x less hashing AND 4x fewer radix conversions than one
+    # md5+conv per replicate (the conversion, not the hash, is the hot
+    # path).
+    u = (
+        "(((('0x' || substr(md5(CAST(event_id * {G} + g.g AS VARCHAR)), "
+        "1, 15))::BIGINT >> (15 * j.j)) & 32767) "
+        "/ 32768.0)"
+    ).format(G=_B // 4)
     return f"""
     WITH drawn AS (
-      SELECT event_type, value, b, {_pois_case(u)} AS w
-      FROM events CROSS JOIN (SELECT unnest(range({_B})) AS b)
+      SELECT event_type, value, g.g * 4 + j.j AS b, {_pois_case(u)} AS w
+      FROM events
+      CROSS JOIN (SELECT unnest(range({_B // 4})) AS g) g
+      CROSS JOIN (SELECT unnest(range(4)) AS j) j
     ),
     resamples AS (
       SELECT event_type, b,
@@ -171,28 +181,53 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw data per replicate. At 100 TB, B=40 costs 40x map work but
     zero extra shuffles; the ranked-CI stage sees B rows per stream.
     """
-    e = load(spark, sf_dir, "events")
-    drawn = e.select(
-        "event_id",
-        "event_type",
-        "value",
-        F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b"),
-    ).withColumn(
-        "u",
-        (
+    from arkflow_spark.functions.fanout import parallelize_fanout
+
+    e = parallelize_fanout(load(spark, sf_dir, "events"))
+    # two-level fan-out so each md5 AND its radix conversion happen ONCE
+    # per four replicates: conv(15 hex chars) = 60 bits, then j picks 15
+    # bits by integer div/mod. The conversion (not the hash) is the hot
+    # path at B x |events| scale — this quarters both.
+    drawn = (
+        e.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.explode(F.sequence(F.lit(0), F.lit(_B // 4 - 1))).alias("g"),
+        )
+        .withColumn(
+            "v60",
             F.conv(
                 F.substring(
-                    F.md5((F.col("event_id") * _B + F.col("b")).cast("string")),
+                    F.md5(
+                        (
+                            F.col("event_id") * (_B // 4) + F.col("g")
+                        ).cast("string")
+                    ),
                     1,
-                    8,
+                    15,
                 ),
                 16,
                 10,
-            ).cast("bigint")
-            % 1000000
+            ).cast("bigint"),
         )
-        / 1000000.0,
-    ).withColumn("w", F.expr(_pois_case("u")))
+        .select(
+            "event_type",
+            "value",
+            "v60",
+            "g",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+        )
+        .select(
+            "event_type",
+            "value",
+            (F.col("g") * 4 + F.col("j")).alias("b"),
+            F.expr(
+                "((v60 >> (15 * j)) & 32767) / CAST(32768 AS DOUBLE)"
+            ).alias("u"),
+        )
+        .withColumn("w", F.expr(_pois_case("u")))
+    )
     resamples = drawn.groupBy("event_type", "b").agg(
         (
             F.sum(

@@ -95,9 +95,12 @@ def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query state is bounded at k rows by the rank filter, then a
     k-row-per-query aggregation. Swap the brute-force score for the IVF
     bucket probe (`ann_ivf_search`) at corpus scale — the vote logic is
-    unchanged.
+    unchanged. The scoring stage's parallelism is split-bounded, so the
+    fan-out guard repartitions single-row-group test files first.
     """.format(k=_KNN_K)
-    e = load(spark, sf_dir, "embeddings")
+    from arkflow_spark.functions.fanout import parallelize_fanout
+
+    e = parallelize_fanout(load(spark, sf_dir, "embeddings"))
     withn = e.select(
         "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
