@@ -179,9 +179,8 @@ _CAL_BINS = 10
     oracle=f"""
     WITH span AS (
       SELECT MIN(epoch_us(ts)) AS t0,
-             CAST(MIN(epoch_us(ts))
-                  + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 2
-                  AS BIGINT) AS cut
+             MIN(epoch_us(ts))
+             + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2 AS cut
       FROM events
     ),
     train AS (
