@@ -1410,3 +1410,296 @@ def rate_limit_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------- CUSUM
+
+
+def cusum_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    target: float,
+    slack: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """Streaming two-sided CUSUM: the online twin of the batch
+    `events_cusum_alarm` query. Each point folds into the classic
+    recurrences s_hi = max(0, s_hi + (x - target - slack)) and
+    s_lo = max(0, s_lo + (target - x - slack)); either side exceeding
+    ``h`` alarms. CUSUM accumulates small persistent shifts that a
+    per-point control chart (`xmr_limits_stream`) never flags.
+
+    State per key is O(1) forever: (s_hi, s_lo, n, n_alarms). Values
+    quantize to 6 decimals and the sums re-round to 9 decimals per fold,
+    so a checkpoint restart replays bit-identically (the
+    `xmr_limits_stream` discipline).
+
+    Reference scope: arkflow streaming pipelines run such per-batch
+    detectors via the SQL/VRL processors
+    (crates/arkflow-plugin/src/processor/sql.rs); constant state and
+    restart-exactness are the Spark-native re-expression.
+    """
+    out_schema = (
+        f"{key_col} STRING, {ts_col} TIMESTAMP, {value_col} DOUBLE, "
+        "s_hi DOUBLE, s_lo DOUBLE, alarm BOOLEAN, n BIGINT"
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            s_hi, s_lo, n, n_alarms = state.get
+        else:
+            s_hi, s_lo, n, n_alarms = 0.0, 0.0, 0, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            yield pd.DataFrame(
+                columns=[
+                    key_col, ts_col, value_col,
+                    "s_hi", "s_lo", "alarm", "n",
+                ]
+            )
+            return
+        batch = batch.sort_values(ts_col, kind="stable")
+        his, los, alarms, ns = [], [], [], []
+        for v in batch[value_col]:
+            x = round(float(v), 6)  # pre-quantize: restart-exact sums
+            s_hi = round(max(0.0, s_hi + (x - target - slack)), 9)
+            s_lo = round(max(0.0, s_lo + (target - x - slack)), 9)
+            n += 1
+            alarm = bool(s_hi > h or s_lo > h)
+            n_alarms += int(alarm)
+            his.append(s_hi)
+            los.append(s_lo)
+            alarms.append(alarm)
+            ns.append(n)
+        state.update((s_hi, s_lo, n, n_alarms))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                ts_col: batch[ts_col].values,
+                value_col: batch[value_col].values,
+                "s_hi": pd.Series(his, dtype="float64"),
+                "s_lo": pd.Series(los, dtype="float64"),
+                "alarm": alarms,
+                "n": ns,
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=(
+            "s_hi DOUBLE, s_lo DOUBLE, n BIGINT, n_alarms BIGINT"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------- Bloom dedup
+
+_BLOOM_M_BITS = 8192
+_BLOOM_K = 4
+
+
+def _bloom_positions(fp: str) -> list[int]:
+    """k bit positions from one md5: four 16-bit hex chunks mod m.
+    Deterministic and engine-portable (same md5 the batch dedup
+    fingerprints use)."""
+    import hashlib
+
+    h = hashlib.md5(fp.encode("utf-8")).hexdigest()
+    return [
+        int(h[4 * i : 4 * i + 4], 16) % _BLOOM_M_BITS
+        for i in range(_BLOOM_K)
+    ]
+
+
+def bloom_dedup_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    fp_col: str,
+) -> DataFrame:
+    """Streaming approximate dedup with BOUNDED state: a per-key Bloom
+    filter (m={m} bits, k={k} hashes from one md5) tests-and-inserts
+    each arriving fingerprint. `dedup_incremental`'s ledger is exact
+    but grows with distinct keys; the Bloom twin caps state at m/8
+    bytes per key forever, trading a quantifiable false-positive rate
+    (~(bits_set/m)^k at query time, reported per row) — the standard
+    at-scale first-pass in front of an exact reconciliation.
+
+    State per key: (filter bytes, bits_set, n_seen, n_dup_flagged) —
+    O(m) forever, restart-exact (bit operations are integer-exact).
+    """.format(m=_BLOOM_M_BITS, k=_BLOOM_K)
+    out_schema = (
+        f"{key_col} STRING, {ts_col} TIMESTAMP, {fp_col} STRING, "
+        "dup_probable BOOLEAN, bits_set BIGINT, fp_rate DOUBLE, n BIGINT"
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            buf, bits_set, n_seen, n_dup = state.get
+            arr = bytearray(buf)
+        else:
+            arr = bytearray(_BLOOM_M_BITS // 8)
+            bits_set, n_seen, n_dup = 0, 0, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            yield pd.DataFrame(
+                columns=[
+                    key_col, ts_col, fp_col,
+                    "dup_probable", "bits_set", "fp_rate", "n",
+                ]
+            )
+            return
+        batch = batch.sort_values(ts_col, kind="stable")
+        dups, setss, rates, ns = [], [], [], []
+        for fp in batch[fp_col]:
+            pos = _bloom_positions(str(fp))
+            hit = all(arr[p >> 3] & (1 << (p & 7)) for p in pos)
+            if not hit:
+                for p in pos:
+                    if not arr[p >> 3] & (1 << (p & 7)):
+                        arr[p >> 3] |= 1 << (p & 7)
+                        bits_set += 1
+            n_seen += 1
+            n_dup += int(hit)
+            dups.append(bool(hit))
+            setss.append(bits_set)
+            rates.append(
+                round((bits_set / _BLOOM_M_BITS) ** _BLOOM_K, 9)
+            )
+            ns.append(n_seen)
+        state.update((bytes(arr), bits_set, n_seen, n_dup))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                ts_col: batch[ts_col].values,
+                fp_col: batch[fp_col].values,
+                "dup_probable": dups,
+                "bits_set": setss,
+                "fp_rate": pd.Series(rates, dtype="float64"),
+                "n": ns,
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=(
+            "filter BINARY, bits_set BIGINT, n_seen BIGINT, "
+            "n_dup BIGINT"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------- HyperLogLog
+
+_HLL_P = 10  # 2^10 = 1024 registers
+
+
+def hll_fold_item(regs: bytearray, item: str) -> None:
+    """Fold one item into the register array (mutates in place):
+    md5-derived 60-bit hash, top p bits pick the register, the rank of
+    the first set bit in the remaining 50 bits updates it."""
+    import hashlib
+
+    h = int(hashlib.md5(str(item).encode("utf-8")).hexdigest()[:15], 16)
+    idx = h >> (60 - _HLL_P)
+    w = h & ((1 << (60 - _HLL_P)) - 1)
+    # rho = leading zeros within the 50-bit suffix + 1
+    rho = (60 - _HLL_P) - w.bit_length() + 1
+    if rho > regs[idx]:
+        regs[idx] = rho
+
+
+def hll_estimate(regs: bytes) -> float:
+    """Flajolet et al. 2007 estimator with the small-range
+    linear-counting correction (the regime these tests exercise)."""
+    m = 1 << _HLL_P
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -r for r in regs)
+    e = alpha * m * m / s
+    zeros = sum(1 for r in regs if r == 0)
+    if e <= 2.5 * m and zeros:
+        import math
+
+        e = m * math.log(m / zeros)
+    return e
+
+
+def hll_cardinality_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Streaming HyperLogLog distinct count per key: the online twin of
+    the batch `agg_approx_distinct` sketch family. Each arriving item
+    folds into 2^{p} one-byte registers; every row emits the running
+    estimate. Exact distinct counting needs state proportional to the
+    distinct set; HLL holds {m} bytes per key FOREVER with ~1.6%
+    standard error at this width — the only viable shape for per-key
+    cardinality over unbounded streams.
+
+    State per key: (registers BINARY, n_seen) — O(1), restart-exact
+    (register maxima are integer-exact under any replay order).
+    """.format(p=_HLL_P, m=1 << _HLL_P)
+    out_schema = (
+        f"{key_col} STRING, {ts_col} TIMESTAMP, "
+        "estimate DOUBLE, n_seen BIGINT"
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            buf, n_seen = state.get
+            regs = bytearray(buf)
+        else:
+            regs = bytearray(1 << _HLL_P)
+            n_seen = 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            yield pd.DataFrame(
+                columns=[key_col, ts_col, "estimate", "n_seen"]
+            )
+            return
+        batch = batch.sort_values(ts_col, kind="stable")
+        ests, ns = [], []
+        for item in batch[item_col]:
+            hll_fold_item(regs, item)
+            n_seen += 1
+            ests.append(round(hll_estimate(bytes(regs)), 4))
+            ns.append(n_seen)
+        state.update((bytes(regs), n_seen))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                ts_col: batch[ts_col].values,
+                "estimate": pd.Series(ests, dtype="float64"),
+                "n_seen": ns,
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="registers BINARY, n_seen BIGINT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1309,3 +1309,186 @@ def test_stream_rate_limit_sliding_log_across_batches(spark, tmp_path):
     # window expired: acceptances resume
     assert accepted[10:] == [True, True, True]
     assert rows[-1]["n_dropped"] == 7
+
+
+def test_stream_cusum_state_across_batches(spark, tmp_path):
+    """Streaming CUSUM must carry (s_hi, s_lo) across a checkpoint
+    restart: a small persistent upward shift split across two files
+    must accumulate to an alarm, and the recurrence must replay
+    bit-identically."""
+    from arkflow_spark.streaming.state import cusum_stream
+
+    # target 10, slack 0.5: +2 shift accumulates 1.5/point -> alarm at
+    # h=5 after 4 shifted points (2 in file 1, 2 in file 2)
+    rows1 = [
+        (i, f"2024-01-01 00:{i:02d}:00", "a", v)
+        for i, v in enumerate([10.0, 10.0, 10.0, 12.0, 12.0])
+    ]
+    rows2 = [
+        (5 + j, f"2024-01-01 00:{5 + j:02d}:00", "a", 12.0)
+        for j in range(3)
+    ]
+    src = str(tmp_path / "cusum_src")
+    mk = lambda rows: (
+        spark.createDataFrame(rows, "id BIGINT, ts STRING, k STRING, v DOUBLE")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
+    )
+    mk(rows1).write.mode("append").parquet(src)
+    collected = []
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema(
+                "id BIGINT, ts TIMESTAMP, k STRING, v DOUBLE"
+            ).parquet(src)
+        )
+        out = cusum_stream(sdf, "k", "ts", "v", target=10.0, slack=0.5, h=5.0)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "cusum_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    mk(rows2).write.mode("append").parquet(src)
+    run_once()  # restart: s_hi must resume, not reset
+
+    by_n = {r["n"]: r for r in collected if r["k"] == "a"}
+    assert len(by_n) == 8
+    vals = [10.0, 10.0, 10.0, 12.0, 12.0, 12.0, 12.0, 12.0]
+    s_hi = s_lo = 0.0
+    for i, x in enumerate(vals):
+        s_hi = round(max(0.0, s_hi + (x - 10.0 - 0.5)), 9)
+        s_lo = round(max(0.0, s_lo + (10.0 - x - 0.5)), 9)
+        row = by_n[i + 1]
+        assert row["s_hi"] == s_hi and row["s_lo"] == s_lo, (i, row)
+        assert row["alarm"] == (s_hi > 5.0 or s_lo > 5.0), (i, row)
+    assert not by_n[5]["alarm"]  # 1.5 * 2 = 3.0 at file-1 end
+    assert by_n[8]["alarm"]  # 1.5 * 4 = 6.0 > h across the restart
+
+
+def test_stream_bloom_dedup_state_across_batches(spark, tmp_path):
+    """The Bloom filter must persist across a restart: a fingerprint
+    first seen in file 1 must be flagged as a probable duplicate when
+    it reappears in file 2, while fresh fingerprints pass."""
+    from arkflow_spark.streaming.state import bloom_dedup_stream
+
+    rows1 = [
+        (i, f"2024-01-01 00:{i:02d}:00", "a", f"fp{i}") for i in range(5)
+    ]
+    rows2 = [
+        (5, "2024-01-01 00:05:00", "a", "fp2"),  # dup from file 1
+        (6, "2024-01-01 00:06:00", "a", "fp99"),  # fresh
+    ]
+    src = str(tmp_path / "bloom_src")
+    mk = lambda rows: (
+        spark.createDataFrame(
+            rows, "id BIGINT, ts STRING, k STRING, fp STRING"
+        )
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
+    )
+    mk(rows1).write.mode("append").parquet(src)
+    collected = []
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema(
+                "id BIGINT, ts TIMESTAMP, k STRING, fp STRING"
+            ).parquet(src)
+        )
+        out = bloom_dedup_stream(sdf, "k", "ts", "fp")
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "bloom_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    mk(rows2).write.mode("append").parquet(src)
+    run_once()
+
+    by_n = {r["n"]: r for r in collected if r["k"] == "a"}
+    assert len(by_n) == 7
+    assert not any(by_n[i]["dup_probable"] for i in range(1, 6))
+    assert by_n[6]["dup_probable"] is True  # fp2 crossed the restart
+    assert by_n[7]["dup_probable"] is False  # fp99 is fresh
+    # bits_set monotone, bounded by k * distinct
+    assert by_n[7]["bits_set"] <= 4 * 6
+    assert by_n[7]["fp_rate"] < 1e-8  # nearly-empty filter
+
+
+def test_stream_hll_cardinality_state_across_batches(spark, tmp_path):
+    """HLL registers must persist across a restart: repeats of items
+    from file 1 must not move the estimate, fresh items must; the
+    final estimate must match a pure fold over the concatenated stream
+    and sit near the true distinct count."""
+    from arkflow_spark.streaming.state import (
+        _HLL_P,
+        hll_cardinality_stream,
+        hll_estimate,
+        hll_fold_item,
+    )
+
+    items1 = [f"u{i}" for i in range(30)]
+    items2 = ["u0", "u1", "u2"] + [f"v{j}" for j in range(10)]
+    rows1 = [
+        (i, f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}", "a", it)
+        for i, it in enumerate(items1)
+    ]
+    rows2 = [
+        (30 + j, f"2024-01-01 01:{j:02d}:00", "a", it)
+        for j, it in enumerate(items2)
+    ]
+    src = str(tmp_path / "hll_src")
+    mk = lambda rows: (
+        spark.createDataFrame(
+            rows, "id BIGINT, ts STRING, k STRING, item STRING"
+        )
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
+    )
+    mk(rows1).write.mode("append").parquet(src)
+    collected = []
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema(
+                "id BIGINT, ts TIMESTAMP, k STRING, item STRING"
+            ).parquet(src)
+        )
+        out = hll_cardinality_stream(sdf, "k", "ts", "item")
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    mk(rows2).write.mode("append").parquet(src)
+    run_once()
+
+    by_n = {r["n_seen"]: r for r in collected if r["k"] == "a"}
+    assert len(by_n) == 43
+    # pure fold over the concatenated stream = streamed estimates
+    regs = bytearray(1 << _HLL_P)
+    for n, it in enumerate(items1 + items2, start=1):
+        hll_fold_item(regs, it)
+        assert by_n[n]["estimate"] == round(hll_estimate(bytes(regs)), 4)
+    # repeats across the restart must not move the estimate
+    assert by_n[33]["estimate"] == by_n[30]["estimate"]
+    # small-range regime: linear counting is near-exact here
+    assert abs(by_n[43]["estimate"] - 40) < 2
