@@ -226,6 +226,23 @@ HEADLINE = [
     "documents_length_mixture_em",
     "events_runs_test",
     "documents_quality_knee_kneedle",
+    # round-5 batches 68-71 (first benched in BENCH_r05)
+    "events_hurst_aggvar",
+    "events_brier_calibration",
+    "orders_market_basket_lift",
+    "documents_cohen_kappa",
+    "text_good_turing",
+    "documents_token_budget_pack",
+    "events_roc_auc",
+    "documents_importance_ess",
+    "text_burrows_delta",
+    "events_pacf_durbin",
+    "events_pinball_quantile_eval",
+    "events_split_rate_test",
+    # round-5 batch 72 (first benched in BENCH_r05)
+    "multimodal_ahash_near_dup",
+    "events_poisson_surprise",
+    "events_absence_anomaly",
 ]
 
 
