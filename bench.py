@@ -243,6 +243,10 @@ HEADLINE = [
     "multimodal_ahash_near_dup",
     "events_poisson_surprise",
     "events_absence_anomaly",
+    # round-5 batch 73 (first benched in BENCH_r05)
+    "events_paired_t_hod",
+    "embedding_triplet_violations",
+    "lineitem_revenue_bridge",
 ]
 
 
