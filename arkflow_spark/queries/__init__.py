@@ -270,6 +270,14 @@ _DRIVER_PRIORITY = (
     "events_paired_t_hod",
     "embedding_triplet_violations",
     "lineitem_revenue_bridge",
+    # (b) round-5 batch 74 (sample KS, Wasserstein drift, PR dim)
+    "events_sample_ks_representativeness",
+    "events_wasserstein_drift",
+    "embedding_effective_dim_pr",
+    # (b) round-5 batch 75 (KMV intersection, value migration, CR4/HHI)
+    "sketch_theta_intersection",
+    "customer_value_migration",
+    "lineitem_brand_concentration",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

@@ -247,6 +247,13 @@ HEADLINE = [
     "events_paired_t_hod",
     "embedding_triplet_violations",
     "lineitem_revenue_bridge",
+    # round-5 batches 74-75 (first benched in BENCH_r05)
+    "events_sample_ks_representativeness",
+    "events_wasserstein_drift",
+    "embedding_effective_dim_pr",
+    "sketch_theta_intersection",
+    "customer_value_migration",
+    "lineitem_brand_concentration",
 ]
 
 
