@@ -254,6 +254,10 @@ HEADLINE = [
     "sketch_theta_intersection",
     "customer_value_migration",
     "lineitem_brand_concentration",
+    # round-5 batch 76 (first benched in BENCH_r05)
+    "events_interarrival_burstiness",
+    "events_session_gap_sweep",
+    "events_groupby_key_advisor",
 ]
 
 
