@@ -258,6 +258,10 @@ HEADLINE = [
     "events_interarrival_burstiness",
     "events_session_gap_sweep",
     "events_groupby_key_advisor",
+    # round-5 batch 77 (first benched in BENCH_r05)
+    "events_rare_transition_surprise",
+    "customer_segment_nation_residuals",
+    "events_k_anonymity_audit",
 ]
 
 
