@@ -262,6 +262,10 @@ HEADLINE = [
     "events_rare_transition_surprise",
     "customer_segment_nation_residuals",
     "events_k_anonymity_audit",
+    # round-5 batch 78 (first benched in BENCH_r05)
+    "embedding_length_centroid_corr",
+    "embedding_source_cohesion",
+    "ann_retrieval_length_bias",
 ]
 
 
