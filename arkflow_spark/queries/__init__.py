@@ -295,6 +295,10 @@ _DRIVER_PRIORITY = (
     "embedding_length_centroid_corr",
     "embedding_source_cohesion",
     "ann_retrieval_length_bias",
+    # (b) round-5 batch 79 (FK integrity, payload entropy, dedup QA)
+    "dq_referential_integrity",
+    "multimodal_payload_entropy",
+    "dedup_transitivity_audit",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

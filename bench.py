@@ -266,6 +266,10 @@ HEADLINE = [
     "embedding_length_centroid_corr",
     "embedding_source_cohesion",
     "ann_retrieval_length_bias",
+    # round-5 batch 79 (first benched in BENCH_r05)
+    "dq_referential_integrity",
+    "multimodal_payload_entropy",
+    "dedup_transitivity_audit",
 ]
 
 
