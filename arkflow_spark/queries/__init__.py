@@ -299,6 +299,11 @@ _DRIVER_PRIORITY = (
     "dq_referential_integrity",
     "multimodal_payload_entropy",
     "dedup_transitivity_audit",
+    # (b) round-5 batch 80 (MASE backtest, cluster-source NMI,
+    # price dispersion)
+    "events_forecast_mase_seasonal_naive",
+    "embedding_cluster_source_nmi",
+    "lineitem_part_price_dispersion",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

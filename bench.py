@@ -270,6 +270,10 @@ HEADLINE = [
     "dq_referential_integrity",
     "multimodal_payload_entropy",
     "dedup_transitivity_audit",
+    # round-5 batch 80 (first benched in BENCH_r05)
+    "events_forecast_mase_seasonal_naive",
+    "embedding_cluster_source_nmi",
+    "lineitem_part_price_dispersion",
 ]
 
 
