@@ -274,6 +274,10 @@ HEADLINE = [
     "events_forecast_mase_seasonal_naive",
     "embedding_cluster_source_nmi",
     "lineitem_part_price_dispersion",
+    # round-5 batch 81 (first benched in BENCH_r05)
+    "events_icc_user_clustering",
+    "documents_neyman_allocation",
+    "events_median_polish_hourweek",
 ]
 
 
