@@ -313,6 +313,11 @@ _DRIVER_PRIORITY = (
     "events_icc_user_clustering",
     "documents_neyman_allocation",
     "events_median_polish_hourweek",
+    # (b) round-5 batch 82 (experience curve, u-chart, compound
+    # Poisson)
+    "lineitem_experience_curve",
+    "events_u_chart_error_rate",
+    "events_compound_poisson_check",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

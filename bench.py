@@ -278,6 +278,10 @@ HEADLINE = [
     "events_icc_user_clustering",
     "documents_neyman_allocation",
     "events_median_polish_hourweek",
+    # round-5 batch 82 (first benched in BENCH_r05)
+    "lineitem_experience_curve",
+    "events_u_chart_error_rate",
+    "events_compound_poisson_check",
 ]
 
 
