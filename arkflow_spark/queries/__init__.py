@@ -318,6 +318,11 @@ _DRIVER_PRIORITY = (
     "lineitem_experience_curve",
     "events_u_chart_error_rate",
     "events_compound_poisson_check",
+    # (b) round-5 batch 83 (assortativity, extremal index, novelty
+    # decay)
+    "graph_degree_assortativity",
+    "events_extremal_index_runs",
+    "documents_novelty_decay_fit",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

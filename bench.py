@@ -282,6 +282,10 @@ HEADLINE = [
     "lineitem_experience_curve",
     "events_u_chart_error_rate",
     "events_compound_poisson_check",
+    # round-5 batch 83 (first benched in BENCH_r05)
+    "graph_degree_assortativity",
+    "events_extremal_index_runs",
+    "documents_novelty_decay_fit",
 ]
 
 
