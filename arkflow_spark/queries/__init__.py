@@ -323,6 +323,10 @@ _DRIVER_PRIORITY = (
     "graph_degree_assortativity",
     "events_extremal_index_runs",
     "documents_novelty_decay_fit",
+    # (b) round-5 batch 84 (hedonic OLS, activity Markov, bounces)
+    "part_hedonic_price_2var",
+    "events_user_activity_markov",
+    "events_bounce_sessions",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

@@ -286,6 +286,10 @@ HEADLINE = [
     "graph_degree_assortativity",
     "events_extremal_index_runs",
     "documents_novelty_decay_fit",
+    # round-5 batch 84 (first benched in BENCH_r05)
+    "part_hedonic_price_2var",
+    "events_user_activity_markov",
+    "events_bounce_sessions",
 ]
 
 
