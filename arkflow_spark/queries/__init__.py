@@ -327,6 +327,11 @@ _DRIVER_PRIORITY = (
     "part_hedonic_price_2var",
     "events_user_activity_markov",
     "events_bounce_sessions",
+    # (b) round-5 batch 85 (distance concentration, behavior lift,
+    # balance propensity)
+    "embedding_distance_concentration",
+    "events_behavior_cooccurrence_lift",
+    "customer_balance_order_propensity",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

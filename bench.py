@@ -290,6 +290,10 @@ HEADLINE = [
     "part_hedonic_price_2var",
     "events_user_activity_markov",
     "events_bounce_sessions",
+    # round-5 batch 85 (first benched in BENCH_r05)
+    "embedding_distance_concentration",
+    "events_behavior_cooccurrence_lift",
+    "customer_balance_order_propensity",
 ]
 
 
