@@ -117,6 +117,11 @@ for _mod in (
     "analytics83_q",
     "analytics84_q",
     "analytics85_q",
+    "analytics86_q",
+    "analytics87_q",
+    "analytics88_q",
+    "analytics89_q",
+    "analytics90_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -332,6 +337,11 @@ _DRIVER_PRIORITY = (
     "embedding_distance_concentration",
     "events_behavior_cooccurrence_lift",
     "customer_balance_order_propensity",
+    # (b) round-5 batch 86 (priority fairness, month-end loading,
+    # 2-sample AD)
+    "orders_priority_lead_time",
+    "orders_month_end_loading",
+    "events_anderson_darling_2sample",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

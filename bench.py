@@ -294,6 +294,10 @@ HEADLINE = [
     "embedding_distance_concentration",
     "events_behavior_cooccurrence_lift",
     "customer_balance_order_propensity",
+    # round-5 batch 86 (first benched in BENCH_r05)
+    "orders_priority_lead_time",
+    "orders_month_end_loading",
+    "events_anderson_darling_2sample",
 ]
 
 
