@@ -342,6 +342,10 @@ _DRIVER_PRIORITY = (
     "orders_priority_lead_time",
     "orders_month_end_loading",
     "events_anderson_darling_2sample",
+    # (b) round-5 batch 87 (Fisher dims, PK uniqueness, Gries DP)
+    "embedding_fisher_ratio_dims",
+    "dq_primary_key_uniqueness",
+    "text_dispersion_dp",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

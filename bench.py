@@ -298,6 +298,10 @@ HEADLINE = [
     "orders_priority_lead_time",
     "orders_month_end_loading",
     "events_anderson_darling_2sample",
+    # round-5 batch 87 (first benched in BENCH_r05)
+    "embedding_fisher_ratio_dims",
+    "dq_primary_key_uniqueness",
+    "text_dispersion_dp",
 ]
 
 
