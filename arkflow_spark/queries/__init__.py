@@ -346,6 +346,10 @@ _DRIVER_PRIORITY = (
     "embedding_fisher_ratio_dims",
     "dq_primary_key_uniqueness",
     "text_dispersion_dp",
+    # (b) round-5 batch 88 (MCF, record surprise, intra-order DQ)
+    "events_mean_cumulative_function",
+    "events_record_surprise",
+    "dq_intra_order_consistency",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

@@ -302,6 +302,10 @@ HEADLINE = [
     "embedding_fisher_ratio_dims",
     "dq_primary_key_uniqueness",
     "text_dispersion_dp",
+    # round-5 batch 88 (first benched in BENCH_r05)
+    "events_mean_cumulative_function",
+    "events_record_surprise",
+    "dq_intra_order_consistency",
 ]
 
 
