@@ -350,6 +350,10 @@ _DRIVER_PRIORITY = (
     "events_mean_cumulative_function",
     "events_record_surprise",
     "dq_intra_order_consistency",
+    # (b) round-5 batch 89 (k sweep, temporal DQ, daily mix JS)
+    "ann_knn_accuracy_sweep",
+    "dq_temporal_ordering",
+    "events_daily_mix_divergence",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

@@ -306,6 +306,10 @@ HEADLINE = [
     "events_mean_cumulative_function",
     "events_record_surprise",
     "dq_intra_order_consistency",
+    # round-5 batch 89 (first benched in BENCH_r05)
+    "ann_knn_accuracy_sweep",
+    "dq_temporal_ordering",
+    "events_daily_mix_divergence",
 ]
 
 
