@@ -354,6 +354,11 @@ _DRIVER_PRIORITY = (
     "ann_knn_accuracy_sweep",
     "dq_temporal_ordering",
     "events_daily_mix_divergence",
+    # (b) round-5 batch 90 (last-digit screen, id/time order,
+    # vocab Jaccard)
+    "dq_last_digit_uniformity",
+    "dq_id_time_monotonicity",
+    "text_source_vocab_jaccard",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

@@ -310,6 +310,10 @@ HEADLINE = [
     "ann_knn_accuracy_sweep",
     "dq_temporal_ordering",
     "events_daily_mix_divergence",
+    # round-5 batch 90 (first benched in BENCH_r05)
+    "dq_last_digit_uniformity",
+    "dq_id_time_monotonicity",
+    "text_source_vocab_jaccard",
 ]
 
 
