@@ -144,6 +144,11 @@ for _mod in (
 # COVERAGE.md.
 _DRIVER_PRIORITY = (
     # ========== ROUND-5 HEAD (the driver samples the first 50) ==========
+    # r6 staging note: this round's sample covers the r5 head below
+    # (changed queries + batches 46-55); the r5 SECOND-SESSION batches
+    # 68-90 (Hurst..vocab-Jaccard, appended after batch 67 below) have
+    # never been driver-sampled and should lead the r6 head, followed
+    # by batches 56-67 remnants past this round's 50-cut.
     # (a) queries CHANGED this round — the driver must re-prove them:
     # ADVICE r4 semantic fixes (GPD PWM weight, inspection-paradox
     # baseline, ragged-embedding filters), the five corpus-scaled
