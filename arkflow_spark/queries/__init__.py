@@ -122,6 +122,8 @@ for _mod in (
     "analytics88_q",
     "analytics89_q",
     "analytics90_q",
+    "analytics91_q",
+    "analytics92_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -364,6 +366,11 @@ _DRIVER_PRIORITY = (
     "dq_last_digit_uniformity",
     "dq_id_time_monotonicity",
     "text_source_vocab_jaccard",
+    # (b) round-5 batch 91 (vintage curves, self-similarity, trade
+    # imbalance)
+    "orders_vintage_revenue_curves",
+    "text_self_similarity_stride",
+    "nation_trade_imbalance",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

@@ -314,6 +314,10 @@ HEADLINE = [
     "dq_last_digit_uniformity",
     "dq_id_time_monotonicity",
     "text_source_vocab_jaccard",
+    # round-5 batch 91 (first benched in BENCH_r05)
+    "orders_vintage_revenue_curves",
+    "text_self_similarity_stride",
+    "nation_trade_imbalance",
 ]
 
 
