@@ -371,6 +371,10 @@ _DRIVER_PRIORITY = (
     "orders_vintage_revenue_curves",
     "text_self_similarity_stride",
     "nation_trade_imbalance",
+    # (b) round-5 batch 92 (ARCH LM, aspect audit, run lengths)
+    "events_arch_lm_test",
+    "multimodal_aspect_ratio_audit",
+    "events_run_length_geometric_fit",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

@@ -318,6 +318,10 @@ HEADLINE = [
     "orders_vintage_revenue_curves",
     "text_self_similarity_stride",
     "nation_trade_imbalance",
+    # round-5 batch 92 (first benched in BENCH_r05)
+    "events_arch_lm_test",
+    "multimodal_aspect_ratio_audit",
+    "events_run_length_geometric_fit",
 ]
 
 
