@@ -124,6 +124,7 @@ for _mod in (
     "analytics90_q",
     "analytics91_q",
     "analytics92_q",
+    "analytics93_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -375,6 +376,10 @@ _DRIVER_PRIORITY = (
     "events_arch_lm_test",
     "multimodal_aspect_ratio_audit",
     "events_run_length_geometric_fit",
+    # (b) round-5 batch 93 (whale curve, ts forensics, risk pooling)
+    "customer_whale_curve",
+    "dq_timestamp_truncation",
+    "part_demand_pooling_benefit",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

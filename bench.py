@@ -322,6 +322,10 @@ HEADLINE = [
     "events_arch_lm_test",
     "multimodal_aspect_ratio_audit",
     "events_run_length_geometric_fit",
+    # round-5 batch 93 (first benched in BENCH_r05)
+    "customer_whale_curve",
+    "dq_timestamp_truncation",
+    "part_demand_pooling_benefit",
 ]
 
 
