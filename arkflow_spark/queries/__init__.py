@@ -125,6 +125,7 @@ for _mod in (
     "analytics91_q",
     "analytics92_q",
     "analytics93_q",
+    "analytics94_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -380,6 +381,11 @@ _DRIVER_PRIORITY = (
     "customer_whale_curve",
     "dq_timestamp_truncation",
     "part_demand_pooling_benefit",
+    # (b) round-5 batch 94 (IVF balance, positional style,
+    # price realization)
+    "ann_ivf_bucket_balance",
+    "text_positional_length_profile",
+    "part_price_realization",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

@@ -326,6 +326,10 @@ HEADLINE = [
     "customer_whale_curve",
     "dq_timestamp_truncation",
     "part_demand_pooling_benefit",
+    # round-5 batch 94 (first benched in BENCH_r05)
+    "ann_ivf_bucket_balance",
+    "text_positional_length_profile",
+    "part_price_realization",
 ]
 
 
