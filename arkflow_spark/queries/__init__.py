@@ -126,6 +126,7 @@ for _mod in (
     "analytics92_q",
     "analytics93_q",
     "analytics94_q",
+    "analytics95_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -386,6 +387,10 @@ _DRIVER_PRIORITY = (
     "ann_ivf_bucket_balance",
     "text_positional_length_profile",
     "part_price_realization",
+    # (b) round-5 batch 95 (clumpiness, Simpson screen, enum drift)
+    "customer_purchase_clumpiness",
+    "lineitem_simpson_paradox_check",
+    "dq_enum_domain_drift",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

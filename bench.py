@@ -330,6 +330,10 @@ HEADLINE = [
     "ann_ivf_bucket_balance",
     "text_positional_length_profile",
     "part_price_realization",
+    # round-5 batch 95 (first benched in BENCH_r05)
+    "customer_purchase_clumpiness",
+    "lineitem_simpson_paradox_check",
+    "dq_enum_domain_drift",
 ]
 
 
