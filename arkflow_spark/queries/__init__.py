@@ -127,6 +127,7 @@ for _mod in (
     "analytics93_q",
     "analytics94_q",
     "analytics95_q",
+    "analytics96_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -391,6 +392,10 @@ _DRIVER_PRIORITY = (
     "customer_purchase_clumpiness",
     "lineitem_simpson_paradox_check",
     "dq_enum_domain_drift",
+    # (b) round-5 batch 96 (lognormal check, bus factor, coverage)
+    "orders_lognormal_fit_check",
+    "events_user_concentration",
+    "dq_embedding_coverage",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

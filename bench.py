@@ -334,6 +334,10 @@ HEADLINE = [
     "customer_purchase_clumpiness",
     "lineitem_simpson_paradox_check",
     "dq_enum_domain_drift",
+    # round-5 batch 96 (first benched in BENCH_r05)
+    "orders_lognormal_fit_check",
+    "events_user_concentration",
+    "dq_embedding_coverage",
 ]
 
 
