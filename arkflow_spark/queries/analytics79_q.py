@@ -260,8 +260,14 @@ def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from arkflow_spark.queries.base import QUERIES
 
-    pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select(
-        "doc_a", "doc_b"
+    # The candidate-pair list is tiny (band-collision bounded) but its
+    # lineage is the whole MinHash pipeline; it feeds FOUR branches
+    # below (both union arms, the closure probe, and the pair count) —
+    # persist so the shingle/minhash stages run once, not four times.
+    pairs = (
+        QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist()
     )
     und = pairs.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")

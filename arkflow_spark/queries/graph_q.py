@@ -96,7 +96,7 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ew, nodes = _edges_and_shares(spark, sf_dir)
     ew, nodes = ew.persist(), nodes.persist()
     n_nodes = nodes.count()  # scalar loop constant (node count, tiny)
-    ranks = _power_iterations(ew, nodes, n_nodes)
+    ranks = _power_iterations(ew, nodes, n_nodes, broadcast_ranks=True)
     return _topk_ranks(ranks)
 
 
@@ -127,11 +127,19 @@ def _edges_and_shares(spark: SparkSession, sf_dir: str):
     return ew, nodes
 
 
-def _power_iterations(ew, nodes, n_nodes: int):
+def _power_iterations(ew, nodes, n_nodes: int, broadcast_ranks=False):
+    """broadcast_ranks=True is the while-it-fits path (unbucketed
+    baseline): the rank vector and the contrib vector are one row per
+    node, so broadcasting them means the persisted edge/node tables are
+    NEVER reshuffled — each iteration costs one exchange (the dst
+    transpose). False is the beyond-broadcast path used by the bucketed
+    twin, where pre-shuffled storage makes the SMJ exchange-free without
+    any size cap on the rank vector."""
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    maybe_b = F.broadcast if broadcast_ranks else (lambda df: df)
     for _ in range(ITERS):
-        contrib = _contrib_step(ranks, ew)
-        ranks = nodes.join(contrib, "node", "left").select(
+        contrib = _contrib_step(ranks, ew, broadcast_ranks)
+        ranks = nodes.join(maybe_b(contrib), "node", "left").select(
             "node",
             (
                 F.lit((1 - DAMPING) / n_nodes)
@@ -141,12 +149,22 @@ def _power_iterations(ew, nodes, n_nodes: int):
     return ranks
 
 
-def _contrib_step(ranks, ew):
+def _contrib_step(ranks, ew, broadcast_ranks=False):
     """One power-iteration transpose: rank-weighted contributions
     gathered per destination. The ranks-x-edges join and the dst
-    aggregate are the whole per-iteration dataflow."""
+    aggregate are the whole per-iteration dataflow.
+
+    With broadcast_ranks the rank vector (one row per node, orders of
+    magnitude smaller than the edge list) broadcasts into the edge
+    partitioning, so the persisted edges are never reshuffled across
+    iterations and each round costs exactly one exchange (the dst
+    aggregate). Without it (the bucketed twin) the edges read from
+    bucket-partitioned storage and the join is an exchange-free SMJ —
+    the no-size-cap scale path (tests/test_plans.py asserts both plan
+    shapes)."""
+    r = F.broadcast(ranks) if broadcast_ranks else ranks
     return (
-        ranks.join(ew, ranks.node == ew.src)
+        ew.join(r, ranks.node == ew.src)
         .select(
             F.col("dst").alias("node"),
             (F.col("r") * F.col("share")).alias("contrib"),

@@ -1052,6 +1052,39 @@ def test_pagerank_bucketed_iteration_join_exchange_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_pagerank_bipartite_rank_vector_broadcasts(spark):
+    """The unbucketed baseline's while-it-fits path: the rank vector
+    (one row per node) must BROADCAST into the persisted edge
+    partitioning, so the edge table is never reshuffled across
+    iterations — each round's only shuffle is the dst transpose."""
+    from pyspark.sql import functions as F
+
+    from arkflow_spark.queries.graph_q import (
+        _contrib_step,
+        _edges_and_shares,
+    )
+
+    ew, nodes = _edges_and_shares(spark, SF_CORRECT)
+    ew, nodes = ew.persist(), nodes.persist()
+    try:
+        n = nodes.count()
+        ew.count()  # materialize so the step plan reads the cache
+        ranks0 = nodes.select("node", F.lit(1.0 / n).alias("r"))
+        step = _contrib_step(ranks0, ew, broadcast_ranks=True)
+        step.count()
+        plan = step._jdf.queryExecution().executedPlan().toString()
+        # InMemoryRelation's toString embeds the (non-executing) plan
+        # that BUILT the cache — only the prefix above it executes
+        live = plan.split("InMemoryRelation", 1)[0]
+        assert "BroadcastHashJoin" in live, plan[:2000]
+        # the edge side reads the cache directly — the only shuffle in
+        # the executing step is the dst aggregate
+        assert live.count("Exchange hashpartitioning") <= 1, plan[:3000]
+    finally:
+        ew.unpersist()
+        nodes.unpersist()
+
+
 def test_pagerank_bucketed_matches_unbucketed(spark):
     a = QUERIES["graph_pagerank_bipartite"](spark, SF_CORRECT).collect()
     b = QUERIES["graph_pagerank_bucketed"](spark, SF_CORRECT).collect()
