@@ -296,10 +296,12 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / F.count("*")
         ).alias("y")
-    )
+    ).persist()  # both sides of the pair join — scan the raw stream once
     a = hourly.alias("a")
     b = hourly.alias("b")
-    slopes = a.join(
+    # the hourly series is calendar-bounded (tiny) — broadcast one side
+    # so the pair join never shuffles
+    slopes = F.broadcast(a).join(
         b,
         (F.col("a.event_type") == F.col("b.event_type"))
         & (F.col("a.h") < F.col("b.h")),

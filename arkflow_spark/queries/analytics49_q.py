@@ -294,13 +294,16 @@ def dedup_minhash_bbit_calibration(
         .cast("bigint")
         .alias("h2"),
     )
+    # sig feeds the band explode AND both signature join sides; cand
+    # feeds the verify aggregate AND the final join — persist each so
+    # the 16-min signature aggregate and the banded self-join run once.
     sig = hashed.groupBy("doc_id").agg(
         *[
             F.min(F.col("h1") + i * F.col("h2")).alias(f"s{i}")
             for i in range(N_HASHES)
         ],
         F.count("*").alias("n"),
-    )
+    ).persist()
     band_structs = F.array(
         *[
             F.struct(
@@ -336,6 +339,7 @@ def dedup_minhash_bbit_calibration(
             F.col("b.doc_id").alias("doc_b"),
         )
         .distinct()
+        .persist()
     )
     shared = (
         cand.join(

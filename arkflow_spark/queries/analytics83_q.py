@@ -111,6 +111,9 @@ def graph_degree_assortativity(
     b = baskets.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
     )
+    # edges feeds both union arms, the stub join, and the edge count;
+    # deg feeds both stub sides and the node count — persist each so
+    # the basket self-join and the degree aggregate run exactly once.
     edges = (
         a.join(b, "ok")
         .filter(F.col("u") < F.col("v"))
@@ -118,13 +121,14 @@ def graph_degree_assortativity(
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= _COP_MIN)
         .select("u", "v")
+        .persist()
     )
     und = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count("*").cast("bigint").alias("d")
-    )
+    ).persist()
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
     stubs = und.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
@@ -340,7 +344,10 @@ def documents_novelty_decay_fit(
         with_global_order,
     )
 
-    sh = _shingles(spark, sf_dir)
+    # sh feeds BOTH the first-seen aggregate and the novelty join;
+    # pts (<= _NOV_DECILES rows) feeds both the OLS and the peak agg —
+    # persist each so the shingle explosion runs exactly once.
+    sh = _shingles(spark, sf_dir).persist()
     first_seen = sh.groupBy("shingle").agg(
         F.min("doc_id").alias("first_doc")
     )
@@ -374,7 +381,7 @@ def documents_novelty_decay_fit(
         F.col("decile").cast("double").alias("x"),
         _floor6(F.log(F.col("tn") * 1.0 / F.col("ts"))).alias("y"),
         _floor4(F.col("tn") * 1.0 / F.col("ts")).alias("rate"),
-    )
+    ).persist()
     ols = pts.agg(
         F.count("*").cast("bigint").alias("k"),
         F.sum("x").alias("sx"),

@@ -601,7 +601,7 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sets = sh.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("s"), F.count("*").alias("n")
-    )
+    ).persist()  # feeds both verify-join sides: build the sets once
     sa = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("s").alias("s_a"),
