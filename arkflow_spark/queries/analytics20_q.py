@@ -318,6 +318,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 2)
         .select("u", "v")
+        .persist()
     )
 
     def degrees(e):
@@ -328,8 +329,12 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("deg"))
         )
 
+    # Per-round persists (the label-prop discipline): each round's edge
+    # set is consumed by BOTH degree-union arms, the next round's
+    # semi-joins, and a count branch — without them lineage grows 3^r
+    # and the basket self-join replays every round.
     counts = []
-    d = degrees(edges)
+    d = degrees(edges).persist()
     counts.append(d.agg(F.count("*").alias("c")))
     e = edges
     for _ in range(_KCORE_ROUNDS):
@@ -338,9 +343,10 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.join(surv.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(surv.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
+            .persist()
         )
         counts.append(surv.agg(F.count("*").alias("c")))
-        d = degrees(e)
+        d = degrees(e).persist()
     edge_count = e.agg(F.count("*").alias("c"))
     out = (
         counts[0]

@@ -251,7 +251,9 @@ def events_chi_square_independence(
     obs = e.groupBy(
         "event_type",
         F.floor(F.hour("ts") / 4).cast("bigint").alias("band"),
-    ).agg(F.count("*").alias("o"))
+    ).agg(F.count("*").alias("o")).persist()
+    # ^ types x bands grid feeding marginals/total/grid branches —
+    # one raw-stream rollup instead of five
     rows_t = obs.groupBy("event_type").agg(F.sum("o").alias("row_n"))
     cols_t = obs.groupBy("band").agg(F.sum("o").alias("col_n"))
     tot = obs.agg(F.sum("o").alias("n"))

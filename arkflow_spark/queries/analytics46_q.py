@@ -484,9 +484,13 @@ def events_tail_codependence(
     cnt = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count("*").alias("c"))
+    # the 0-filled grid is calendar x types (bounded) but its lineage
+    # scans raw events three times (bounds, types, counts); it feeds
+    # the threshold pass and both pair-join sides — persist it and the
+    # hot-flag table so the raw stream is scanned once.
     filled = grid.join(cnt, ["event_type", "h"], "left").select(
         "event_type", "h", F.coalesce("c", F.lit(0)).alias("c")
-    )
+    ).persist()
     wr = (
         Window.partitionBy("event_type")
         .orderBy("c", "h")
@@ -508,7 +512,7 @@ def events_tail_codependence(
         "event_type",
         "h",
         F.when(F.col("c") > F.col("q90"), 1).otherwise(0).alias("hot"),
-    )
+    ).persist()
     a = ex.select(
         F.col("event_type").alias("type_a"),
         "h",

@@ -385,9 +385,13 @@ def events_granger_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour — every post-rollup table is (streams x hours)-bounded.
     """
     e = load(spark, sf_dir, "events")
+    # (streams x hours)-bounded tables consumed by multiple branches:
+    # hourly feeds bounds/types/series, series both pair-join sides,
+    # tri the moment pass and the centered pass — persist each so the
+    # raw stream is rolled up exactly once.
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(F.count("*").cast("double").alias("cnt"))
+    ).agg(F.count("*").cast("double").alias("cnt")).persist()
     bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
     types = hourly.select("event_type").distinct()
     spine = types.crossJoin(F.broadcast(bounds)).select(
@@ -403,6 +407,7 @@ def events_granger_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "h", F.coalesce("cnt", F.lit(0.0)).alias("cnt")
         )
         .withColumn("lag1", F.lag("cnt").over(wlag))
+        .persist()
     )
     y = series.alias("y")
     x = series.alias("x")
@@ -417,6 +422,7 @@ def events_granger_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y.lag1").alias("yl"),
             F.col("x.lag1").alias("xl"),
         )
+        .persist()
     )
     mo = tri.groupBy("y_type", "x_type").agg(
         F.count("*").cast("bigint").alias("t"),

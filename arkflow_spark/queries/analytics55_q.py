@@ -362,7 +362,8 @@ def events_friedman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = rk.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_blocks"),
         (F.sum("r").cast("double") / F.count("*")).alias("mean_rank"),
-    )
+    ).persist()  # k rows; feeds the chi rollup and the final select —
+    # halves the raw-stream scans behind the rank grid
     chi = m.agg(
         F.max("n_blocks").cast("bigint").alias("nb"),
         F.count("*").cast("bigint").alias("k"),

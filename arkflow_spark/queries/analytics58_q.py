@@ -192,7 +192,9 @@ def events_mutual_information(
     e = load(spark, sf_dir, "events")
     cell = e.groupBy(
         "event_type", F.hour("ts").cast("bigint").alias("hod")
-    ).agg(F.count("*").cast("bigint").alias("nxy"))
+    ).agg(F.count("*").cast("bigint").alias("nxy")).persist()
+    # ^ bounded contingency grid feeding marginals/total/MI branches —
+    # one raw-stream rollup instead of five
     mx = cell.groupBy("event_type").agg(
         F.sum("nxy").cast("bigint").alias("nx")
     )

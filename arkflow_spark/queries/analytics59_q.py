@@ -476,7 +476,9 @@ def events_conformal_interval(
         F.floor(F.unix_micros(F.col("ts")) / 3600000000.0)
         .cast("bigint")
         .alias("hr"),
-    ).agg(F.count("*").cast("bigint").alias("c"))
+    ).agg(F.count("*").cast("bigint").alias("c")).persist()
+    # ^ both lag-join sides; split below feeds the quantile pass and
+    # the coverage rollup — persist each, scan the raw stream once
     h = hourly.alias("h")
     pth = hourly.alias("p")
     pred = h.join(
@@ -504,6 +506,7 @@ def events_conformal_interval(
                 1,
             ).otherwise(0),
         )
+        .persist()
     )
     wq = Window.partitionBy("event_type").orderBy("resid", "hr")
     wn = Window.partitionBy("event_type")

@@ -361,7 +361,8 @@ def events_twoway_anova_unweighted(
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
             / F.count("*")
         ).alias("m")
-    )
+    ).persist()  # 5x24 grid consumed by both marginals, the grand
+    # mean, and the interaction pass — scan the raw stream once
     marg_a = cell.groupBy("event_type").agg(F.avg("m").alias("ma"))
     marg_b = cell.groupBy("hod").agg(F.avg("m").alias("mb"))
     grand = cell.agg(

@@ -174,6 +174,8 @@ def embedding_hubness_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id", F.coalesce("k_occ", F.lit(0)).alias("k_occ")
         )
+        .persist()  # one row per vector; the moment pass and the
+        # centered pass both read it — run the BLAS kNN stage once
     )
     mo = occ.agg(
         F.count("*").cast("bigint").alias("n"),

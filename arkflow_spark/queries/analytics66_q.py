@@ -125,9 +125,13 @@ def events_kmeans1d_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel, zero iterations.
     """.format(nb=_KM_BINS)
     e = load(spark, sf_dir, "events")
+    # b (per-stream bounds) feeds the histogram AND the final boundary
+    # projection; pre (streams x bins cumulative panel) feeds both
+    # candidate sides and the totals — persist so the raw stream is
+    # scanned/rolled up exactly once.
     b = e.groupBy("event_type").agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
-    )
+    ).persist()
     hist = (
         e.join(F.broadcast(b), "event_type")
         .groupBy(
@@ -157,7 +161,7 @@ def events_kmeans1d_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(w).cast("double").alias("cn"),
         F.sum("s").over(w).cast("double").alias("cs"),
         F.sum("ss").over(w).alias("css"),
-    )
+    ).persist()
     tot = pre.groupBy("event_type").agg(
         F.max("cn").alias("tn"),
         F.max("cs").alias("ts"),

@@ -284,23 +284,29 @@ def events_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _floor6(F.col("p")).alias("pq"),
     )
-    overall = binned.agg(
+    # ONE pass over the event-scaled test set: the per-bin aggregate
+    # ({b}-row table, persisted) carries exact decimal SE sums, so the
+    # overall Brier is derived from it (decimal addition is
+    # associative) instead of a second corpus-scale reduction.
+    binagg = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("pq").cast("decimal(28,6)")).alias("sum_pq"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+        F.sum(F.col("se").cast("decimal(28,6)")).alias("sum_se"),
+    ).persist()
+    overall = binagg.agg(
         (
-            F.sum(F.col("se").cast("decimal(28,6)")).cast("double")
-            / F.count("*")
+            F.sum("sum_se").cast("double") / F.sum("n_events")
         ).alias("brier")
     )
     return (
-        binned.groupBy("bin")
-        .agg(
-            F.count("*").cast("bigint").alias("n_events"),
-            (
-                F.sum(F.col("pq").cast("decimal(28,6)")).cast("double")
-                / F.count("*")
-            ).alias("mean_p"),
-            (F.sum("y").cast("bigint") * 1.0 / F.count("*")).alias(
-                "frac_pos"
+        binagg.select(
+            "bin",
+            "n_events",
+            (F.col("sum_pq").cast("double") / F.col("n_events")).alias(
+                "mean_p"
             ),
+            (F.col("sum_y") * 1.0 / F.col("n_events")).alias("frac_pos"),
         )
         .crossJoin(F.broadcast(overall))
         .select(

@@ -313,18 +313,22 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
         ).alias("w"),
     )
+    # ONE explode pass: the (source, word) count table is vocabulary-
+    # bounded and both the corpus top-M head and the per-source totals
+    # are re-aggregations of it — persist it instead of replaying the
+    # token explode three times.
+    sw = tok.groupBy("source", "w").agg(
+        F.count("*").cast("bigint").alias("c")
+    ).persist()
     topw = (
-        tok.groupBy("w")
-        .agg(F.count("*").cast("bigint").alias("c"))
+        sw.groupBy("w")
+        .agg(F.sum("c").cast("bigint").alias("c"))
         .orderBy(F.col("c").desc(), "w")
         .limit(_DELTA_M)
         .select("w")
     )
-    src_tot = tok.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("t")
-    )
-    sw = tok.groupBy("source", "w").agg(
-        F.count("*").cast("bigint").alias("c")
+    src_tot = sw.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("t")
     )
     freq = (
         src_tot.crossJoin(F.broadcast(topw))
@@ -336,6 +340,7 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("c"), F.lit(0)) * 1.0 / F.col("t")
             ).alias("f"),
         )
+        .persist()  # sources x M panel; feeds mom, dev, and both z sides
     )
     mom = freq.groupBy("w").agg(
         (

@@ -302,7 +302,9 @@ def events_absence_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_micros(F.col("ts")) / 3600000000.0)
         .cast("bigint")
         .alias("hr"),
-    ).agg(F.count("*").cast("bigint").alias("k"))
+    ).agg(F.count("*").cast("bigint").alias("k")).persist()
+    # ^ (stream x hour)-bounded; feeds span/types/the grid join twice —
+    # one raw-stream rollup
     span = hourly.agg(
         F.min("hr").alias("h0"), F.max("hr").alias("h1")
     )

@@ -130,6 +130,7 @@ def sketch_theta_intersection(
                 10,
             ).cast("bigint"),
         )
+        .persist()  # feeds the rank pass and both exact-intersect arms
     )
     wp = Window.partitionBy("event_type")
     ranked = hashed.select(
@@ -150,7 +151,7 @@ def sketch_theta_intersection(
             F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).over(wp)
         )
         .alias("theta_h"),
-    )
+    ).persist()  # <= 2k sketch rows; feeds thetas + both join sides
     thetas = (
         sk.groupBy("event_type")
         .agg(F.max("theta_h").alias("theta_h"))

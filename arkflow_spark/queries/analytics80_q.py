@@ -243,6 +243,8 @@ def embedding_cluster_source_nmi(
             F.col("source").alias("src"),
         )
         .agg(F.count("*").cast("bigint").alias("n_ij"))
+        .persist()  # clusters x sources rows; lineage is the whole IVF
+        # assignment — totals/marginals/MI all read this one tiny table
     )
     tot = cont.agg(F.sum("n_ij").cast("bigint").alias("n"))
     rm = cont.groupBy("cl").agg(F.sum("n_ij").cast("bigint").alias("ni"))

@@ -333,7 +333,10 @@ def events_median_polish_hourweek(
             (F.floor(ep / 86400000000.0).cast("bigint") + 4) % 7
         ).alias("dow"),
         (F.floor(ep / 3600000000.0).cast("bigint") % 24).alias("hod"),
-    ).agg(F.count("*").cast("bigint").alias("c"))
+    ).agg(F.count("*").cast("bigint").alias("c")).persist()
+    # ^ the 7x24 matrix: each polish sweep references its input twice
+    # (median join + subtraction), so without the persist the raw-event
+    # aggregate replays 2^sweeps = 16 times
 
     def med(df, key, val, out):
         return df.groupBy(key).agg(

@@ -116,7 +116,9 @@ def events_mean_cumulative_function(
         .cast("bigint")
         .alias("d"),
     )
-    first_d = ue.groupBy("user_id").agg(F.min("d").alias("d0"))
+    first_d = ue.groupBy("user_id").agg(F.min("d").alias("d0")).persist()
+    # ^ user-bounded; consumed by the age join, the risk rollup, and
+    # the observable filter — one first-event aggregate, not three
     span = ue.agg(F.max("d").alias("dmax"))
     aged = ue.join(first_d, "user_id").select(
         "user_id", (F.col("d") - F.col("d0")).alias("age")

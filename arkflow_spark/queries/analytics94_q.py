@@ -89,7 +89,8 @@ def ann_ivf_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     occ = assign.groupBy("bucket").agg(
         F.count("*").cast("bigint").alias("c")
-    )
+    ).persist()  # k rows; lineage is the whole IVF assignment and the
+    # totals/entropy/final branches all re-read it
     tot = occ.agg(
         F.sum("c").cast("bigint").alias("n"),
         F.count("*").cast("bigint").alias("k"),

@@ -270,10 +270,14 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage tables are per-user singletons, orders of magnitude smaller
     than the event stream)."""
     e = load(spark, sf_dir, "events")
+    # each stage table feeds the NEXT stage and its own count branch —
+    # persist the per-user singletons so each stage filter scans the
+    # raw stream once
     t1 = (
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .persist()
     )
     t2 = (
         e.where(F.col("event_type") == "click")
@@ -281,6 +285,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .persist()
     )
     t3 = (
         e.where(F.col("event_type") == "purchase")

@@ -293,12 +293,17 @@ def documents_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
     )
+    # ONE token explode builds a (word, lang) count table (vocabulary x
+    # languages — bounded, persisted); both LMs and their normalizers
+    # are re-aggregations of it, so the only other explode is the
+    # per-token scoring join.
+    cnt = tok.groupBy("w", "lang").agg(F.count("*").alias("c")).persist()
     tgt = (
-        tok.filter(F.col("lang") == "en")
+        cnt.filter(F.col("lang") == "en")
         .groupBy("w")
-        .agg(F.count("*").alias("tc"))
+        .agg(F.sum("c").alias("tc"))
     )
-    raw = tok.groupBy("w").agg(F.count("*").alias("rc"))
+    raw = cnt.groupBy("w").agg(F.sum("c").alias("rc")).persist()
     tn = tgt.agg(F.sum("tc").alias("tn"))
     rn = raw.agg(F.sum("rc").alias("rn"))
     vv = raw.agg(F.count("*").alias("v"))
