@@ -453,7 +453,9 @@ def text_bigram_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = tok.filter(F.col("prev").isNotNull())
     big = pairs.groupBy(
         F.col("prev").alias("w1"), F.col("w").alias("w2")
-    ).agg(F.count("*").alias("c12"))
+    ).agg(F.count("*").alias("c12")).persist()
+    # ^ bigram-vocabulary bounded; all three KN model tables and the
+    # scoring join re-read it — one bigram aggregate, not four
     uni = big.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count("*").alias("n_follow")
     )

@@ -379,8 +379,14 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen = d.filter(~is_new).select(fp)
     new_docs = d.filter(is_new).select("doc_id", fp)
     bucket = F.pmod(F.xxhash64("fp"), F.lit(m)).alias("bk")
-    seen_buckets = seen.select(bucket).distinct()
-    tagged = new_docs.select("doc_id", "fp", bucket)
+    # the bitmap table (<= 2^20 rows) broadcasts into BOTH the
+    # definitely-new anti-join and the candidate semi-join; the tagged
+    # shard feeds the same two branches — persist each so the seen
+    # corpus and the shard are scanned once for the bucket phase
+    # (the exact anti-join still reads the seen fingerprints — that is
+    # the one unavoidable full pass)
+    seen_buckets = seen.select(bucket).distinct().persist()
+    tagged = new_docs.select("doc_id", "fp", bucket).persist()
     definitely_new = tagged.join(
         F.broadcast(seen_buckets), "bk", "left_anti"
     ).select("doc_id", "fp")

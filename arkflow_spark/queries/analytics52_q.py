@@ -365,6 +365,8 @@ def orders_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("decimal(18,6)")
             ).alias("r")
         )
+        .persist()  # the (cohort x age) triangle: the corpus-scaled
+        # join runs once; maxy and the cumulative pass read the cache
     )
     maxy = rev.agg(F.max("cohort").alias("last_cohort"))
     wcum = (
@@ -374,7 +376,7 @@ def orders_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = rev.select(
         "cohort", "age", F.sum("r").over(wcum).cast("double").alias("c")
-    )
+    ).persist()  # feeds both factor-join sides and the diagonal
     a = cum.alias("a")
     b = cum.alias("b")
     f = (

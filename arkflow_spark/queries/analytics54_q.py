@@ -94,7 +94,9 @@ def lineitem_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = li.groupBy(
         F.col("l_quantity").cast("bigint").alias("q"),
         F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint").alias("d"),
-    ).agg(F.count("*").cast("bigint").alias("n"))
+    ).agg(F.count("*").cast("bigint").alias("n")).persist()
+    # ^ 550-cell tick grid; feeds total, both pair-join sides, and the
+    # two tie marginals — one raw-lineitem rollup instead of five
     tot = grid.agg(F.sum("n").cast("bigint").alias("nn"))
     a = grid.alias("a")
     b = grid.alias("b")

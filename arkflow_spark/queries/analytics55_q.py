@@ -243,7 +243,8 @@ def events_isotonic_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = e.groupBy(F.hour("ts").cast("bigint").alias("h")).agg(
         F.count("*").cast("bigint").alias("w"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
-    )
+    ).persist()  # 24 cells consumed by five minimax branches — one
+    # raw-stream rollup
     i = cells.select(F.col("h").alias("i"))
     j = cells.select(F.col("h").alias("j"))
     spans = i.join(j, F.col("j") >= F.col("i"))

@@ -273,7 +273,7 @@ def events_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
         F.count("*").cast("bigint").alias("n"),
-    )
+    ).persist()  # bounds feed the histogram AND the final projection
     hist = (
         e.join(F.broadcast(b), "event_type")
         .groupBy(
@@ -301,7 +301,7 @@ def events_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         F.sum("cnt").over(wcum).cast("double").alias("w0"),
         F.sum("sv").over(wcum).cast("double").alias("s0"),
-    )
+    ).persist()  # bin-bounded; feeds the totals and the scored pass
     tot = cum.groupBy("event_type").agg(
         F.max("w0").alias("n"), F.max("s0").alias("s")
     )

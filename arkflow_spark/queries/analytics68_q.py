@@ -375,7 +375,9 @@ def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ORDER BY + LIMIT (TakeOrderedAndProject, no global sort).
     """.format(ms=_MB_MIN_PAIRS, t=_MB_TOP)
     li = load(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = li.select("l_orderkey", "l_partkey").distinct().persist()
+    # ^ consumed by the order count, the supports, and both pair-join
+    # sides — one distinct pass over lineitem
     n = baskets.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
     )

@@ -230,7 +230,9 @@ def events_behavior_cooccurrence_lift(
     the type-pair panel.
     """
     e = load(spark, sf_dir, "events")
-    ut = e.select("user_id", "event_type").distinct()
+    ut = e.select("user_id", "event_type").distinct().persist()
+    # ^ (user x type) basket; feeds the user count, the supports, and
+    # both pair-join sides — one distinct pass over the raw stream
     n = ut.agg(
         F.countDistinct("user_id").cast("bigint").alias("n_users")
     )

@@ -283,20 +283,24 @@ def text_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
         ).alias("w"),
     )
-    src_tot = tok.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("t")
+    # ONE token explode builds the (source, word) count table
+    # (vocabulary x sources bounded, persisted); source totals, the
+    # top-word head, and the panel counts are all re-aggregations.
+    swc = tok.groupBy("source", "w").agg(
+        F.count("*").cast("bigint").alias("c")
+    ).persist()
+    src_tot = swc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("t")
     )
     corpus = src_tot.agg(F.sum("t").cast("bigint").alias("tt"))
     topw = (
-        tok.groupBy("w")
-        .agg(F.count("*").cast("bigint").alias("c"))
+        swc.groupBy("w")
+        .agg(F.sum("c").cast("bigint").alias("c"))
         .orderBy(F.col("c").desc(), "w")
         .limit(_DP_TOP)
     )
-    sw = (
-        tok.join(F.broadcast(topw.select("w")), "w")
-        .groupBy("w", "source")
-        .agg(F.count("*").cast("bigint").alias("c_sw"))
+    sw = swc.join(F.broadcast(topw.select("w")), "w").select(
+        "w", "source", F.col("c").alias("c_sw")
     )
     panel = (
         topw.crossJoin(src_tot)

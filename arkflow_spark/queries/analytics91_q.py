@@ -112,8 +112,11 @@ def orders_vintage_revenue_curves(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("rev")
-    )
-    first_q = po.groupBy("o_custkey").agg(F.min("q").alias("q0"))
+    ).persist()  # (customer x quarter)-bounded; feeds first-quarter,
+    # span, and the cumulative join — one raw-orders rollup
+    first_q = po.groupBy("o_custkey").agg(
+        F.min("q").alias("q0")
+    ).persist()  # feeds both the cohort sizes and the revenue join
     span = po.agg(F.max("q").alias("qmax"))
     grid = spark.range(_VINTAGE_MAX_AGE_Q + 1).select(
         F.col("id").cast("bigint").alias("age")

@@ -206,13 +206,14 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("pos") >= 1, F.element_at("words", F.col("pos")))
         .alias("pw"),
     )
-    uni = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    # ONE (pw, tok) count table (bigram-vocabulary bounded, persisted;
+    # pw NULL = document-initial token) — the unigram LM, the bigram LM
+    # and the context totals are all re-aggregations of it, so the
+    # token explode runs twice (LM build + scoring), not four times.
+    cnt = tok.groupBy("pw", "tok").agg(F.count("*").alias("c2")).persist()
+    uni = cnt.groupBy("tok").agg(F.sum("c2").alias("c"))
     tot = uni.agg(F.sum("c").alias("n"))
-    big = (
-        tok.filter(F.col("pw").isNotNull())
-        .groupBy("pw", "tok")
-        .agg(F.count("*").alias("c2"))
-    )
+    big = cnt.filter(F.col("pw").isNotNull())
     ctx = big.groupBy("pw").agg(F.sum("c2").alias("cctx"))
     p_uni = F.col("c") * 1.0 / F.col("n")
     p = F.when(F.col("pw").isNull(), p_uni).otherwise(
@@ -413,12 +414,15 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("p.x", "p.y").alias("a"),
         F.greatest("p.x", "p.y").alias("b"),
     )
-    pc = pr.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    # pair counts feed the normalizer and the scoring join; token
+    # marginals feed the normalizer and both endpoint joins — persist
+    # the two vocab-bounded aggregates so each explode runs once
+    pc = pr.groupBy("a", "b").agg(F.count("*").alias("n_ab")).persist()
     np_ = pc.agg(F.sum("n_ab").alias("np"))
     tok = d.select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
     )
-    tc = tok.groupBy("t").agg(F.count("*").alias("n_t"))
+    tc = tok.groupBy("t").agg(F.count("*").alias("n_t")).persist()
     nt = tc.agg(F.sum("n_t").alias("nt"))
     ta = tc.select(F.col("t").alias("a"), F.col("n_t").alias("n_a"))
     tb = tc.select(F.col("t").alias("b"), F.col("n_t").alias("n_b"))
