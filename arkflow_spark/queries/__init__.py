@@ -128,6 +128,7 @@ for _mod in (
     "analytics94_q",
     "analytics95_q",
     "analytics96_q",
+    "analytics97_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -396,6 +397,10 @@ _DRIVER_PRIORITY = (
     "orders_lognormal_fit_check",
     "events_user_concentration",
     "dq_embedding_coverage",
+    # (b) round-5 batch 97 (transitivity, dup embeddings, sentences)
+    "graph_clustering_coefficient",
+    "embedding_duplicate_vectors",
+    "text_sentence_length_profile",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names
