@@ -129,6 +129,7 @@ for _mod in (
     "analytics95_q",
     "analytics96_q",
     "analytics97_q",
+    "analytics98_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -401,6 +402,10 @@ _DRIVER_PRIORITY = (
     "graph_clustering_coefficient",
     "embedding_duplicate_vectors",
     "text_sentence_length_profile",
+    # (b) round-5 batch 98 (seasonal strength, cluster sizes, lang sig)
+    "events_seasonal_strength",
+    "dedup_cluster_size_histogram",
+    "text_char_trigram_lang_signature",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names
