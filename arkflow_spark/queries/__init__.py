@@ -130,6 +130,7 @@ for _mod in (
     "analytics96_q",
     "analytics97_q",
     "analytics98_q",
+    "analytics99_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -406,6 +407,10 @@ _DRIVER_PRIORITY = (
     "events_seasonal_strength",
     "dedup_cluster_size_histogram",
     "text_char_trigram_lang_signature",
+    # (b) round-5 batch 99 (peak stability, transit profile, growth mix)
+    "events_peak_hour_stability",
+    "lineitem_return_rate_by_delay",
+    "orders_new_vs_returning_revenue",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names
