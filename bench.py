@@ -338,6 +338,18 @@ HEADLINE = [
     "orders_lognormal_fit_check",
     "events_user_concentration",
     "dq_embedding_coverage",
+    # round-5 batch 97 (first benched in BENCH_r05)
+    "graph_clustering_coefficient",
+    "embedding_duplicate_vectors",
+    "text_sentence_length_profile",
+    # round-5 batch 98 (first benched in BENCH_r05)
+    "events_seasonal_strength",
+    "dedup_cluster_size_histogram",
+    "text_char_trigram_lang_signature",
+    # round-5 batch 99 (first benched in BENCH_r05)
+    "events_peak_hour_stability",
+    "lineitem_return_rate_by_delay",
+    "orders_new_vs_returning_revenue",
 ]
 
 
