@@ -131,6 +131,8 @@ for _mod in (
     "analytics97_q",
     "analytics98_q",
     "analytics99_q",
+    "analytics100_q",
+    "analytics101_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -411,6 +413,14 @@ _DRIVER_PRIORITY = (
     "events_peak_hour_stability",
     "lineitem_return_rate_by_delay",
     "orders_new_vs_returning_revenue",
+    # (b) round-5 batch 100 (status DQ, brand premium, label margins)
+    "dq_order_line_status_consistency",
+    "part_brand_price_positioning",
+    "embedding_label_centroid_margin",
+    # (b) round-5 batch 101 (richness, entropy rate, share shift)
+    "text_herdan_richness_by_source",
+    "text_bigram_entropy_rate",
+    "supplier_share_shift",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

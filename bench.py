@@ -350,6 +350,14 @@ HEADLINE = [
     "events_peak_hour_stability",
     "lineitem_return_rate_by_delay",
     "orders_new_vs_returning_revenue",
+    # round-5 batch 100 (first benched in BENCH_r05)
+    "dq_order_line_status_consistency",
+    "part_brand_price_positioning",
+    "embedding_label_centroid_margin",
+    # round-5 batch 101 (first benched in BENCH_r05)
+    "text_herdan_richness_by_source",
+    "text_bigram_entropy_rate",
+    "supplier_share_shift",
 ]
 
 
