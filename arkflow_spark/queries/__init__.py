@@ -133,6 +133,7 @@ for _mod in (
     "analytics99_q",
     "analytics100_q",
     "analytics101_q",
+    "analytics102_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -421,6 +422,10 @@ _DRIVER_PRIORITY = (
     "text_herdan_richness_by_source",
     "text_bigram_entropy_rate",
     "supplier_share_shift",
+    # (b) round-5 batch 102 (trajectories, HHI trend, dedup impact)
+    "customer_value_trajectory",
+    "orders_concentration_trend",
+    "dedup_source_impact",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

@@ -358,6 +358,10 @@ HEADLINE = [
     "text_herdan_richness_by_source",
     "text_bigram_entropy_rate",
     "supplier_share_shift",
+    # round-5 batch 102 (first benched in BENCH_r05)
+    "customer_value_trajectory",
+    "orders_concentration_trend",
+    "dedup_source_impact",
 ]
 
 
