@@ -134,6 +134,7 @@ for _mod in (
     "analytics100_q",
     "analytics101_q",
     "analytics102_q",
+    "analytics103_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -426,6 +427,10 @@ _DRIVER_PRIORITY = (
     "customer_value_trajectory",
     "orders_concentration_trend",
     "dedup_source_impact",
+    # (b) round-5 batch 103 (session baskets, precision DQ, line bias)
+    "events_session_basket_lift",
+    "dq_decimal_precision_profile",
+    "lineitem_line_position_profile",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names
