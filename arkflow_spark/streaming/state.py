@@ -1703,3 +1703,94 @@ def hll_cardinality_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------ capped sessionizer
+
+
+def capped_sessions_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_ns: int,
+    cap_ns: int,
+) -> DataFrame:
+    """Streaming twin of the batch gap+cap sessionizer
+    (`queries/analytics3_q.capped_sessions` / `events_session_capped`):
+    a new session starts when the idle gap exceeds ``gap_ns`` OR the
+    running session duration exceeds ``cap_ns`` — the data-dependent
+    recurrence no fixed window frame expresses, which is exactly why
+    the built-in ``session_window`` (gap-only) cannot subsume it.
+    Emits every event with its assigned (session_id, session_start),
+    so the batch fold over the same rows reproduces the stream's
+    assignment row-for-row (tested across a checkpoint restart).
+
+    State per key is O(1) forever: (session_id, session_start_ns,
+    last_ts_ns) — integer nanoseconds, so restart replay is exact by
+    construction (no float rounding discipline needed).
+
+    Reference scope: the reference expresses sessionization through
+    SQL-processor windows (crates/arkflow-plugin/src/processor/sql.rs)
+    and cannot cap a session's DURATION either; the stateful twin is
+    the Spark-native extension point for it.
+    """
+    out_schema = (
+        f"{key_col} BIGINT, {ts_col} TIMESTAMP, {id_col} BIGINT, "
+        "session_id BIGINT, session_start TIMESTAMP"
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            sid, start_ns, prev_ns = state.get
+        else:
+            sid, start_ns, prev_ns = 0, None, None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            yield pd.DataFrame(
+                columns=[
+                    key_col, ts_col, id_col,
+                    "session_id", "session_start",
+                ]
+            )
+            return
+        batch = batch.sort_values([ts_col, id_col], kind="stable")
+        sids, starts = [], []
+        for ts in batch[ts_col]:
+            ns = ts.value
+            if (
+                prev_ns is None
+                or ns - prev_ns > gap_ns
+                or ns - start_ns > cap_ns
+            ):
+                sid += 1
+                start_ns = ns
+            sids.append(sid)
+            starts.append(pd.Timestamp(start_ns))
+            prev_ns = ns
+        state.update((int(sid), int(start_ns), int(prev_ns)))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                ts_col: batch[ts_col].values,
+                id_col: batch[id_col].values,
+                "session_id": pd.Series(sids, dtype="int64"),
+                "session_start": pd.Series(
+                    starts, dtype="datetime64[ns]"
+                ),
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=(
+            "session_id BIGINT, start_ns BIGINT, prev_ns BIGINT"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

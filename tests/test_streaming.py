@@ -1492,3 +1492,82 @@ def test_stream_hll_cardinality_state_across_batches(spark, tmp_path):
     assert by_n[33]["estimate"] == by_n[30]["estimate"]
     # small-range regime: linear counting is near-exact here
     assert abs(by_n[43]["estimate"] - 40) < 2
+
+
+def test_stream_capped_sessions_matches_batch_fold(spark, tmp_path):
+    """The streaming gap+cap sessionizer must carry its open session
+    across a checkpoint restart and reproduce the BATCH fold's
+    assignment row-for-row: file 2 starts inside file 1's open session
+    (same session continues), then a gap split and a cap split follow."""
+    from arkflow_spark.queries.analytics3_q import capped_sessions
+    from arkflow_spark.streaming.state import capped_sessions_stream
+
+    gap_ns = 3 * 3600 * 10**9   # 3h idle gap
+    cap_ns = 12 * 3600 * 10**9  # 12h duration cap
+    # user 7: 00:00, 02:00, 04:00 (one session so far, still open)
+    rows1 = [
+        (1, "2024-01-01 00:00:00", 7),
+        (2, "2024-01-01 02:00:00", 7),
+        (3, "2024-01-01 04:00:00", 7),
+    ]
+    # file 2: 06:00 continues (gap 2h); 13:00 splits on the CAP
+    # (13h since 00:00 start despite 7h gap > gap too - both rules);
+    # 14:00 continues; 20:00 splits on the GAP (6h idle)
+    rows2 = [
+        (4, "2024-01-01 06:00:00", 7),
+        (5, "2024-01-01 13:00:00", 7),
+        (6, "2024-01-01 14:00:00", 7),
+        (7, "2024-01-01 20:00:00", 7),
+    ]
+    src = str(tmp_path / "sess_src")
+    mk = lambda rows: (
+        spark.createDataFrame(rows, "event_id BIGINT, ts STRING, user_id BIGINT")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
+    )
+    mk(rows1).write.mode("append").parquet(src)
+    collected = []
+
+    def run_once():
+        sdf = spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT"
+        ).parquet(src)
+        out = capped_sessions_stream(
+            sdf, "user_id", "ts", "event_id", gap_ns, cap_ns
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    mk(rows2).write.mode("append").parquet(src)
+    run_once()  # restart: the open session must resume, not reset
+
+    got = {
+        r["event_id"]: (r["session_id"], r["session_start"])
+        for r in collected
+    }
+    assert len(got) == 7
+    # session 1: events 1-4 (file 2's 06:00 joined file 1's session)
+    assert [got[i][0] for i in (1, 2, 3, 4)] == [1, 1, 1, 1]
+    # cap split at 13:00, gap split at 20:00
+    assert [got[i][0] for i in (5, 6)] == [2, 2]
+    assert got[7][0] == 3
+    # the assignment must equal the BATCH fold over the same rows
+    batch_df = mk(rows1).unionByName(mk(rows2))
+    sessions = {
+        r["session_id"]: r
+        for r in capped_sessions(batch_df, gap_ns, cap_ns).collect()
+    }
+    assert len(sessions) == 3
+    for sid, r in sessions.items():
+        stream_starts = {
+            got[i][1] for i in got if got[i][0] == sid
+        }
+        assert stream_starts == {r["session_start"]}, (sid, r)
