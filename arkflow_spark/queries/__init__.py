@@ -135,6 +135,7 @@ for _mod in (
     "analytics101_q",
     "analytics102_q",
     "analytics103_q",
+    "analytics104_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -431,6 +432,10 @@ _DRIVER_PRIORITY = (
     "events_session_basket_lift",
     "dq_decimal_precision_profile",
     "lineitem_line_position_profile",
+    # (b) round-5 batch 104 (template prefixes, casing, FD strength)
+    "text_template_prefix_audit",
+    "text_casing_style_profile",
+    "dq_functional_dependency_strength",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

@@ -362,6 +362,14 @@ HEADLINE = [
     "customer_value_trajectory",
     "orders_concentration_trend",
     "dedup_source_impact",
+    # round-5 batch 103 (first benched in BENCH_r05)
+    "events_session_basket_lift",
+    "dq_decimal_precision_profile",
+    "lineitem_line_position_profile",
+    # round-5 batch 104 (first benched in BENCH_r05)
+    "text_template_prefix_audit",
+    "text_casing_style_profile",
+    "dq_functional_dependency_strength",
 ]
 
 
