@@ -136,6 +136,7 @@ for _mod in (
     "analytics102_q",
     "analytics103_q",
     "analytics104_q",
+    "analytics105_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -436,6 +437,10 @@ _DRIVER_PRIORITY = (
     "text_template_prefix_audit",
     "text_casing_style_profile",
     "dq_functional_dependency_strength",
+    # (b) round-5 batch 105 (retry dups, trading days, family mix)
+    "dq_event_retry_duplicates",
+    "orders_trading_day_adjustment",
+    "part_product_family_mix",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

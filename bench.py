@@ -370,6 +370,10 @@ HEADLINE = [
     "text_template_prefix_audit",
     "text_casing_style_profile",
     "dq_functional_dependency_strength",
+    # round-5 batch 105 (first benched in BENCH_r05)
+    "dq_event_retry_duplicates",
+    "orders_trading_day_adjustment",
+    "part_product_family_mix",
 ]
 
 
