@@ -137,6 +137,7 @@ for _mod in (
     "analytics103_q",
     "analytics104_q",
     "analytics105_q",
+    "analytics106_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -441,6 +442,10 @@ _DRIVER_PRIORITY = (
     "dq_event_retry_duplicates",
     "orders_trading_day_adjustment",
     "part_product_family_mix",
+    # (b) round-5 batch 106 (basket economics, brevity law, id gaps)
+    "orders_basket_size_profile",
+    "text_brevity_law_check",
+    "dq_id_gap_census",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

@@ -374,6 +374,10 @@ HEADLINE = [
     "dq_event_retry_duplicates",
     "orders_trading_day_adjustment",
     "part_product_family_mix",
+    # round-5 batch 106 (first benched in BENCH_r05)
+    "orders_basket_size_profile",
+    "text_brevity_law_check",
+    "dq_id_gap_census",
 ]
 
 
