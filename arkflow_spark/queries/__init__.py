@@ -138,6 +138,7 @@ for _mod in (
     "analytics104_q",
     "analytics105_q",
     "analytics106_q",
+    "analytics107_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -446,6 +447,10 @@ _DRIVER_PRIORITY = (
     "orders_basket_size_profile",
     "text_brevity_law_check",
     "dq_id_gap_census",
+    # (b) round-5 batch 107 (churn hazard, promo trend, fan-out DQ)
+    "customer_churn_hazard_by_tenure",
+    "lineitem_promo_intensity_trend",
+    "dq_fanout_ratio_stability",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

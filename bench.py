@@ -378,6 +378,10 @@ HEADLINE = [
     "orders_basket_size_profile",
     "text_brevity_law_check",
     "dq_id_gap_census",
+    # round-5 batch 107 (first benched in BENCH_r05)
+    "customer_churn_hazard_by_tenure",
+    "lineitem_promo_intensity_trend",
+    "dq_fanout_ratio_stability",
 ]
 
 
