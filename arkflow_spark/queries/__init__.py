@@ -162,10 +162,16 @@ for _mod in (
 _DRIVER_PRIORITY = (
     # ========== ROUND-5 HEAD (the driver samples the first 50) ==========
     # r6 staging note: this round's sample covers the r5 head below
-    # (changed queries + batches 46-55); the r5 SECOND-SESSION batches
-    # 68-90 (Hurst..vocab-Jaccard, appended after batch 67 below) have
-    # never been driver-sampled and should lead the r6 head, followed
-    # by batches 56-67 remnants past this round's 50-cut.
+    # (changed queries + batches 46-55); the r5 LATER-SESSION batches
+    # 68-107 (Hurst .. fan-out stability, appended after batch 67
+    # below) have never been driver-sampled and should lead the r6
+    # head — newest last-session batches 97-107 first (freshest
+    # claims), then 68-96, then batches 56-67 remnants past this
+    # round's 50-cut. Queries optimized this session (persist/
+    # broadcast recompute fixes: pagerank_bipartite, transitivity
+    # audit, novelty decay, assortativity, kcore, burrows, granger,
+    # brier, ...) kept their oracles bit-identical — no re-proof
+    # priority needed beyond the normal rotation.
     # (a) queries CHANGED this round — the driver must re-prove them:
     # ADVICE r4 semantic fixes (GPD PWM weight, inspection-paradox
     # baseline, ragged-embedding filters), the five corpus-scaled
