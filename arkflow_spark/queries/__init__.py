@@ -139,6 +139,7 @@ for _mod in (
     "analytics105_q",
     "analytics106_q",
     "analytics107_q",
+    "analytics108_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -457,6 +458,10 @@ _DRIVER_PRIORITY = (
     "customer_churn_hazard_by_tenure",
     "lineitem_promo_intensity_trend",
     "dq_fanout_ratio_stability",
+    # (b) round-5 batch 108 (composition residuals, JSON profile, lines)
+    "documents_lang_source_residuals",
+    "events_json_prop_profile",
+    "text_line_structure_profile",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

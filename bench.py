@@ -382,6 +382,10 @@ HEADLINE = [
     "customer_churn_hazard_by_tenure",
     "lineitem_promo_intensity_trend",
     "dq_fanout_ratio_stability",
+    # round-5 batch 108 (first benched in BENCH_r05)
+    "documents_lang_source_residuals",
+    "events_json_prop_profile",
+    "text_line_structure_profile",
 ]
 
 
