@@ -140,6 +140,7 @@ for _mod in (
     "analytics106_q",
     "analytics107_q",
     "analytics108_q",
+    "analytics109_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -462,6 +463,10 @@ _DRIVER_PRIORITY = (
     "documents_lang_source_residuals",
     "events_json_prop_profile",
     "text_line_structure_profile",
+    # (b) round-5 batch 109 (supplier overlap, digit semantics, CC)
+    "supplier_top20_customer_overlap",
+    "text_digit_token_profile",
+    "graph_component_size_histogram",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

@@ -386,6 +386,10 @@ HEADLINE = [
     "documents_lang_source_residuals",
     "events_json_prop_profile",
     "text_line_structure_profile",
+    # round-5 batch 109 (first benched in BENCH_r05)
+    "supplier_top20_customer_overlap",
+    "text_digit_token_profile",
+    "graph_component_size_histogram",
 ]
 
 
