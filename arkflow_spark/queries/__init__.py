@@ -141,6 +141,7 @@ for _mod in (
     "analytics107_q",
     "analytics108_q",
     "analytics109_q",
+    "analytics110_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -467,6 +468,10 @@ _DRIVER_PRIORITY = (
     "supplier_top20_customer_overlap",
     "text_digit_token_profile",
     "graph_component_size_histogram",
+    # (b) round-5 batch 110 (brand loyalty, probe cost, breadth)
+    "part_brand_loyalty_repeat_rate",
+    "ann_probe_cost_distribution",
+    "events_feature_adoption_breadth",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

@@ -390,6 +390,10 @@ HEADLINE = [
     "supplier_top20_customer_overlap",
     "text_digit_token_profile",
     "graph_component_size_histogram",
+    # round-5 batch 110 (first benched in BENCH_r05)
+    "part_brand_loyalty_repeat_rate",
+    "ann_probe_cost_distribution",
+    "events_feature_adoption_breadth",
 ]
 
 
