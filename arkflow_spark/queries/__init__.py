@@ -142,6 +142,7 @@ for _mod in (
     "analytics108_q",
     "analytics109_q",
     "analytics110_q",
+    "analytics111_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -472,6 +473,10 @@ _DRIVER_PRIORITY = (
     "part_brand_loyalty_repeat_rate",
     "ann_probe_cost_distribution",
     "events_feature_adoption_breadth",
+    # (b) round-5 batch 111 (supplier volatility, IVF stability, ARPU)
+    "supplier_revenue_volatility",
+    "ann_ivf_assignment_stability",
+    "orders_arpu_trend",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

@@ -394,6 +394,10 @@ HEADLINE = [
     "part_brand_loyalty_repeat_rate",
     "ann_probe_cost_distribution",
     "events_feature_adoption_breadth",
+    # round-5 batch 111 (first benched in BENCH_r05)
+    "supplier_revenue_volatility",
+    "ann_ivf_assignment_stability",
+    "orders_arpu_trend",
 ]
 
 
