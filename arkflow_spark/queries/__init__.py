@@ -143,6 +143,7 @@ for _mod in (
     "analytics109_q",
     "analytics110_q",
     "analytics111_q",
+    "analytics112_q",
 ):
     try:  # modules land incrementally; missing ones are fine, bugs are not
         __import__(f"arkflow_spark.queries.{_mod}")
@@ -477,6 +478,10 @@ _DRIVER_PRIORITY = (
     "supplier_revenue_volatility",
     "ann_ivf_assignment_stability",
     "orders_arpu_trend",
+    # (b) round-5 batch 112 (money reconciliation, amplitude, LTV proxy)
+    "dq_amount_reconciliation",
+    "events_daily_amplitude",
+    "customer_first_order_predictiveness",
     # (c) the staged never-driver-sampled rotation (r4 plan): batches
     # 39-42 remnants, then 44-45 remnants and earlier never-sampled
     # names

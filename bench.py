@@ -398,6 +398,10 @@ HEADLINE = [
     "supplier_revenue_volatility",
     "ann_ivf_assignment_stability",
     "orders_arpu_trend",
+    # round-5 batch 112 (first benched in BENCH_r05)
+    "dq_amount_reconciliation",
+    "events_daily_amplitude",
+    "customer_first_order_predictiveness",
 ]
 
 
