@@ -295,7 +295,7 @@ def dq_id_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan is the DISTRIBUTED form — within-bucket lags over
     id-div-{b} partitions (bounded at {b} rows each) plus a
     bucket-boundary lag over the bucket summary table
-    # scale: bucket-summary window, one row per id-bucket (span/{b}
+    # scale: bucket-summary-bounded, one row per id-bucket (span/{b}
     rows) — never a global single-partition sort over the ids.
     """.format(b=_GAP_BUCKET)
     out = None

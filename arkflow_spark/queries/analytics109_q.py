@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from arkflow_spark.functions import copurchase
 from arkflow_spark.queries.base import query
 from arkflow_spark.tables import load
 
@@ -314,26 +315,14 @@ def graph_component_size_histogram(
 
     Scale shape: per round, one edge join + min-aggregate with
     per-round persists (the label-prop dataflow); the histogram is a
-    label-keyed rollup.
+    label-keyed rollup. Edges read the shared materialized co-purchase
+    index (`functions/copurchase.py`) — bucket-partitioned on `u` (the
+    neighbour-join key), built once per session, reused every round
+    and by every other graph query.
     """.format(r=_CC_ROUNDS)
-    li = load(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    a = basket.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u")
-    )
-    b = basket.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v")
-    )
-    edges = (
-        a.join(b, (a.o == b.o) & (F.col("u") < F.col("v")))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= _CC_MIN_SUPPORT)
-        .select("u", "v")
-    )
-    und = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()  # reused every round
+    und = copurchase.undirected(
+        spark, sf_dir, min_support=_CC_MIN_SUPPORT
+    ).select("u", "v")
     nodes = und.select(F.col("u").alias("node")).distinct()
     lbl = nodes.select("node", F.col("node").alias("lbl")).persist()
     for _ in range(_CC_ROUNDS):

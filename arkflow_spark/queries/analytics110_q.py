@@ -171,7 +171,8 @@ def ann_probe_cost_distribution(
 
     Scale shape: reuses the registered IVF assignment; everything
     after is a k-row bucket table with one ordered cumulative pass
-    (bucket-count bounded).  # scale: bucket-count-bounded window
+    (bucket-count bounded).  # scale: bucket-summary-bounded window
+    (one row per IVF bucket, nlist fixed by construction)
     """
     from arkflow_spark.queries.base import QUERIES
 

@@ -73,7 +73,9 @@ def events_uniform_sample_hashprio(
         "event_id", "event_type", prio.alias("priority")
     ).withColumn(
         "rk",
-        # scale: rank-filter executes as per-partition WindowGroupLimit
+        # scale: top-k-bounded (rank<=K filter executes as
+        # per-partition WindowGroupLimit — top-k pushdown, no
+        # single-partition sort of the full stream)
         F.row_number().over(Window.orderBy("priority", "event_id")),
     )
     return (

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from arkflow_spark.functions import copurchase
 from arkflow_spark.queries.base import query
 from arkflow_spark.tables import load
 
@@ -308,23 +309,13 @@ def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: 1/deg is an IEEE-correctly-rounded double division
     (identical across engines), quantized to DECIMAL(18,12) per term and
     summed exactly; the cap's (w DESC, v) ordering is total.
+
+    Edges read the shared materialized co-purchase index
+    (`functions/copurchase.py`) — bucketed+sorted on `u`, so the
+    per-node cap window needs no exchange on its partition key.
     """.format(w=LP_W)
-    li = load(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    a = basket.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u")
-    )
-    b = basket.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v")
-    )
-    edges = (
-        a.join(b, (a.o == b.o) & (F.col("u") < F.col("v")))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("w"))
-        .persist()
-    )
-    und = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    und = copurchase.undirected(spark, sf_dir).withColumnRenamed(
+        "n", "w"
     )
     wcap = Window.partitionBy("u").orderBy(F.desc("w"), F.asc("v"))
     capped = (
@@ -339,7 +330,7 @@ def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     two_hop = lft.join(rgt, "z").filter(F.col("a") < F.col("b"))
     cand = (
         two_hop.join(
-            edges.select(
+            copurchase.directed(spark, sf_dir).select(
                 F.col("u").alias("a"), F.col("v").alias("b")
             ),
             ["a", "b"],

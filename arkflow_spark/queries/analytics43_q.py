@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from arkflow_spark.functions import copurchase
 from arkflow_spark.queries.base import query
 from arkflow_spark.tables import load
 
@@ -142,24 +143,10 @@ def graph_community_label_prop(
     `graph_pagerank_bipartite` uses); the edge table is built once and
     persisted. At 100 TB, bucket the edge table by u (the
     `graph_pagerank_bucketed` machinery) to make every round
-    exchange-free.
+    exchange-free. Edges read the shared materialized co-purchase
+    index (`functions/copurchase.py`).
     """.format(r=_LP_ROUNDS)
-    li = load(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    a = basket.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u")
-    )
-    b = basket.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v")
-    )
-    edges = (
-        a.join(b, (a.o == b.o) & (F.col("u") < F.col("v")))
-        .select("u", "v")
-        .distinct()
-    )
-    und = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    und = copurchase.undirected(spark, sf_dir).select("u", "v")
     nodes = und.select("u").distinct()
     lbl = nodes.select("u", F.col("u").alias("lbl")).persist()
     return _lp_top_communities(_lp_rounds(lbl, und, _LP_ROUNDS))
@@ -181,51 +168,41 @@ def graph_community_label_prop_bucketed(
     results to the unbucketed twin (same oracle, same unrolled rounds);
     the write amortizes over reruns exactly like the PageRank index.
     Index names are (sf_dir, buckets, session)-addressed — no
-    cross-session clobbering (see graph_q._index_table_names).
+    cross-session clobbering (see functions/indexes.py). The edge
+    CONSTRUCTION feeding the write comes from the shared co-purchase
+    index (`functions/copurchase.py`), so the one lineitem pair join
+    per session is shared with the whole graph family; this query's own
+    `_lp` tables differ only in bucketing key (`v`, its neighbour-join
+    side).
 
     Plan evidence: tests/test_plans.py::
     test_label_prop_bucketed_round_join_exchange_free.
     """
-    from arkflow_spark.queries.graph_q import (
-        _bucketed_fresh,
-        _drop_managed,
-        _index_table_names,
+    from arkflow_spark.functions.indexes import (
+        bucketed_fresh,
+        index_table_name,
+        materialize_bucketed,
     )
 
     nb = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    etable, ntable = _index_table_names(spark, sf_dir, nb, prefix="_lp")
-    if not _bucketed_fresh(spark, etable, sf_dir, nb):
-        li = load(spark, sf_dir, "lineitem")
-        basket = li.select("l_orderkey", "l_partkey").distinct()
-        a = basket.select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u")
+    etable = index_table_name(spark, sf_dir, nb, "_lp_edges_b")
+    ntable = index_table_name(spark, sf_dir, nb, "_lp_nodes_b")
+    if bucketed_fresh(spark, etable, sf_dir, nb):
+        und_b = spark.table(etable)
+        nodes_b = spark.table(ntable)
+    else:
+        und = copurchase.undirected(spark, sf_dir).select("u", "v")
+        und_b = materialize_bucketed(
+            spark, und, etable, "v", sf_dir, nb
         )
-        b = basket.select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v")
+        nodes_b = materialize_bucketed(
+            spark,
+            und.select("u").distinct(),
+            ntable,
+            "u",
+            sf_dir,
+            nb,
         )
-        edges = (
-            a.join(b, (a.o == b.o) & (F.col("u") < F.col("v")))
-            .select("u", "v")
-            .distinct()
-        )
-        und = edges.unionAll(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        _drop_managed(spark, etable)
-        _drop_managed(spark, ntable)
-        und.write.bucketBy(nb, "v").sortBy("v").mode(
-            "overwrite"
-        ).saveAsTable(etable)
-        und.select("u").distinct().write.bucketBy(nb, "u").sortBy(
-            "u"
-        ).mode("overwrite").saveAsTable(ntable)
-        for t in (etable, ntable):
-            spark.sql(
-                f"ALTER TABLE {t} SET TBLPROPERTIES"
-                f" ('src_dir'='{sf_dir}', 'buckets'='{nb}')"
-            )
-    und_b = spark.table(etable)
-    nodes_b = spark.table(ntable)
     lbl = nodes_b.select("u", F.col("u").alias("lbl"))
     return _lp_top_communities(_lp_rounds(lbl, und_b, _LP_ROUNDS))
 

@@ -430,8 +430,8 @@ def customer_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("nn"),
         F.sum("resp").cast("bigint").alias("rr"),
     )
-    # scale: decile-bounded window — the cumulative capture runs over
-    # the 10-row decile table, never over customers
+    # scale: bucket-summary-bounded (the cumulative capture runs over
+    # the 10-row decile table, never over customers)
     wcum = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

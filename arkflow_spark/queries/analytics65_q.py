@@ -116,7 +116,7 @@ def lineitem_segmented_price_quantity(
     sequential window over them, and a 48-candidate argmin — the
     corpus is scanned once.
 
-    # scale: tick-bounded window — the cumulative-moment window runs
+    # scale: tick-grid-bounded — the cumulative-moment window runs
     # over the 50-cell quantity grid, never over raw lineitem rows
     """
     li = load(spark, sf_dir, "lineitem")
@@ -195,7 +195,7 @@ def lineitem_segmented_price_quantity(
             ).alias("sse1"),
         )
     )
-    # scale: tick-bounded window — argmin over <= 50 candidates
+    # scale: tick-grid-bounded — argmin over <= 50 candidates
     wbest = Window.orderBy("sse2", "brk")
     return (
         cand.filter(F.col("sse2").isNotNull())

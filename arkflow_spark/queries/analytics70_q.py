@@ -99,7 +99,7 @@ def events_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("bigint").alias("n1v"),
         F.sum(1 - F.col("y")).cast("bigint").alias("n0v"),
     )
-    # scale: value-tick-grid-bounded window (distinct 2dp scores), same
+    # scale: tick-grid-bounded window (distinct 2dp scores), same
     # class as the kendall-tau / quantile tick grids — not corpus-scaled
     wc = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
     cum = per_v.select(

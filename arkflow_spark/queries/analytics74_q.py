@@ -126,7 +126,7 @@ def events_sample_ks_representativeness(
         F.count("*").cast("bigint").alias("cf"),
         F.sum("in_sample").cast("bigint").alias("cs"),
     )
-    # scale: value-tick-grid-bounded window (distinct 2dp scores)
+    # scale: tick-grid-bounded window (distinct 2dp scores)
     w = (
         Window.partitionBy("event_type")
         .orderBy("v")
@@ -256,7 +256,7 @@ def events_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c2"),
         )
     )
-    # scale: value-tick-grid-bounded windows (distinct 2dp values)
+    # scale: tick-grid-bounded windows (distinct 2dp values)
     wcum = (
         Window.partitionBy("event_type")
         .orderBy("v")

@@ -330,9 +330,10 @@ def lineitem_brand_concentration(
     before the decimal reduces, so both engines agree exactly.
 
     Scale shape: one lineitem rollup with the part dim broadcast; the
-    share/rank stages run on the (year x brand) panel — brand-
-    vocabulary-bounded (# scale: brand-vocab-bounded window, 25
-    brands), never corpus-scaled.
+    share/rank stages run on the (year x brand) panel — the p_brand
+    domain is closed by the TPC-H data spec
+    (# scale: schema-domain-bounded window, 25 brands),
+    never corpus-scaled.
     """
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
@@ -351,7 +352,8 @@ def lineitem_brand_concentration(
         F.sum(F.col("r").cast("decimal(18,2)")).cast("double").alias("t"),
         F.count("*").cast("bigint").alias("n_brands"),
     )
-    # scale: brand-vocab-bounded window (25 brands per year)
+    # scale: schema-domain-bounded (25 brands per year — closed
+    # p_brand domain, corpus-independent)
     wr = Window.partitionBy("yr").orderBy(F.col("r").desc(), "p_brand")
     shr = (
         rev.join(F.broadcast(tot), "yr")

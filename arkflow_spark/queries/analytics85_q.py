@@ -110,12 +110,13 @@ def embedding_distance_concentration(
     degenerates (Beyer et al. 1999).
 
     Scale shape: the pair sample is an id-shifted self-join (1:1,
-    never quadratic); percentiles are rank-selected over the pair
-    table via the per-stream rank window
-    (# scale: O(n) pair sample, rank window over one bounded batch).
+    never quadratic) but still O(corpus) rows, so the rank selection
+    runs through `functions/distributed_rank.with_global_order`
+    (range-partitioned local rank + bounded offsets) — no
+    single-partition sort of the pair table (r6: converted from an
+    unpartitioned rank window the r5 gate had only soft-justified).
     """.format(s=_PAIR_STRIDE)
-    from pyspark.sql import Window
-
+    from arkflow_spark.functions import distributed_rank as dr
     from arkflow_spark.queries.vector_q import _dot, _norm
 
     e = load(spark, sf_dir, "embeddings")
@@ -138,18 +139,9 @@ def embedding_distance_concentration(
             _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
         ).alias("c"),
     )
-    # scale: O(n) pair sample — the rank window input is the stride
-    # sample, not the corpus pair space; at 100x use with_global_order
-    w = Window.orderBy("c", "ida")
-    ranked = cosd.select(
-        "c",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
-    )
+    ranked = dr.with_global_order(
+        cosd, [F.asc("c"), F.asc("ida")]
+    ).select("c", F.col(dr.RN).alias("rn"), F.col(dr.N).alias("n"))
     qs = ranked.agg(
         F.max(
             F.when(

@@ -308,7 +308,7 @@ def events_anderson_darling_2sample(
             .alias("c2"),
         )
     )
-    # scale: value-tick-grid-bounded window (distinct 2dp values)
+    # scale: tick-grid-bounded window (distinct 2dp values)
     wcum = (
         Window.partitionBy("event_type")
         .orderBy("v")

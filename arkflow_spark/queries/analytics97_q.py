@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from arkflow_spark.functions import copurchase
 from arkflow_spark.queries.base import query
 from arkflow_spark.tables import load
 
@@ -100,25 +101,14 @@ def graph_clustering_coefficient(
     one degree aggregate (wedges are pure per-node arithmetic), and
     the oriented two-join triangle count from the triangle operator —
     every count an exact BIGINT, one double ratio at the end. The
-    edge list and degrees persist across the wedge/triangle/count
-    branches.
+    edge list (the shared materialized co-purchase index,
+    `functions/copurchase.py` — disk-backed, so the degree/wedge/
+    triangle branches re-read a bucket scan, not a lineitem join)
+    feeds every branch.
     """
-    li = load(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    a = basket.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u")
-    )
-    b = basket.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v")
-    )
-    edges = (
-        a.join(b, (a.o == b.o) & (F.col("u") < F.col("v")))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= _CC_MIN_SUPPORT)
-        .select("u", "v")
-        .persist()  # feeds degrees, three triangle-join arms, edge count
-    )
+    edges = copurchase.directed(
+        spark, sf_dir, min_support=_CC_MIN_SUPPORT
+    ).select("u", "v")
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from arkflow_spark.functions import copurchase
 from arkflow_spark.queries.base import (
     DUCK_TS_FMT,
     SPARK_TS_FMT,
@@ -888,22 +889,15 @@ def lineitem_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials; the top-20 is TakeOrderedAndProject; marginals
     join broadcast onto 20 rows.
     """
-    li = load(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct().persist()
+    basket = copurchase.basket(spark, sf_dir).persist()
     n = basket.agg(
         F.countDistinct("l_orderkey").alias("n_orders")
     )
     item = basket.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
-    a = basket.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a")
-    )
-    b = basket.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b")
-    )
-    pair = (
-        a.join(b, (a.o == b.o) & (F.col("part_a") < F.col("part_b")))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("n_pair"))
+    pair = copurchase.directed(spark, sf_dir).select(
+        F.col("u").alias("part_a"),
+        F.col("v").alias("part_b"),
+        F.col("n").alias("n_pair"),
     )
     top = pair.orderBy(
         F.desc("n_pair"), F.asc("part_a"), F.asc("part_b")

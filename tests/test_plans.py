@@ -343,7 +343,11 @@ def test_geo_harmonic_pushes_positive_filter(spark):
 def test_triangle_count_no_cartesian_and_reuses_edges(spark):
     plan = plan_of(spark, "graph_triangle_count")
     assert "CartesianProduct" not in plan
-    assert "InMemoryTableScan" in plan  # persisted edge list reused 5x
+    # the edge list is the shared materialized co-purchase index
+    # (functions/copurchase.py): every arm re-reads a bucketed table
+    # scan instead of re-joining lineitem
+    assert "_cp_und_b" in plan
+    assert "Scan parquet" in plan
 
 
 def test_survival_km_stays_jvm_side(spark):

@@ -5,12 +5,18 @@ SinglePartition`` + one-task sort — correct, but a serial bottleneck the
 moment its input scales with the corpus (the round-4 judge flagged five
 such queries; they now use ``functions/distributed_rank``). This gate
 scans EVERY registered query's physical plan: any remaining
-unpartitioned Window must be justified — a ``# scale:`` comment in the
-query function's own source stating why the window input is bounded
-(calendar grid, vocabulary, top-k-after-limit, partition-count, ...) —
-or the query fails. Offsets windows keyed by the distributed-rank
-helper's ``__pid`` are excluded by the detector itself
-(partition-count-bounded by construction).
+unpartitioned Window must be justified by a ``# scale:`` comment in the
+query function's own source whose justification NAMES one of the
+enumerated boundedness classes in
+``scripts.plan_report.SCALE_CLASSES`` (calendar grid, tick grid,
+partition count, top-k-after-limit, bucket summary, closed schema
+domain) — or the query fails. Free-text justifications are rejected:
+the r5 judge showed "minority-class stream" (error events grow linearly
+with the corpus) and "vocab-bounded" (Heaps' law — distinct tokens
+reach 1e8-1e9 on a 100 TB web corpus) both hid real single-partition
+bottlenecks. Offsets windows keyed by the distributed-rank helper's
+``__pid`` are excluded by the detector itself (partition-count-bounded
+by construction).
 
 Mirrors the HUGEINT oracle gate (test_oracle_types.py): the class that
 slipped into four rounds of reviews is now structurally impossible to
@@ -21,13 +27,18 @@ from __future__ import annotations
 
 import inspect
 
-from scripts.plan_report import unpartitioned_windows
+from scripts.plan_report import (
+    SCALE_CLASSES,
+    enumerated_scale_markers,
+    unpartitioned_windows,
+)
 
 from arkflow_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 
 # queries whose justified window lives in a shared helper (the marker is
-# in the helper's source, which inspect.getsource(fn) does not include)
+# in the helper's source, which inspect.getsource(fn) does not include).
+# The justification string must still name an enumerated class.
 HELPER_MARKED = {
     "graph_pagerank_bipartite": "graph_q._topk_ranks: top-k-bounded",
     "graph_pagerank_bucketed": "graph_q._topk_ranks: top-k-bounded",
@@ -50,11 +61,49 @@ def test_no_unjustified_unpartitioned_window(spark):
         if name in HELPER_MARKED:
             continue
         src = inspect.getsource(fn)
-        if "# scale:" not in src:
+        if not enumerated_scale_markers(src):
             offenders[name] = [w[:160] for w in wins]
     assert not offenders, (
-        "corpus-scaled single-partition window(s) without a '# scale:' "
-        "justification marker — either convert to "
-        "functions/distributed_rank.with_global_order or add the marker "
-        f"with the boundedness argument: {offenders}"
+        "corpus-scaled single-partition window(s) without an ENUMERATED "
+        "'# scale:' boundedness class — either convert to "
+        "functions/distributed_rank.with_global_order or justify with "
+        f"one of {SCALE_CLASSES}: {offenders}"
     )
+
+
+def test_helper_marked_justifications_are_enumerated():
+    for name, marker in HELPER_MARKED.items():
+        assert enumerated_scale_markers("# scale: " + marker), (
+            f"HELPER_MARKED[{name!r}] = {marker!r} does not name an "
+            f"enumerated boundedness class {SCALE_CLASSES}"
+        )
+
+
+def test_gate_rejects_free_text_justifications():
+    """The r5 judge's two offending justifications — and any other
+    free text — must NOT satisfy the gate; enumerated classes (with
+    optional helper prefix and trailing detail) must."""
+    rejected = [
+        "# scale: minority-class stream (error events)",
+        "# scale: vocab-bounded (distinct tokens)",
+        "# scale: bounded, trust me",
+        "# scale: incident-bounded (one row per detected incident)",
+        "no marker at all",
+        # class name must lead the justification, not hide mid-text
+        "# scale: the stream is small and calendar-bounded anyway",
+    ]
+    for src in rejected:
+        assert not enumerated_scale_markers(src), src
+    accepted = [
+        "# scale: calendar-bounded (hourly grid)",
+        "# scale: top-k-bounded (window after limit 30)",
+        "# scale: graph_q._topk_ranks: top-k-bounded",
+        "# scale: tick-grid-bounded — argmin over <= 50 candidates",
+        "# scale: bucket-summary-bounded, one row per id-bucket",
+        "# scale: schema-domain-bounded (25 brands per year)",
+        "# scale: partition-count-bounded",
+        # docstring markers may wrap lines
+        "(# scale:\n    schema-domain-bounded window, 25 brands)",
+    ]
+    for src in accepted:
+        assert enumerated_scale_markers(src), src
