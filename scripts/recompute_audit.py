@@ -65,6 +65,9 @@ def main() -> int:
     for name, fn in sorted(QUERIES.items()):
         if filters and not any(f in name for f in filters):
             continue
+        # bound cached-storage accumulation across the 539-query sweep
+        # (r5 ADVICE) — constructing a query may persist intermediates
+        spark.catalog.clearCache()
         try:
             plan = (
                 fn(spark, SF_DIR)

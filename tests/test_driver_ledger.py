@@ -1,0 +1,62 @@
+"""driver_ledger.json integrity (r5 judge item 7).
+
+The committed ledger must match a regeneration from the CORRECTNESS
+files (no hand-editing drift), and the rotation head staged for the
+NEXT driver round must actually spend its sample on coverage debt:
+queries the driver has never hash-checked, plus the queries changed
+this round (which must be re-proven).
+"""
+
+from __future__ import annotations
+
+import json
+
+from scripts.driver_ledger import build_ledger
+
+from arkflow_spark.queries import QUERIES
+
+
+def test_ledger_matches_regeneration():
+    committed = json.load(open("driver_ledger.json"))
+    assert committed == build_ledger(), (
+        "driver_ledger.json is stale — run scripts/driver_ledger.py"
+    )
+
+
+def test_ledger_covers_registry():
+    led = json.load(open("driver_ledger.json"))
+    assert set(led["queries"]) >= set(QUERIES)
+    assert led["n_queries"] == len(led["queries"])
+
+
+def test_rotation_head_targets_coverage_debt():
+    """Of the first 50 registry entries (the driver's sample), the
+    overwhelming majority must be never-sampled or changed-this-round —
+    not re-proofs of already-green queries (VERDICT r5 item 1)."""
+    led = json.load(open("driver_ledger.json"))["queries"]
+    head = list(QUERIES)[:50]
+    # queries whose implementation changed this round and therefore
+    # legitimately re-enter the sample even if previously green
+    changed_this_round = {
+        "events_incident_mtbf",
+        "text_vocab_coverage_curve",
+        "embedding_distance_concentration",
+        "graph_triangle_count",
+        "graph_community_label_prop",
+        "graph_community_label_prop_bucketed",
+        "graph_component_size_histogram",
+        "graph_link_prediction_ra",
+        "graph_clustering_coefficient",
+        "lineitem_copurchase_pairs",
+        "ann_ivf_assign",
+        "ann_ivf_search",
+    }
+    resamples = [
+        n
+        for n in head
+        if led[n]["sampled"] and n not in changed_this_round
+    ]
+    assert not resamples, (
+        "rotation head re-samples already-proven unchanged queries: "
+        f"{resamples}"
+    )

@@ -1571,3 +1571,84 @@ def test_stream_capped_sessions_matches_batch_fold(spark, tmp_path):
             got[i][1] for i in got if got[i][0] == sid
         }
         assert stream_starts == {r["session_start"]}, (sid, r)
+    # in-order arrival: nothing flagged late
+    assert not any(r["is_late"] for r in collected)
+
+
+def test_stream_capped_sessions_flags_late_rows(spark, tmp_path):
+    """r5 advisor: a row arriving with ts < the saved last-event time
+    used to silently join the open session AND regress the clock,
+    diverging from the batch fold with no signal. Under the default
+    ``late_policy="flag"`` the late row is emitted with is_late=true,
+    assigned to the open session, and state is NOT advanced — so
+    on-time rows keep exact batch-fold parity."""
+    from arkflow_spark.streaming.state import capped_sessions_stream
+
+    gap_ns = 3 * 3600 * 10**9
+    cap_ns = 12 * 3600 * 10**9
+    rows1 = [
+        (1, "2024-01-01 00:00:00", 7),
+        (2, "2024-01-01 02:00:00", 7),
+    ]
+    # event 3 is LATE (01:00 < saved prev 02:00); event 4 is on time
+    # and must still split on the gap exactly as the batch fold of the
+    # ON-TIME rows would (6h idle since 02:00)
+    rows2 = [
+        (3, "2024-01-01 01:00:00", 7),
+        (4, "2024-01-01 08:00:00", 7),
+    ]
+    src = str(tmp_path / "late_src")
+    mk = lambda rows: (
+        spark.createDataFrame(
+            rows, "event_id BIGINT, ts STRING, user_id BIGINT"
+        )
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
+    )
+    mk(rows1).write.mode("append").parquet(src)
+    collected = []
+
+    def run_once():
+        sdf = spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT"
+        ).parquet(src)
+        out = capped_sessions_stream(
+            sdf, "user_id", "ts", "event_id", gap_ns, cap_ns
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    mk(rows2).write.mode("append").parquet(src)
+    run_once()
+
+    got = {r["event_id"]: r for r in collected}
+    assert len(got) == 4
+    assert [got[i]["is_late"] for i in (1, 2, 3, 4)] == [
+        False, False, True, False,
+    ]
+    # the late row rides the open session without moving its start
+    assert got[3]["session_id"] == 1
+    assert got[3]["session_start"] == got[1]["session_start"]
+    # on-time rows: gap split at 08:00 exactly as if the late row had
+    # never arrived (state not regressed by event 3)
+    assert [got[i]["session_id"] for i in (1, 2, 4)] == [1, 1, 2]
+
+
+def test_capped_sessions_rejects_unknown_policy(spark):
+    import pytest as _pytest
+
+    from arkflow_spark.streaming.state import capped_sessions_stream
+
+    with _pytest.raises(ValueError, match="late_policy"):
+        capped_sessions_stream(
+            spark.range(1).withColumn("ts", F.current_timestamp()),
+            "id", "ts", "id", 1, 1, late_policy="bogus",
+        )
