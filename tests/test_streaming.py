@@ -1652,3 +1652,90 @@ def test_capped_sessions_rejects_unknown_policy(spark):
             spark.range(1).withColumn("ts", F.current_timestamp()),
             "id", "ts", "id", 1, 1, late_policy="bogus",
         )
+
+
+def test_stream_growth_accounting_matches_batch(spark, tmp_path):
+    """The incremental growth-accounting stream must classify each
+    user-day exactly once across a checkpoint restart, and its daily
+    rollup must equal the batch `events_growth_accounting`
+    new/retained/resurrected counts over the same rows."""
+    from collections import Counter
+
+    from arkflow_spark.queries import QUERIES
+    from arkflow_spark.streaming.state import growth_accounting_stream
+
+    rows1 = [
+        (1, "2024-01-01 05:00:00", 7),
+        (2, "2024-01-01 09:00:00", 7),   # same day: one emission
+        (3, "2024-01-01 06:00:00", 8),
+        (4, "2024-01-02 06:00:00", 8),   # retained
+    ]
+    rows2 = [
+        (5, "2024-01-02 07:00:00", 7),   # retained (restart carries state)
+        (6, "2024-01-04 07:00:00", 7),   # resurrected (gap day)
+        (7, "2024-01-04 08:00:00", 9),   # new
+    ]
+    src = str(tmp_path / "ga_src")
+    mk = lambda rows: (
+        spark.createDataFrame(
+            rows, "event_id BIGINT, ts STRING, user_id BIGINT"
+        )
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
+    )
+    mk(rows1).write.mode("append").parquet(src)
+    collected = []
+
+    def run_once():
+        sdf = spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT"
+        ).parquet(src)
+        out = growth_accounting_stream(sdf, "user_id", "ts")
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ga_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    mk(rows2).write.mode("append").parquet(src)
+    run_once()
+
+    got = {(r["user_id"], str(r["day"])): r["status"] for r in collected}
+    assert len(got) == len(collected), "user-day emitted more than once"
+    assert got == {
+        (7, "2024-01-01"): "new",
+        (8, "2024-01-01"): "new",
+        (8, "2024-01-02"): "retained",
+        (7, "2024-01-02"): "retained",
+        (7, "2024-01-04"): "resurrected",
+        (9, "2024-01-04"): "new",
+    }
+    # daily rollup equals the batch decomposition over the same rows
+    import tempfile
+
+    batch_dir = str(tmp_path / "ga_batch")
+    mk(rows1).unionByName(mk(rows2)).withColumn(
+        "event_type", F.lit("view")
+    ).withColumn("value", F.lit(1.0)).withColumn(
+        "props", F.lit("{}")
+    ).write.parquet(batch_dir + "/events.parquet")
+    bq = {
+        r["day"]: r
+        for r in QUERIES["events_growth_accounting"](
+            spark, batch_dir
+        ).collect()
+    }
+    from collections import defaultdict
+
+    agg = defaultdict(Counter)
+    for (u, day), st in got.items():
+        agg[day][st] += 1
+    for day, r in bq.items():
+        assert agg[day]["new"] == r["new_users"], day
+        assert agg[day]["retained"] == r["retained"], day
+        assert agg[day]["resurrected"] == r["resurrected"], day
