@@ -402,6 +402,31 @@ HEADLINE = [
     "dq_amount_reconciliation",
     "events_daily_amplitude",
     "customer_first_order_predictiveness",
+    # round-6 batches 113-119 (first benched in BENCH_r06)
+    "orders_bullwhip_ratio",
+    "part_power_of_two_policy",
+    "nation_gravity_model",
+    "events_logrank_test",
+    "documents_mcnemar_filters",
+    "events_growth_accounting",
+    "events_topk_rbo_drift",
+    "graph_local_bridges",
+    "graph_rich_club",
+    "part_cross_price_elasticity",
+    "dq_sentinel_values",
+    "text_boilerplate_shingles",
+    "nation_fisher_exact_deficit",
+    "events_mantel_haenszel",
+    "nation_rca_index",
+    "events_multiwindow_burn_alerts",
+    "text_dialog_format_share",
+    "embedding_cka_blocks",
+    "ann_knn_reciprocity",
+    "layout_encoding_advisor",
+    "events_alert_mttd",
+    "events_quantile_treatment_effect",
+    "events_cochran_armitage_trend",
+    "ann_filtered_search_recall",
 ]
 
 

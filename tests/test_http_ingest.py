@@ -120,9 +120,13 @@ def test_webhook_rate_limit_429(tmp_path):
     refill restores."""
     import time
 
+    # refill rate of 1/s: even on a heavily loaded machine the three
+    # burst posts cannot take the >1 s apiece that would refill a
+    # token mid-loop and let the fourth post through (a 50 rps limit
+    # flaked exactly that way under a parallel Spark suite)
     srv = WebhookIngestServer(
         str(tmp_path), "127.0.0.1:0", "/i",
-        rate_limit={"requests_per_second": 50, "burst_size": 3},
+        rate_limit={"requests_per_second": 1, "burst_size": 3},
     ).start()
     try:
         url = f"http://127.0.0.1:{srv.port}/i"
@@ -131,7 +135,7 @@ def test_webhook_rate_limit_429(tmp_path):
         with pytest.raises(urllib.error.HTTPError) as e:
             post(url, b"x")
         assert e.value.code == 429
-        time.sleep(0.1)  # 50 rps refill -> tokens available again
+        time.sleep(1.2)  # 1 rps refill -> a token is available again
         post(url, b"x")
     finally:
         srv.stop()
