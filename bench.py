@@ -427,6 +427,12 @@ HEADLINE = [
     "events_quantile_treatment_effect",
     "events_cochran_armitage_trend",
     "ann_filtered_search_recall",
+    "dq_format_inference",
+    "events_boxcox_lambda",
+    "documents_rrf_quality_fusion",
+    "graph_community_modularity",
+    "part_dead_stock_aging",
+    "dq_sum_overflow_margin",
 ]
 
 
