@@ -1,0 +1,400 @@
+"""Round-6 batch 124: sequential test replay, trade reciprocity,
+local outlier factor.
+
+- `events_sprt_replay` — Wald's sequential probability ratio test
+  replayed over the daily conversion stream: the cumulative
+  log-likelihood ratio for H1 (p = p0 * 1.05) vs H0 (p = p0, the
+  corpus rate), against the alpha=beta=0.05 decision bounds. Reports
+  the walk and the first crossing — how many days a SEQUENTIAL test
+  would have needed vs the fixed-horizon tests
+  (`events_split_rate_test`), which is the entire sales pitch of
+  sequential testing.
+- `nation_trade_reciprocity` — reciprocity of the directed trade
+  matrix: sum of min(F_ij, F_ji) over total off-diagonal flow (1 =
+  perfectly balanced corridors), plus the most asymmetric pairs.
+  `nation_trade_imbalance` scores nations; this scores CORRIDORS,
+  the actual negotiation unit.
+- `embedding_lof_simplified` — simplified Local Outlier Factor
+  (k = 5) within label buckets: each vector's k-distance vs the mean
+  k-distance of its neighbours. LOF ~ 1 = inlier; >> 1 = locally
+  sparse point. Catches outliers INSIDE dense clusters that the
+  global centroid distance (`embedding_label_outliers`) cannot see.
+
+Reference scope: arkflow's SQL processor surface
+(crates/arkflow-plugin/src/processor/sql.rs). All oracled vs DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arkflow_spark.queries.base import query
+from arkflow_spark.tables import load
+
+
+def _floor4(col):
+    """Deterministic 4-decimal quantization (see analytics2_q)."""
+    return F.floor(col * 10000 + 0.5) / 10000
+
+
+def _floor6(col):
+    """Deterministic 6-decimal quantization (see analytics27_q)."""
+    return F.floor(col * 1000000 + 0.5) / 1000000
+
+
+# ------------------------------------------------ SPRT replay
+
+_SPRT_LIFT = 1.05
+_SPRT_A = 0.05  # alpha = beta
+
+
+@query(
+    "events_sprt_replay",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             COUNT(*) AS n,
+             COUNT(*) FILTER (event_type = 'purchase') AS x
+      FROM events GROUP BY 1
+    ),
+    p0t AS (
+      SELECT CAST(SUM(x) AS DOUBLE) / SUM(n) AS p0 FROM daily
+    ),
+    llr AS (
+      SELECT d, n, x,
+             CAST(x * ln(least(p0 * {_SPRT_LIFT}, 0.999999) / p0)
+                  + (n - x) * ln((1 - least(p0 * {_SPRT_LIFT},
+                                            0.999999)) / (1 - p0))
+                  AS DECIMAL(28,12)) AS step
+      FROM daily CROSS JOIN p0t
+    ),
+    walk AS (
+      SELECT d, n, x,
+             CAST(SUM(step) OVER (ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS llr_cum
+      FROM llr
+    ),
+    bounds AS (
+      SELECT ln((1 - {_SPRT_A}) / {_SPRT_A}) AS up,
+             ln({_SPRT_A} / (1 - {_SPRT_A})) AS lo
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(x AS BIGINT) AS n_conversions,
+           floor(llr_cum * 10000 + 0.5) / 10000 AS llr_cum,
+           CASE WHEN llr_cum >= up THEN 'accept_h1'
+                WHEN llr_cum <= lo THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM walk CROSS JOIN bounds
+    ORDER BY day
+    """,
+)
+def events_sprt_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT replay on daily purchase conversion: cumulative
+    binomial log-likelihood ratio of H1 (rate lifted {l}x over the
+    corpus rate) vs H0 (corpus rate), with the
+    ln((1-a)/a) / ln(a/(1-a)) bounds at a = {a}. Each day's row shows
+    the walk and the standing decision. Under H0-generated data the
+    walk should hover between the bounds — an early 'accept_h1' day
+    is exactly the peeking-bias illusion SPRT exists to make safe.
+
+    Determinism: the per-day LLR steps are decimal-quantized, the
+    cumulative walk is a calendar-bounded running sum
+    (# scale: calendar-bounded — one row per day).
+
+    Scale shape: one daily rollup, a broadcast corpus-rate scalar,
+    one cumulative window over days.
+    """.format(l=_SPRT_LIFT, a=_SPRT_A)
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("x"),
+    )
+    p0t = daily.agg(
+        (F.sum("x").cast("double") / F.sum("n")).alias("p0")
+    )
+    p1 = F.least(F.col("p0") * _SPRT_LIFT, F.lit(0.999999))
+    step = (
+        F.col("x") * F.log(p1 / F.col("p0"))
+        + (F.col("n") - F.col("x")) * F.log((1 - p1) / (1 - F.col("p0")))
+    ).cast("decimal(28,12)")
+    llr = daily.crossJoin(F.broadcast(p0t)).select(
+        "d", "n", "x", step.alias("step")
+    )
+    # scale: calendar-bounded (one row per day; the walk is a running
+    # sum over the day grid, never over events)
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    up = float(__import__("math").log((1 - _SPRT_A) / _SPRT_A))
+    lo = float(__import__("math").log(_SPRT_A / (1 - _SPRT_A)))
+    walk = llr.select(
+        "d",
+        "n",
+        "x",
+        F.sum("step").over(w).cast("double").alias("llr_cum"),
+    )
+    return walk.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("x").cast("bigint").alias("n_conversions"),
+        _floor4(F.col("llr_cum")).alias("llr_cum"),
+        F.when(F.col("llr_cum") >= up, F.lit("accept_h1"))
+        .when(F.col("llr_cum") <= lo, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    ).orderBy("day")
+
+
+# ------------------------------------------------ trade reciprocity
+
+_TR_TOP = 10
+
+
+@query(
+    "nation_trade_reciprocity",
+    oracle=f"""
+    WITH flow AS (
+      SELECT ns.n_name AS src, nc.n_name AS dst,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,6))) AS f
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      WHERE ns.n_name <> nc.n_name
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.src AS nation_a, a.dst AS nation_b,
+             CAST(a.f AS DOUBLE) AS fab,
+             CAST(COALESCE(b.f, 0) AS DOUBLE) AS fba
+      FROM flow a LEFT JOIN flow b
+        ON b.src = a.dst AND b.dst = a.src
+      WHERE a.src < a.dst
+    )
+    SELECT nation_a, nation_b,
+           floor(fab * 100 + 0.5) / 100 AS flow_ab,
+           floor(fba * 100 + 0.5) / 100 AS flow_ba,
+           floor(2 * least(fab, fba) / (fab + fba) * 10000 + 0.5)
+             / 10000 AS corridor_reciprocity,
+           floor(abs(fab - fba) * 100 + 0.5) / 100 AS imbalance
+    FROM pairs
+    ORDER BY abs(fab - fba) DESC, nation_a, nation_b
+    LIMIT {_TR_TOP}
+    """,
+)
+def nation_trade_reciprocity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corridor-level trade reciprocity: for each unordered nation
+    pair, both directed flows, the reciprocity index
+    2 min(F_ab, F_ba) / (F_ab + F_ba) (1 = perfectly balanced,
+    0 = one-way), and the absolute imbalance; the {t} most
+    imbalanced corridors shown. The negotiation-unit view that
+    nation-level surpluses (`nation_trade_imbalance`) aggregate away
+    — a balanced nation can sit on wildly one-way corridors.
+
+    Scale shape: one lineitem scan into the 625-cell directed flow
+    matrix (dims broadcast), a self-join on the bounded matrix,
+    top-{t}.
+    """.format(t=_TR_TOP)
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ns = n.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("src")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("dst")
+    )
+    flow = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("snk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("cnk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,6)")
+            ).alias("f")
+        )
+    )
+    rev = flow.select(
+        F.col("src").alias("rsrc"),
+        F.col("dst").alias("rdst"),
+        F.col("f").alias("rf"),
+    )
+    pairs = (
+        flow.join(
+            F.broadcast(rev),
+            (F.col("rsrc") == F.col("dst"))
+            & (F.col("rdst") == F.col("src")),
+            "left",
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("nation_a"),
+            F.col("dst").alias("nation_b"),
+            F.col("f").cast("double").alias("fab"),
+            F.coalesce(F.col("rf").cast("double"), F.lit(0.0)).alias(
+                "fba"
+            ),
+        )
+    )
+    cents = lambda col: F.floor(col * 100 + 0.5) / 100
+    imb = F.abs(F.col("fab") - F.col("fba"))
+    return (
+        pairs.select(
+            "nation_a",
+            "nation_b",
+            cents(F.col("fab")).alias("flow_ab"),
+            cents(F.col("fba")).alias("flow_ba"),
+            _floor4(
+                2 * F.least(F.col("fab"), F.col("fba"))
+                / (F.col("fab") + F.col("fba"))
+            ).alias("corridor_reciprocity"),
+            cents(imb).alias("imbalance"),
+            imb.alias("_i"),
+        )
+        .orderBy(F.desc("_i"), "nation_a", "nation_b")
+        .limit(_TR_TOP)
+        .drop("_i")
+    )
+
+
+# ------------------------------------------------ simplified LOF
+
+_LOF_K = 5
+_LOF_TOP = 10
+
+
+@query(
+    "embedding_lof_simplified",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, label, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS v
+      FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
+      WHERE g.i <= len(embedding)
+    ),
+    dots AS (
+      SELECT a.vec_id AS qa, b.vec_id AS qb, a.label AS label,
+             SUM((a.v - b.v) * (a.v - b.v)) AS d2
+      FROM x a JOIN x b ON b.i = a.i AND b.label = a.label
+                        AND b.vec_id <> a.vec_id
+      GROUP BY 1, 2, 3
+    ),
+    knn AS (
+      SELECT qa, qb, label, sqrt(d2) AS dist,
+             row_number() OVER (PARTITION BY qa ORDER BY d2, qb) AS r
+      FROM dots QUALIFY r <= {_LOF_K}
+    ),
+    kdist AS (
+      SELECT qa, label, MAX(dist) AS dk FROM knn GROUP BY qa, label
+    ),
+    lof AS (
+      SELECT k.qa, k.label, kd.dk,
+             kd.dk * CAST(SUM(CAST(1.0 / nd.dk AS DECIMAL(28,12)))
+                          AS DOUBLE) / {_LOF_K} AS lof
+      FROM knn k
+      JOIN kdist nd ON nd.qa = k.qb
+      JOIN kdist kd ON kd.qa = k.qa
+      GROUP BY k.qa, k.label, kd.dk
+    )
+    SELECT CAST(qa AS BIGINT) AS vec_id, CAST(label AS INTEGER) AS label,
+           floor(dk * 1000000 + 0.5) / 1000000 AS k_distance,
+           floor(lof * 10000 + 0.5) / 10000 AS lof
+    FROM lof
+    ORDER BY lof DESC, qa
+    LIMIT {_LOF_TOP}
+    """,
+)
+def embedding_lof_simplified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simplified Local Outlier Factor (k = {k}) within label buckets:
+    LOF(v) = dk(v) x mean(1/dk(o)) over v's neighbours o — local
+    density ratio with reachability simplified to the k-distance.
+    LOF ~ 1 = as dense as the neighbourhood; >> 1 = locally sparse.
+    Top-{t} vectors shown.
+    Complements `embedding_label_outliers` (global centroid distance):
+    LOF flags points that sit in the cluster's bounding box but in a
+    local density hole — mislabeled or synthetic-noise vectors that
+    centroid distance calls normal.
+
+    Scale shape: the bucketed kNN construction (pair space bounded
+    per label bucket — the IVF discipline), one k-distance rollup,
+    one neighbour join on the bounded kNN edge list.
+    """.format(k=_LOF_K, t=_LOF_TOP)
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("qa"),
+        F.col("label").alias("label"),
+        F.col("embedding").alias("ea"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("qb"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("ea"),
+            F.col("eb"),
+            lambda p, q: (p.cast("double") - q.cast("double"))
+            * (p.cast("double") - q.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    dots = a.join(
+        b, (F.col("lb") == F.col("label")) & (F.col("qb") != F.col("qa"))
+    ).select("qa", "qb", "label", d2.alias("d2"))
+    w = Window.partitionBy("qa").orderBy("d2", "qb")
+    knn = (
+        dots.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _LOF_K)
+        .select("qa", "qb", "label", F.sqrt("d2").alias("dist"))
+    )
+    kdist = knn.groupBy("qa", "label").agg(F.max("dist").alias("dk"))
+    nd = kdist.select(
+        F.col("qa").alias("nqa"), F.col("dk").alias("ndk")
+    )
+    lof = (
+        knn.join(nd, knn.qb == F.col("nqa"))
+        .join(
+            kdist.select(F.col("qa").alias("kqa"), F.col("dk")),
+            knn.qa == F.col("kqa"),
+        )
+        .groupBy("qa", "label", "dk")
+        .agg(
+            (
+                F.max("dk")
+                * F.sum(
+                    (F.lit(1.0) / F.col("ndk")).cast("decimal(28,12)")
+                ).cast("double")
+                / _LOF_K
+            ).alias("lof")
+        )
+    )
+    return (
+        lof.select(
+            F.col("qa").cast("bigint").alias("vec_id"),
+            F.col("label").cast("int").alias("label"),
+            _floor6(F.col("dk")).alias("k_distance"),
+            _floor4(F.col("lof")).alias("lof"),
+            F.col("lof").alias("_l"),
+        )
+        .orderBy(F.desc("_l"), "vec_id")
+        .limit(_LOF_TOP)
+        .drop("_l")
+    )

@@ -433,6 +433,15 @@ HEADLINE = [
     "graph_community_modularity",
     "part_dead_stock_aging",
     "dq_sum_overflow_margin",
+    "events_usl_scalability_fit",
+    "supplier_leadtime_cvar",
+    "part_price_ladder_gaps",
+    "events_sprt_replay",
+    "nation_trade_reciprocity",
+    "embedding_lof_simplified",
+    "events_var_backtest_kupiec",
+    "graph_percolation_support_sweep",
+    "documents_quality_length_residual",
 ]
 
 
