@@ -104,3 +104,22 @@ def test_index_is_bucketed_on_u(spark):
     j = df.join(lbl.hint("merge"), df.u == lbl.node)
     jp = j._jdf.queryExecution().executedPlan().toString()
     assert "Bucketed: true" in jp, jp
+
+
+def test_shingle_index_builds_once_and_matches_compute(spark):
+    """The materialized shingle staging (dedup_q._shingles) must equal
+    a fresh computation and reuse one table per session."""
+    from arkflow_spark.queries.dedup_q import _shingles, _shingles_compute
+
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    table = index_table_name(spark, SF_SMOKE, nb, "_shingles_b")
+    got = {(r.doc_id, r.shingle) for r in _shingles(spark, SF_SMOKE).collect()}
+    exp = {
+        (r.doc_id, r.shingle)
+        for r in _shingles_compute(spark, SF_SMOKE).collect()
+    }
+    assert got == exp
+    assert spark.catalog.tableExists(table)
+    desc = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    info = {r.col_name: r.data_type for r in desc}
+    assert info.get("Bucket Columns") == "[`doc_id`]", info
