@@ -442,6 +442,9 @@ HEADLINE = [
     "events_var_backtest_kupiec",
     "graph_percolation_support_sweep",
     "documents_quality_length_residual",
+    "ann_retrieval_alpha_ndcg",
+    "events_ripley_k",
+    "dedup_rate_by_length_band",
 ]
 
 
