@@ -445,6 +445,8 @@ HEADLINE = [
     "ann_retrieval_alpha_ndcg",
     "events_ripley_k",
     "dedup_rate_by_length_band",
+    "events_holm_stepdown",
+    "graph_weak_tie_removal_impact",
 ]
 
 
