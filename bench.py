@@ -447,6 +447,8 @@ HEADLINE = [
     "dedup_rate_by_length_band",
     "events_holm_stepdown",
     "graph_weak_tie_removal_impact",
+    "events_cron_artifact_detection",
+    "graph_ktruss_membership",
 ]
 
 
