@@ -449,6 +449,8 @@ HEADLINE = [
     "graph_weak_tie_removal_impact",
     "events_cron_artifact_detection",
     "graph_ktruss_membership",
+    "embedding_uniformity_alignment",
+    "customer_brand_switching",
 ]
 
 
