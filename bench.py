@@ -451,6 +451,8 @@ HEADLINE = [
     "graph_ktruss_membership",
     "embedding_uniformity_alignment",
     "customer_brand_switching",
+    "lineitem_promo_attach_rate",
+    "graph_avg_neighbor_degree",
 ]
 
 
