@@ -59,19 +59,36 @@ def bucketed_fresh(
         return False
 
 
+def _delete_warehouse_dir(spark: SparkSession, table: str) -> None:
+    """Remove ``<warehouse>/<table>`` through the Hadoop FileSystem
+    API so non-``file:`` warehouses (hdfs/s3a/abfss) are actually
+    cleaned — a raw ``shutil.rmtree`` on those URIs silently no-ops
+    (r6 ADVICE)."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if not wh:
+        return
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    try:
+        path = jvm.org.apache.hadoop.fs.Path(wh, table)
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        fs.delete(path, True)
+    except Exception:
+        # local fallback (e.g. a stopped JVM mid-teardown)
+        if wh.startswith("file:"):
+            wh = wh[len("file:") :]
+        import shutil
+
+        shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+
+
 def drop_managed(spark: SparkSession, table: str) -> None:
     """Drop a managed table AND its warehouse directory — a fresh
     session's in-memory catalog forgets the table while the directory
     survives, which fails the next saveAsTable with
     LOCATION_ALREADY_EXISTS."""
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    if wh.startswith("file:"):
-        wh = wh[len("file:") :]
-    if wh:
-        import shutil
-
-        shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+    _delete_warehouse_dir(spark, table)
 
 
 def materialize_bucketed(
@@ -89,8 +106,13 @@ def materialize_bucketed(
     df.write.bucketBy(nb, key).sortBy(key).mode("overwrite").saveAsTable(
         table
     )
+    # single quotes in the dataset path must be SQL-escaped or the
+    # TBLPROPERTIES statement breaks every index build for that
+    # dataset (r6 ADVICE); bucketed_fresh reads the property back
+    # unescaped, so the comparison still sees the raw path
+    esc = sf_dir.replace("'", "''")
     spark.sql(
         f"ALTER TABLE {table} SET TBLPROPERTIES"
-        f" ('src_dir'='{sf_dir}', 'buckets'='{nb}')"
+        f" ('src_dir'='{esc}', 'buckets'='{nb}')"
     )
     return spark.table(table)

@@ -198,6 +198,21 @@ def events_ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INCIDENT_GAP_S = 1800  # 30 min of quiet closes an incident
 
 
+def _mtbf_error_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filtered/projected construction feeding the incident
+    sessionizer. Exposed (not inlined) so
+    tests/test_plans.py::test_incident_mtbf_filter_pushed can assert
+    the EqualTo(event_type,error) pushdown on the REAL pre-checkpoint
+    stage — `distributed_rank.with_global_order` localCheckpoints its
+    input, which hides this scan from the final plan (r6 ADVICE: a
+    test-local rebuild of the filter was a tautology)."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    return e.select("ts", "event_id", ep.alias("__ep"))
+
+
 @query(
     "events_incident_mtbf",
     oracle=f"""
@@ -260,11 +275,7 @@ def events_incident_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (consecutive incidents are separated by >= {g} min of quiet, so
     #incidents <= timespan / gap regardless of corpus size).
     """.format(g=_INCIDENT_GAP_S // 60)
-    e = load(spark, sf_dir, "events").filter(
-        F.col("event_type") == "error"
-    )
-    ep = F.unix_micros(F.col("ts").cast("timestamp"))
-    base = e.select("ts", "event_id", ep.alias("__ep"))
+    base = _mtbf_error_base(spark, sf_dir)
     r1 = dr.with_global_order(
         base, [F.asc("ts"), F.asc("event_id")]
     )

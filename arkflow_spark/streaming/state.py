@@ -1746,7 +1746,14 @@ def capped_sessions_stream(
     - ``"flag"`` (default): emit the row assigned to the open session
       with ``is_late = true`` and WITHOUT advancing state — on-time
       rows keep exact batch parity, late ones are marked for the
-      caller to reconcile;
+      caller to reconcile. CAVEAT (r6 ADVICE): the flagged row carries
+      the OPEN session's ``session_start``, so a late event older than
+      that start is emitted with ``ts < session_start`` (and one older
+      than the cap window can imply a session exceeding ``cap_ns``).
+      Consumers MUST exclude ``is_late`` rows from duration/gap
+      aggregates — fold them in and the math silently goes negative or
+      over-cap; filter ``NOT is_late`` first and reconcile the flagged
+      rows separately (reassign, re-sessionize, or count them);
     - ``"drop"``: suppress late rows entirely (state untouched);
     - ``"accept"``: pre-r6 behavior — treat the row as in-order
       (negative gap joins the open session AND regresses the

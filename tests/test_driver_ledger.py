@@ -17,8 +17,13 @@ from arkflow_spark.queries import QUERIES
 
 
 def test_ledger_matches_regeneration():
+    """The committed ledger must match a regeneration over the rounds
+    it claims. Restricting to ``committed["rounds"]`` means a
+    CORRECTNESS file the driver writes AFTER the final commit doesn't
+    flag the committed ledger as hand-edited (VERDICT r6 item 3) —
+    hand-editing within the claimed rounds is still caught."""
     committed = json.load(open("driver_ledger.json"))
-    assert committed == build_ledger(), (
+    assert committed == build_ledger(rounds=committed["rounds"]), (
         "driver_ledger.json is stale — run scripts/driver_ledger.py"
     )
 

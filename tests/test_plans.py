@@ -795,19 +795,17 @@ def test_incident_mtbf_filter_pushed(spark):
     assignment runs over the minority class only. r6: the query now
     routes through distributed_rank, whose localCheckpoint hides the
     scan from the FINAL plan (both branches read an ExistingRDD), so
-    the pushdown is asserted on the construction that feeds the
-    helper, and the final plan is asserted free of corpus-scaled
+    the pushdown is asserted on the QUERY'S OWN pre-checkpoint
+    construction (`analytics16_q._mtbf_error_base` — the exact stage
+    that feeds the helper; r6 ADVICE killed the test-local rebuild as
+    a tautology), and the final plan is asserted free of corpus-scaled
     single-partition windows (the reason for the conversion)."""
-    from pyspark.sql import functions as F
-
     from scripts.plan_report import unpartitioned_windows
 
-    from arkflow_spark.tables import load
+    from arkflow_spark.queries.analytics16_q import _mtbf_error_base
     from tests.conftest import SF_SMOKE
 
-    feeder = load(spark, SF_SMOKE, "events").filter(
-        F.col("event_type") == "error"
-    )
+    feeder = _mtbf_error_base(spark, SF_SMOKE)
     fplan = feeder._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
