@@ -313,35 +313,18 @@ def graph_component_size_histogram(
     says cross-sell paths reach the whole catalog; many small islands
     say assortments are siloed.
 
-    Scale shape: per round, one edge join + min-aggregate with
-    per-round persists (the label-prop dataflow); the histogram is a
-    label-keyed rollup. Edges read the shared materialized co-purchase
-    index (`functions/copurchase.py`) — bucket-partitioned on `u` (the
-    neighbour-join key), built once per session, reused every round
-    and by every other graph query.
-    """.format(r=_CC_ROUNDS)
-    und = copurchase.undirected(
-        spark, sf_dir, min_support=_CC_MIN_SUPPORT
-    ).select("u", "v")
-    nodes = und.select(F.col("u").alias("node")).distinct()
-    lbl = nodes.select("node", F.col("node").alias("lbl")).persist()
-    for _ in range(_CC_ROUNDS):
-        neigh = (
-            und.join(lbl, und.u == lbl.node)
-            .select(F.col("v").alias("node"), "lbl")
-            .groupBy("node")
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        lbl = (
-            lbl.join(neigh, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))
-                ).alias("lbl"),
-            )
-            .persist()  # per-round persist: the label-prop discipline
-        )
+    Scale shape (r7): the labels come from the MATERIALIZED
+    component-labels index (`functions/graph_labels.component_labels`,
+    keyed by (sf_dir, support={s}, rounds={r}) — one propagation per
+    session shared across the graph family, built on bucketed
+    edge/node staging so every round's neighbour join is
+    exchange-free); this query's own cost is two label-keyed rollups.
+    """.format(r=_CC_ROUNDS, s=_CC_MIN_SUPPORT)
+    from arkflow_spark.functions.graph_labels import component_labels
+
+    lbl = component_labels(
+        spark, sf_dir, _CC_MIN_SUPPORT, _CC_ROUNDS
+    )
     comp = lbl.groupBy("lbl").agg(
         F.count("*").cast("bigint").alias("size")
     ).persist()

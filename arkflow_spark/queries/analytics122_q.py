@@ -34,7 +34,6 @@ from arkflow_spark.queries.base import query
 from arkflow_spark.queries.analytics43_q import (
     _LP_ROUNDS,
     _lp_round_sql,
-    _lp_rounds,
 )
 from arkflow_spark.tables import load
 
@@ -101,18 +100,19 @@ def graph_community_modularity(
     degree-preserving random graph would; shipping those segments to
     merchandising would be noise laundering.
 
-    Scale shape: edges/labels reuse the shared co-purchase index and
-    the Pregel round dataflow; the Q terms live on the
-    community-bounded label table, decimal-quantized before the final
+    Scale shape (r7): the label partition comes from the MATERIALIZED
+    component-labels index (`functions/graph_labels.component_labels`
+    — one propagation per session shared with the label-prop /
+    histogram / percolation / weak-tie family); this query's own cost
+    is the edge-endpoint label joins (bucketed on the node key) and
+    the community-bounded Q rollup, decimal-quantized before the final
     exact sum.
     """.format(r=_LP_ROUNDS)
+    from arkflow_spark.functions.graph_labels import component_labels
+
     und = copurchase.undirected(spark, sf_dir).select("u", "v")
     edges = copurchase.directed(spark, sf_dir).select("u", "v")
-    nodes = und.select("u").distinct()
-    lbl = _lp_rounds(
-        nodes.select("u", F.col("u").alias("lbl")).persist(), und,
-        _LP_ROUNDS,
-    )
+    lbl = component_labels(spark, sf_dir, 1, _LP_ROUNDS)
     m = edges.agg(F.count("*").cast("double").alias("m"))
     deg = und.groupBy("u").agg(F.count("*").alias("d"))
     ca = lbl.select(F.col("u").alias("eu"), F.col("lbl").alias("la"))

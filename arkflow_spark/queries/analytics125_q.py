@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from arkflow_spark.functions import copurchase
 from arkflow_spark.queries.base import query
-from arkflow_spark.queries.analytics43_q import _lp_round_sql, _lp_rounds
+from arkflow_spark.queries.analytics43_q import _lp_round_sql
 from arkflow_spark.tables import load
 
 
@@ -215,26 +215,24 @@ def graph_percolation_support_sweep(
     where giant_share collapses is where the graph stops being one
     market and becomes islands.
 
-    Scale shape: ONE shared materialized pair-count index feeds all
-    four thresholds (filters on the bucketed scan); each threshold
-    runs the Pregel round dataflow on a shrinking edge set.
+    Scale shape (r7): each threshold's labels come from the
+    MATERIALIZED component-labels index
+    (`functions/graph_labels.component_labels`, keyed by (sf_dir,
+    support, rounds) and shared with the label-prop / modularity /
+    histogram / weak-tie consumers) — the sweep's marginal cost is
+    four label rollups plus edge counts off the shared pair-count
+    index, not four propagations.
     """.format(ss=_PC_SUPPORTS, r=_PC_ROUNDS)
+    from arkflow_spark.functions.graph_labels import component_labels
+
     outs = []
     for s in _PC_SUPPORTS:
-        und = copurchase.undirected(spark, sf_dir, min_support=s).select(
-            "u", "v"
-        )
-        nodes = und.select("u").distinct()
-        lbl = _lp_rounds(
-            nodes.select("u", F.col("u").alias("lbl")).persist(),
-            und,
-            _PC_ROUNDS,
-        )
+        lbl = component_labels(spark, sf_dir, s, _PC_ROUNDS)
         comp = lbl.groupBy("lbl").agg(F.count("*").alias("sz"))
         ecnt = copurchase.directed(spark, sf_dir, min_support=s).agg(
             F.count("*").alias("n_edges")
         )
-        ncnt = nodes.agg(F.count("*").alias("n_nodes"))
+        ncnt = lbl.agg(F.count("*").alias("n_nodes"))
         outs.append(
             comp.agg(F.max("sz").alias("giant_size"))
             .crossJoin(F.broadcast(ecnt))

@@ -259,10 +259,20 @@ def graph_weak_tie_removal_impact(
     drops when the un-backed-up ties vanish — the structural-risk
     number that says whether the bridge list is trivia or exposure.
 
-    Scale shape: both label props and the closure detection read the
-    shared materialized co-purchase index; the wedge join is the
-    triangle operator's shape; giant shares are label-keyed rollups.
+    Scale shape (r7): the BASE giant comes from the materialized
+    component-labels index (`functions/graph_labels.component_labels`
+    — one propagation per session, shared across the graph family);
+    only the pruned graph's propagation runs in-query (its edge set is
+    query-specific by construction). The closure wedge join is
+    degree-ORIENTED: wedges enumerate from each edge's lower-degree
+    endpoint (the standard triangle discipline), so a hub with degree
+    d contributes fan-out min(d, partner-degree) — at 100x with skewed
+    part popularity the wedge row count is bounded by the sum of
+    min-degrees, not the hub degrees. Giant shares are label-keyed
+    rollups.
     """.format(s=_WT_SUPPORT, r=_WT_ROUNDS)
+    from arkflow_spark.functions.graph_labels import component_labels
+
     edges = copurchase.directed(
         spark, sf_dir, min_support=_WT_SUPPORT
     ).select("u", "v")
@@ -271,37 +281,72 @@ def graph_weak_tie_removal_impact(
     )
     nodes = und.select("u").distinct()
 
+    def giant_of(lbl):
+        return lbl.groupBy("lbl").agg(F.count("*").alias("sz")).agg(
+            F.max("sz").alias("giant")
+        )
+
     def giant(und_df, nodes_df):
         lbl = _lp_rounds(
             nodes_df.select("u", F.col("u").alias("lbl")).persist(),
             und_df,
             _WT_ROUNDS,
         )
-        return lbl.groupBy("lbl").agg(F.count("*").alias("sz")).agg(
-            F.max("sz").alias("giant")
-        )
+        return giant_of(lbl)
 
     base_counts = edges.agg(F.count("*").alias("n_edges")).crossJoin(
         F.broadcast(nodes.agg(F.count("*").alias("n_nodes")))
     )
-    a = und.select(F.col("u").alias("au"), F.col("v").alias("w"))
-    b = und.select(F.col("u").alias("bu"), F.col("v").alias("bw"))
-    closed = (
-        edges.join(a, F.col("u") == F.col("au"))
-        .join(
-            b,
-            (F.col("v") == F.col("bu")) & (F.col("w") == F.col("bw")),
-            "left_semi",
+    # orient each edge's wedge enumeration from its lower-degree
+    # endpoint (ties by node id, deterministic and orientation-free:
+    # closure is symmetric in the endpoints)
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("u").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") <= F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
         )
+    )
+    a = und.select(F.col("u").alias("lo"), F.col("v").alias("w"))
+    b = und.select(F.col("u").alias("hi"), F.col("v").alias("w"))
+    closed = (
+        oriented.join(a, "lo")
+        .join(b, ["hi", "w"], "left_semi")
         .select("u", "v")
         .distinct()
     )
-    pruned_edges = edges.join(closed, ["u", "v"], "left_semi")
-    pruned_und = pruned_edges.unionAll(
-        pruned_edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # the wedge join is the query's expensive stage and feeds the
+    # pruned propagation (3 rounds x 2 references) plus two counts —
+    # persist it once or every round re-runs the closure detection
+    pruned_edges = edges.join(
+        closed, ["u", "v"], "left_semi"
+    ).persist()
+    # pre-partition on the neighbour-join key so each propagation
+    # round's edges-x-labels join reuses the cached partitioning
+    # instead of re-exchanging the edge list (the in-memory analogue
+    # of the labels index's bucketed staging)
+    pruned_und = (
+        pruned_edges.unionAll(
+            pruned_edges.select(
+                F.col("v").alias("u"), F.col("u").alias("v")
+            )
+        )
+        .repartition(F.col("v"))
+        .persist()
     )
     pruned_nodes = pruned_und.select("u").distinct()
-    g_before = giant(und, nodes)
+    g_before = giant_of(
+        component_labels(spark, sf_dir, _WT_SUPPORT, _WT_ROUNDS)
+    )
     g_after = giant(pruned_und, pruned_nodes)
     pn = pruned_edges.agg(F.count("*").alias("p_edges"))
     gb, ga = F.col("giant"), F.col("p_giant")

@@ -82,36 +82,12 @@ _LP_ORACLE = f"""
     """
 
 
-def _lp_rounds(lbl, und, rounds: int):
-    """Synchronous min-label rounds shared by the plain and bucketed
-    twins: each round is one v-keyed neighbour join + u-keyed min-agg +
-    u-keyed label join (the Pregel dataflow shape)."""
-    for _ in range(rounds):
-        nb_min = (
-            und.join(
-                lbl.select(
-                    F.col("u").alias("v"), F.col("lbl").alias("nl")
-                ),
-                "v",
-            )
-            .groupBy("u")
-            .agg(F.min("nl").alias("nb_lbl"))
-        )
-        # each round references lbl twice — persist so the lineage is
-        # evaluated once per round, not 2^rounds times (Pregel-in-
-        # DataFrames discipline, same as graph_pagerank_bipartite)
-        lbl = (
-            lbl.join(nb_min, "u", "left")
-            .select(
-                "u",
-                F.least(
-                    F.col("lbl"),
-                    F.coalesce(F.col("nb_lbl"), F.col("lbl")),
-                ).alias("lbl"),
-            )
-            .persist()
-        )
-    return lbl
+# one copy of the Pregel-shaped round dataflow, shared with the
+# materialized labels index builder (functions/graph_labels.py); the
+# historical name stays importable for the downstream batch modules
+from arkflow_spark.functions.graph_labels import (  # noqa: E402
+    lp_rounds as _lp_rounds,
+)
 
 
 def _lp_top_communities(lbl):
@@ -175,36 +151,22 @@ def graph_community_label_prop_bucketed(
     `_lp` tables differ only in bucketing key (`v`, its neighbour-join
     side).
 
+    r7: the propagation RESULT is itself materialized
+    (`functions/graph_labels.component_labels`, keyed by (sf_dir,
+    support, rounds)) — this query and the modularity / histogram /
+    percolation / weak-tie consumers share ONE propagation per
+    session; the per-query cost is a label-keyed rollup. The plain
+    twin above deliberately keeps the live Pregel dataflow as an
+    independent witness of the index builder (both prove the same
+    oracle).
+
     Plan evidence: tests/test_plans.py::
     test_label_prop_bucketed_round_join_exchange_free.
     """
-    from arkflow_spark.functions.indexes import (
-        bucketed_fresh,
-        index_table_name,
-        materialize_bucketed,
-    )
+    from arkflow_spark.functions.graph_labels import component_labels
 
-    nb = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    etable = index_table_name(spark, sf_dir, nb, "_lp_edges_b")
-    ntable = index_table_name(spark, sf_dir, nb, "_lp_nodes_b")
-    if bucketed_fresh(spark, etable, sf_dir, nb):
-        und_b = spark.table(etable)
-        nodes_b = spark.table(ntable)
-    else:
-        und = copurchase.undirected(spark, sf_dir).select("u", "v")
-        und_b = materialize_bucketed(
-            spark, und, etable, "v", sf_dir, nb
-        )
-        nodes_b = materialize_bucketed(
-            spark,
-            und.select("u").distinct(),
-            ntable,
-            "u",
-            sf_dir,
-            nb,
-        )
-    lbl = nodes_b.select("u", F.col("u").alias("lbl"))
-    return _lp_top_communities(_lp_rounds(lbl, und_b, _LP_ROUNDS))
+    lbl = component_labels(spark, sf_dir, 1, _LP_ROUNDS)
+    return _lp_top_communities(lbl)
 
 
 # ------------------------------------------------ exponentially decayed rate

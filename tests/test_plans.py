@@ -1822,25 +1822,27 @@ def test_distributed_rank_is_permutation(spark):
 
 
 def test_label_prop_bucketed_round_join_exchange_free(spark):
-    """The bucketed label-prop twin's per-round dataflow: the
-    edges-x-labels neighbour join must read pre-shuffled bucketed
-    storage with ZERO Exchange operators in the join subtree — the one
-    remaining exchange is the unavoidable neighbour-min transpose.
-    Mirrors test_pagerank_bucketed_iteration_join_exchange_free."""
+    """The component-labels INDEX BUILDER's per-round dataflow (r7:
+    the label-prop twins are rollups off the materialized labels; the
+    propagation lives in functions/graph_labels): the edges-x-labels
+    neighbour join must read pre-shuffled bucketed storage with ZERO
+    Exchange operators in the join subtree — the one remaining
+    exchange is the unavoidable neighbour-min transpose. Mirrors
+    test_pagerank_bucketed_iteration_join_exchange_free."""
     from pyspark.sql import functions as F
 
-    from arkflow_spark.queries.graph_q import _index_table_names
+    from arkflow_spark.functions.graph_labels import lp_table_names
 
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        # materializes the bucketed tables as a side effect
+        # materializes the bucketed staging tables as a side effect
         QUERIES["graph_community_label_prop_bucketed"](
             spark, SF_CORRECT
         ).collect()
         nb = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        etable, ntable = _index_table_names(
-            spark, SF_CORRECT, nb, prefix="_lp"
+        etable, ntable, _ = lp_table_names(
+            spark, SF_CORRECT, 1, 3, nb
         )
         und_b = spark.table(etable)
         lbl0 = spark.table(ntable).select("u", F.col("u").alias("lbl"))
