@@ -279,19 +279,11 @@ def dedup_lsh_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.lit(True).alias("is_true"))
     )
 
-    # candidates: the minhash banding (identical to dedup_minhash_lsh)
-    md5c = F.md5("shingle")
-    hashed = sh.select(
-        "doc_id",
-        F.conv(F.substring(md5c, 1, 15), 16, 10).cast("bigint").alias("h1"),
-        F.conv(F.substring(md5c, 16, 10), 16, 10).cast("bigint").alias("h2"),
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.col("h1") + i * F.col("h2")).alias(f"s{i}")
-            for i in range(N_HASHES)
-        ]
-    )
+    # candidates: the minhash banding (identical to dedup_minhash_lsh);
+    # r7: signatures read the materialized signature table
+    from arkflow_spark.queries.dedup_q import _mh_signatures
+
+    sig = _mh_signatures(spark, sf_dir)
     band_structs = F.array(
         *[
             F.struct(

@@ -26,7 +26,6 @@ from arkflow_spark.queries.base import query
 from arkflow_spark.queries.dedup_q import (
     N_HASHES,
     _ORACLE_SHINGLES,
-    _shingles,
 )
 from arkflow_spark.tables import load
 
@@ -106,19 +105,12 @@ def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     configs share the signature frame via persist — the corpus is
     shingled and hashed exactly once.
     """
-    sh = _shingles(spark, sf_dir)
-    md5c = F.md5("shingle")
-    hashed = sh.select(
-        "doc_id",
-        F.conv(F.substring(md5c, 1, 15), 16, 10).cast("bigint").alias("h1"),
-        F.conv(F.substring(md5c, 16, 10), 16, 10).cast("bigint").alias("h2"),
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.col("h1") + i * F.col("h2")).alias(f"s{i}")
-            for i in range(N_HASHES)
-        ]
-    ).persist()
+    # r7: signatures come from the materialized signature table (one
+    # build per session shared by the MinHash family) — the sweep's
+    # three configs re-band the SAME stored signatures
+    from arkflow_spark.queries.dedup_q import _mh_signatures
+
+    sig = _mh_signatures(spark, sf_dir)
     results = None
     for nb, r in _SWEEP_CONFIGS:
         band_structs = F.array(

@@ -281,29 +281,17 @@ def dedup_minhash_bbit_calibration(
     candidates are bucket-bounded, never all-pairs; the exact-Jaccard
     join touches candidates only.
     """
-    from arkflow_spark.queries.dedup_q import N_HASHES, _shingles
+    from arkflow_spark.queries.dedup_q import (
+        N_HASHES,
+        _mh_signatures,
+        _shingles,
+    )
 
     sh = _shingles(spark, sf_dir).persist()
-    md5c = F.md5("shingle")
-    hashed = sh.select(
-        "doc_id",
-        F.conv(F.substring(md5c, 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("h1"),
-        F.conv(F.substring(md5c, 16, 10), 16, 10)
-        .cast("bigint")
-        .alias("h2"),
-    )
-    # sig feeds the band explode AND both signature join sides; cand
-    # feeds the verify aggregate AND the final join — persist each so
-    # the 16-min signature aggregate and the banded self-join run once.
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.col("h1") + i * F.col("h2")).alias(f"s{i}")
-            for i in range(N_HASHES)
-        ],
-        F.count("*").alias("n"),
-    ).persist()
+    # r7: sig reads the materialized signature table (one build per
+    # session shared by the MinHash family); it feeds the band explode
+    # AND both signature join sides from bucketed storage.
+    sig = _mh_signatures(spark, sf_dir)
     band_structs = F.array(
         *[
             F.struct(
