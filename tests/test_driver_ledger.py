@@ -42,19 +42,20 @@ def test_rotation_head_targets_coverage_debt():
     head = list(QUERIES)[:50]
     # queries whose implementation changed this round and therefore
     # legitimately re-enter the sample even if previously green
+    # (r7: labels-index rollups + minhash signature index consumers)
     changed_this_round = {
-        "events_incident_mtbf",
-        "text_vocab_coverage_curve",
-        "embedding_distance_concentration",
-        "graph_triangle_count",
-        "graph_community_label_prop",
         "graph_community_label_prop_bucketed",
         "graph_component_size_histogram",
-        "graph_link_prediction_ra",
-        "graph_clustering_coefficient",
-        "lineitem_copurchase_pairs",
-        "ann_ivf_assign",
-        "ann_ivf_search",
+        "dedup_lsh_eval_pr",
+        "dedup_minhash_bbit_calibration",
+        "embedding_hubness_knn",
+        "dedup_minhash_lsh",
+        "dedup_band_sweep",
+        "dedup_cluster_canonical",
+        "embedding_lof_simplified",
+        "graph_weak_tie_removal_impact",
+        "graph_percolation_support_sweep",
+        "graph_community_modularity",
     }
     resamples = [
         n
