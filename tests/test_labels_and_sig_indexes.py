@@ -1,0 +1,84 @@
+"""The r7 materialized indexes: component labels and MinHash
+signatures (VERDICT r6 items 4 and 7).
+
+Component labels are keyed by (sf_dir, min_support, rounds) and shared
+by the label-prop / modularity / histogram / percolation / weak-tie /
+conductance / gini consumers; signatures are keyed by sf_dir and shared
+by the four MinHash consumers. Both must (a) materialize as bucketed
+tables, (b) short-circuit on the second call, and (c) equal the live
+dataflow they replaced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arkflow_spark.functions.graph_labels import (
+    component_labels,
+    lp_rounds,
+    lp_table_names,
+)
+from arkflow_spark.functions import copurchase
+from arkflow_spark.queries.dedup_q import (
+    _mh_signatures,
+    _mh_signatures_compute,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_labels_materialize_bucketed_and_short_circuit(spark):
+    component_labels(spark, SF_SMOKE, 2, 3)
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    _, _, ltable = lp_table_names(spark, SF_SMOKE, 2, 3, nb)
+    assert spark.catalog.tableExists(ltable)
+    desc = spark.sql(f"DESCRIBE EXTENDED {ltable}").collect()
+    info = {r.col_name: r.data_type for r in desc}
+    assert info.get("Bucket Columns") == "[`u`]", info
+    # second call serves the stored table — same name, no rebuild
+    df = component_labels(spark, SF_SMOKE, 2, 3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert ltable in plan
+
+
+def test_labels_keyed_by_support_and_rounds(spark):
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    names = {
+        lp_table_names(spark, SF_SMOKE, s, r, nb)[2]
+        for s, r in [(1, 3), (2, 3), (2, 4)]
+    }
+    assert len(names) == 3, names
+
+
+def test_labels_equal_live_propagation(spark):
+    """The index builder's result row-for-row equals the live Pregel
+    dataflow over the same graph (the plain label-prop twin keeps the
+    live path as the independent witness; this pins them together)."""
+    got = {
+        (r["u"], r["lbl"])
+        for r in component_labels(spark, SF_SMOKE, 2, 3).collect()
+    }
+    und = copurchase.undirected(spark, SF_SMOKE, min_support=2).select(
+        "u", "v"
+    )
+    nodes = und.select("u").distinct()
+    live = lp_rounds(
+        nodes.select("u", F.col("u").alias("lbl")), und, 3
+    )
+    assert got == {(r["u"], r["lbl"]) for r in live.collect()}
+
+
+def test_signatures_materialize_and_match_compute(spark):
+    sig = _mh_signatures(spark, SF_SMOKE)
+    from arkflow_spark.functions.indexes import index_table_name
+
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    table = index_table_name(spark, SF_SMOKE, nb, "_mh_sig_b")
+    assert spark.catalog.tableExists(table)
+    desc = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    info = {r.col_name: r.data_type for r in desc}
+    assert info.get("Bucket Columns") == "[`doc_id`]", info
+    stored = {tuple(r) for r in sig.collect()}
+    live = {
+        tuple(r) for r in _mh_signatures_compute(spark, SF_SMOKE).collect()
+    }
+    assert stored == live
