@@ -453,6 +453,19 @@ HEADLINE = [
     "customer_brand_switching",
     "lineitem_promo_attach_rate",
     "graph_avg_neighbor_degree",
+    # round-7 operators (first benched in BENCH_r07)
+    "graph_community_conductance",
+    "graph_brand_homophily",
+    "graph_community_size_gini",
+    "documents_dedup_quality_survivorship",
+    "dedup_signature_slot_health",
+    "dedup_cross_source_pairs",
+    "events_error_minute_availability",
+    "supplier_leadtime_cpk",
+    "lineitem_minmax_pruning_sim",
+    "nation_import_dependency_hhi",
+    "text_tfidf_keywords_by_source",
+    "events_gap_fill_interpolate",
 ]
 
 
