@@ -30,6 +30,9 @@ from pathlib import Path
 import yaml
 
 
+_DURABILITY_SYNC_MODES = ("per_entry", "group_commit", "periodic")
+
+
 @dataclass
 class StreamConfig:
     input: dict
@@ -39,6 +42,32 @@ class StreamConfig:
     error_output: dict | None = None
     temporaries: list[dict] = field(default_factory=list)
     name: str | None = None
+    # reference `durability:` block (examples/durability_example.yaml:
+    # enabled / path / sync). In the Spark engine the WAL role is played
+    # by Structured Streaming's checkpoint log: offsets are committed
+    # only after foreachBatch returns (write confirmed), so a crash
+    # between read and output replays the batch — the reference's
+    # at-least-once contract. `path` overrides the checkpoint location;
+    # `sync` is validated for config parity (Spark's checkpoint commit
+    # batches per micro-batch ~= group_commit; the per_entry/periodic
+    # distinction has no finer-grained Spark equivalent and is recorded,
+    # not emulated).
+    durability: dict | None = None
+
+    def __post_init__(self):
+        if self.durability:
+            sync = self.durability.get("sync", "group_commit")
+            if sync not in _DURABILITY_SYNC_MODES:
+                raise ValueError(
+                    f"durability.sync must be one of "
+                    f"{_DURABILITY_SYNC_MODES}, got {sync!r}"
+                )
+
+    @property
+    def durability_path(self) -> str | None:
+        if self.durability and self.durability.get("enabled"):
+            return self.durability.get("path")
+        return None
 
 
 @dataclass
@@ -59,6 +88,7 @@ class EngineConfig:
                     error_output=s.get("error_output"),
                     temporaries=list(s.get("temporary", []) or []),
                     name=s.get("name", f"stream_{i}"),
+                    durability=s.get("durability"),
                 )
             )
         if not streams:

@@ -90,7 +90,16 @@ class Stream:
         ``once=True`` uses the availableNow trigger: process everything
         currently available (respecting per-trigger ingest caps), then stop
         — the drain-and-exit mode for backfills and bounded demo runs.
+
+        A stream-level ``durability:`` block (reference:
+        examples/durability_example.yaml) overrides the checkpoint
+        location with its ``path`` — the checkpoint log IS the WAL
+        here: offsets commit only after foreachBatch returns, so a
+        crash between read and output replays the batch
+        (at-least-once, same contract as the reference's WAL).
         """
+        if self.conf.durability_path:
+            checkpoint_dir = self.conf.durability_path
         sdf = self.input.read_stream(self.spark)
 
         def handle(batch_df: DataFrame, epoch_id: int) -> None:
