@@ -10,9 +10,10 @@ shipped the whole corpus to the driver (`collect` + broadcast) or
 joined label buckets all-pairs — both corpus-proportional on a single
 node, the one shape that cannot survive 100 TB.
 
-This module is the classic blocked dataflow instead (the structure of
-every distributed exact-kNN system, e.g. Spark's own
-`ApproximateNearestNeighbors` brute-force baseline):
+This module is the classic block-nested-loop dataflow instead (the
+textbook structure for distributed exact similarity joins — the same
+shape MLlib's `approxSimilarityJoin` degenerates to when every pair
+shares a bucket):
 
 - queries get a block id ``qb = xxhash64(id) % Q``; corpus vectors get
   ``cb = xxhash64(id) % C``;
