@@ -24,7 +24,7 @@ Reference scope: arkflow's SQL processor surface
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from arkflow_spark.queries.base import query
