@@ -39,15 +39,6 @@ def _floor4(col):
 # ------------------------------------------------ hubness audit
 
 
-def _dot_unit(a, b):
-    """Left-fold dot product of two pre-normalized double arrays."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 _HUB_K = 10
 
 
@@ -108,12 +99,13 @@ def embedding_hubness_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     hubness statistic; skew >> 0 predicts degraded ANN precision and
     argues for hubness-aware reranking (e.g. mutual-kNN filtering).
 
-    Determinism: similarities use the sequential left-fold dot
-    product over pre-normalized vectors (the oracle normalizes at
-    pair time — algebraically identical, fp-different only in the
-    last ulp, far inside the top-k ordering margins; ties break on
-    candidate id); moments are computed two-pass around the exact
-    mean of integer counts.
+    Determinism: similarities are float64 BLAS dot products of
+    pre-normalized vectors, each (query, candidate) score computed in
+    exactly ONE blocked cell (the oracle normalizes at pair time —
+    algebraically identical, fp-different only in the last ulp, far
+    inside the top-k ordering margins; ties break on candidate id);
+    moments are computed two-pass around the exact mean of integer
+    counts.
 
     Scale shape (r7, replacing the r5 driver-collect): the exact
     all-pairs audit is quadratic by DEFINITION (it measures the full
