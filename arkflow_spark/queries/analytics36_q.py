@@ -109,8 +109,10 @@ def _floor4(col):
       WHERE q.vec_id < {N_QUERIES} AND a.cand_id <> q.vec_id
       GROUP BY 1, 2
     )
+    -- round the exact DECIMAL then cast (see pq_q: double-then-round
+    -- flips on .5-at-6dp boundaries)
     SELECT query_id, cand_id,
-           ROUND(CAST(ad2 AS DOUBLE), 6) AS approx_d2, rnk
+           CAST(ROUND(ad2, 6) AS DOUBLE) AS approx_d2, rnk
     FROM (
       SELECT query_id, cand_id, ad2,
              row_number() OVER (PARTITION BY query_id
@@ -188,7 +190,7 @@ def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round(F.col("ad2").cast("double"), 6).alias("approx_d2"),
+            F.round(F.col("ad2"), 6).cast("double").alias("approx_d2"),
             "rnk",
         )
         .orderBy("query_id", "rnk")

@@ -112,8 +112,11 @@ _PQ_ORACLE = f"""
       WHERE q.vec_id < {N_QUERIES} AND a.cand_id <> q.vec_id
       GROUP BY 1, 2
     )
+    -- round the exact DECIMAL, then cast: rounding after a double cast
+    -- flips on .5-at-6dp boundaries (double shortest-repr vs double
+    -- arithmetic disagree in the last ulp; hypothesis found one)
     SELECT query_id, cand_id,
-           ROUND(CAST(ad2 AS DOUBLE), 6) AS approx_d2, rnk
+           CAST(ROUND(ad2, 6) AS DOUBLE) AS approx_d2, rnk
     FROM (
       SELECT query_id, cand_id, ad2,
              row_number() OVER (PARTITION BY query_id
@@ -177,7 +180,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round(F.col("ad2").cast("double"), 6).alias("approx_d2"),
+            # round the exact decimal FIRST (HALF_UP at scale 6 in both
+            # engines), cast after — double-then-round flips on .5
+            # boundaries (see oracle comment)
+            F.round(F.col("ad2"), 6).cast("double").alias("approx_d2"),
             "rnk",
         )
         .orderBy("query_id", "rnk")

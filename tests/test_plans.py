@@ -1170,10 +1170,16 @@ def test_hashprio_sample_is_topk_not_global_sort(spark):
 
 
 def test_band_sweep_shares_one_signature_pass(spark):
-    """The three banding configs reuse ONE persisted signature frame —
-    the corpus is shingled and hashed once, not three times."""
+    """The three banding configs reuse ONE signature pass — r7: the
+    MATERIALIZED signature table (functions/indexes machinery via
+    dedup_q._mh_signatures), so every config's band self-join scans
+    stored bucketed signatures instead of re-hashing the shingle set
+    (and instead of the pre-r7 in-memory persist)."""
+    # build the index first so the final plan shows table scans
+    QUERIES["dedup_band_sweep"](spark, SF_CORRECT).collect()
     plan = plan_of(spark, "dedup_band_sweep")
-    assert plan.count("InMemoryTableScan") >= 6  # 2 sides x 3 configs
+    assert plan.count("_mh_sig_b") >= 6  # 2 sides x 3 configs
+    assert "shingle" not in plan  # no re-hash of the shingle staging
     assert "BatchEvalPython" not in plan
 
 
