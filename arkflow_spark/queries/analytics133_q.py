@@ -84,8 +84,10 @@ def events_error_minute_availability(
     the error-budget currency `events_error_budget_burn` spends.
 
     Scale shape: one distinct over (month, minute) on the
-    error-filtered scan (pushed predicate), one month rollup, a
-    broadcast month calendar — no windows, no state, no
+    error-filtered scan (pushed predicate) plus one unfiltered scan
+    for the month calendar (recompute_audit: deliberate — quiet
+    months must appear, and the calendar scan projects a single
+    column), one month rollup — no windows, no state, no
     sessionization; minute bucketing is what keeps the audit one
     groupBy at any corpus size.
     """
@@ -292,8 +294,11 @@ def lineitem_minmax_pruning_sim(
     re-cluster would buy — at 100 TB this is the difference between
     reading 400 GB and 40 TB for a one-quarter query.
 
-    Scale shape: two rollup passes over one scan each (row-group
-    min/max), a broadcast predicate grid, and a cells-bounded
+    Scale shape: two rollup passes, each its own 2-column pushed
+    parquet scan (recompute_audit: the double scan is DELIBERATE —
+    the two layouts group at different grains, and two narrow
+    column-pruned scans beat materializing a projection cache at
+    corpus scale), a broadcast predicate grid, and a cells-bounded
     summary. The simulation mirrors exactly what parquet footer
     min/max statistics do at scan time.
     """.format(k=_RG_ORDERKEYS)

@@ -115,6 +115,8 @@ def nation_import_dependency_hhi(
         .join(F.broadcast(ns), "s_nationkey")
         .groupBy("importer", "exporter")
         .agg(F.sum(rev).alias("rev"))
+        .persist()  # nations^2-bounded; totals and shares both read it
+        # — without this the lineitem scan + 5-way join runs twice
     )
     tot = flow.groupBy("importer").agg(F.sum("rev").alias("t"))
     shares = flow.join(tot, "importer").select(
