@@ -486,11 +486,18 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        # converged when the monotone non-increasing label sum is stable
-        if (
-            new_labels.agg(F.sum("label")).collect()[0][0]
-            == labels.agg(F.sum("label")).collect()[0][0]
-        ):
+        # converged when the monotone non-increasing labels are stable;
+        # hash the label first so the check is TYPE-AGNOSTIC — summing
+        # the raw column implicitly casts to double, which breaks on
+        # non-numeric doc ids (found by the 10x scale probe's
+        # "#c{i}"-suffixed ids) and loses exactness past 2^53 anyway
+        def _label_sig(df):
+            # decimal(38,0) sum: exact and overflow-proof under ANSI
+            return df.agg(
+                F.sum(F.xxhash64("doc_id", "label").cast("decimal(38,0)"))
+            ).collect()[0][0]  # bounded: one scalar row
+
+        if _label_sig(new_labels) == _label_sig(labels):
             labels = new_labels
             break
         labels = new_labels

@@ -69,11 +69,24 @@ PROBE_QUERIES = (
     "dedup_bloom_prefilter",
     "documents_cross_shard_overlap",
     "text_stopword_stylometry",
-    "multimodal_duplicate_frames",
+    # multimodal_* is NOT probe-compatible: the synthesized corpus
+    # suffixes doc_id with "#c{i}" (string ids keep text near-dup
+    # structure), so the multimodal family's CAST(doc_id AS BIGINT)
+    # nulls out and the Arrow batch dtype collapses. Its scale story
+    # is the payload-bounded frame fan-out (plan-evidenced in
+    # SCALE.md), not corpus growth.
     "embedding_matryoshka_prefix_recall",
     "embedding_silhouette_simplified",
     "ann_cosine_range_search",
     "documents_curriculum_order",
+    # round-7 conversions + index consumers: the blocked exact-kNN
+    # audits (previously driver-collect / all-pairs — the probe shows
+    # the new dataflow's growth), the signature-table family, and the
+    # labels-index rollups
+    "embedding_hubness_knn",
+    "embedding_lof_simplified",
+    "dedup_signature_slot_health",
+    "documents_dedup_quality_survivorship",
 )
 # relational shapes: facts scale 10x (offset keys keep joins consistent),
 # dims stay fixed — the realistic 100 TB growth pattern

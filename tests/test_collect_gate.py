@@ -34,8 +34,8 @@ ALLOWED = {
         "local_frame helper: caller contract is a bounded input frame",
     ),
     "queries/dedup_q.py": (
-        2,
-        "two single-row agg scalars (label-sum convergence check)",
+        1,
+        "one single-row agg scalar (label-signature convergence check)",
     ),
     "functions/indexes.py": (
         1,
