@@ -485,6 +485,17 @@ def main() -> None:
     # (BENCH_r02 recorded a warm run slower than its cold run purely from
     # ambient load; min-of-two suppresses that artifact).
     #
+    # The two warm runs are TEMPORALLY SEPARATED (r7 judge item 3): the
+    # r7 anchor recorded x7 outliers (events_otsu_threshold 6.66s vs
+    # 0.96s on re-run) because both back-to-back warm runs sat inside
+    # the same ambient-load window, so min-of-two couldn't reject it.
+    # Warm pass 1 runs right after each query's cold run; warm pass 2
+    # runs as a second sweep over ALL queries after the first loop
+    # finishes — minutes apart, so one load spike cannot inflate both
+    # samples of any query. The per-query spread (max/min of the two
+    # warm samples) ships in the payload; scripts/bench_compare.py
+    # flags entries whose spread exceeds ~1.3x as noise-suspect.
+    #
     # Cache policy (r5 ADVICE): spark.catalog.clearCache() runs BEFORE
     # EVERY timed run. Without it, Spark's CacheManager substitutes the
     # cold run's still-persisted intermediates into the warm runs'
@@ -499,18 +510,25 @@ def main() -> None:
     # contract, the first (cold) run of each consumer pays the build.
     per_query: dict[str, float] = {}
     cold: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    warm1: dict[str, float] = {}
     for name in names:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).collect()
         cold[name] = round(time.perf_counter() - t0, 3)
-        warms = []
-        for _ in range(2):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).collect()
-            warms.append(time.perf_counter() - t0)
-        per_query[name] = round(min(warms), 3)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        warm1[name] = time.perf_counter() - t0
+    for name in names:  # second warm sweep, minutes after the first
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        w2 = time.perf_counter() - t0
+        lo, hi = sorted((warm1[name], w2))
+        per_query[name] = round(lo, 3)
+        spread[name] = round(hi / lo, 2) if lo > 0 else 1.0
     total = round(sum(per_query.values()), 3)
     cold_total = round(sum(cold.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -530,6 +548,7 @@ def main() -> None:
         "sf": sf_val,
         "queries": per_query,
         "cold_queries": cold,
+        "warm_spread": spread,
         "tail_warm_total": total,
         "tail_cold_total": cold_total,
         "tail_sf": sf_val,
