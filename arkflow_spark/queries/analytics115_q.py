@@ -235,31 +235,21 @@ def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase support than triangle-embedded edges
     (`weak_ties_confirmed`).
 
-    Scale shape: edges read the shared materialized co-purchase index
-    (`functions/copurchase.py`); closure detection is the triangle
-    operator's wedge join (per-node fan-out bounded by degree; orient
-    by degree at web scale) followed by one anti-join; the output is
-    one row of exact counts and decimal-sum means.
+    Scale shape (r8): edges read the shared materialized co-purchase
+    index (`functions/copurchase.py`); closure membership reads the
+    shared materialized closure index
+    (`functions/graph_closure.closed_edges` — the degree-oriented
+    wedge join runs ONCE per (session, support) and is shared with
+    `graph_weak_tie_removal_impact`); one left join and one row of
+    exact counts and decimal-sum means follow.
     """.format(s=_LB_SUPPORT)
+    from arkflow_spark.functions.graph_closure import closed_edges
+
     edges = copurchase.directed(
         spark, sf_dir, min_support=_LB_SUPPORT
     )
-    und = edges.select("u", "v").unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    a = und.select(F.col("u").alias("au"), F.col("v").alias("w"))
-    b = und.select(F.col("u").alias("bu"), F.col("v").alias("bw"))
-    closed = (
-        edges.select("u", "v")
-        .join(a, F.col("u") == F.col("au"))
-        .join(
-            b,
-            (F.col("v") == F.col("bu")) & (F.col("w") == F.col("bw")),
-            "left_semi",
-        )
-        .select("u", "v")
-        .distinct()
-        .withColumn("closed", F.lit(True))
+    closed = closed_edges(spark, sf_dir, _LB_SUPPORT).withColumn(
+        "closed", F.lit(True)
     )
     marked = edges.join(closed, ["u", "v"], "left").select(
         "n", F.col("closed").isNull().alias("is_bridge")

@@ -259,18 +259,17 @@ def graph_weak_tie_removal_impact(
     drops when the un-backed-up ties vanish — the structural-risk
     number that says whether the bridge list is trivia or exposure.
 
-    Scale shape (r7): the BASE giant comes from the materialized
+    Scale shape (r8): the BASE giant comes from the materialized
     component-labels index (`functions/graph_labels.component_labels`
     — one propagation per session, shared across the graph family);
-    only the pruned graph's propagation runs in-query (its edge set is
-    query-specific by construction). The closure wedge join is
-    degree-ORIENTED: wedges enumerate from each edge's lower-degree
-    endpoint (the standard triangle discipline), so a hub with degree
-    d contributes fan-out min(d, partner-degree) — at 100x with skewed
-    part popularity the wedge row count is bounded by the sum of
-    min-degrees, not the hub degrees. Giant shares are label-keyed
-    rollups.
+    the closed-edge set comes from the materialized closure index
+    (`functions/graph_closure.closed_edges` — the degree-oriented
+    wedge join runs ONCE per (session, support), shared with
+    `graph_local_bridges`); only the pruned graph's propagation runs
+    in-query (its edge set is query-specific by construction). Giant
+    shares are label-keyed rollups.
     """.format(s=_WT_SUPPORT, r=_WT_ROUNDS)
+    from arkflow_spark.functions.graph_closure import closed_edges
     from arkflow_spark.functions.graph_labels import component_labels
 
     edges = copurchase.directed(
@@ -297,36 +296,9 @@ def graph_weak_tie_removal_impact(
     base_counts = edges.agg(F.count("*").alias("n_edges")).crossJoin(
         F.broadcast(nodes.agg(F.count("*").alias("n_nodes")))
     )
-    # orient each edge's wedge enumeration from its lower-degree
-    # endpoint (ties by node id, deterministic and orientation-free:
-    # closure is symmetric in the endpoints)
-    deg = und.groupBy("u").agg(F.count("*").alias("d"))
-    du = deg.select(F.col("u").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
-    lo_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") <= F.col("v"))
-    )
-    oriented = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            "u",
-            "v",
-            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
-            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
-        )
-    )
-    a = und.select(F.col("u").alias("lo"), F.col("v").alias("w"))
-    b = und.select(F.col("u").alias("hi"), F.col("v").alias("w"))
-    closed = (
-        oriented.join(a, "lo")
-        .join(b, ["hi", "w"], "left_semi")
-        .select("u", "v")
-        .distinct()
-    )
-    # the wedge join is the query's expensive stage and feeds the
-    # pruned propagation (3 rounds x 2 references) plus two counts —
-    # persist it once or every round re-runs the closure detection
+    closed = closed_edges(spark, sf_dir, _WT_SUPPORT)
+    # the pruned edge set feeds the pruned propagation (3 rounds x 2
+    # references) plus two counts — persist it once
     pruned_edges = edges.join(
         closed, ["u", "v"], "left_semi"
     ).persist()
