@@ -115,4 +115,12 @@ def materialize_bucketed(
         f"ALTER TABLE {table} SET TBLPROPERTIES"
         f" ('src_dir'='{esc}', 'buckets'='{nb}')"
     )
+    # record this process as the directory's owner so the startup
+    # sweep (functions/index_gc.gc_nonlive) can reclaim it once the
+    # session's process exits, without racing concurrent sessions
+    from arkflow_spark.functions.index_gc import write_owner
+
+    write_owner(
+        spark.conf.get("spark.sql.warehouse.dir", ""), table
+    )
     return spark.table(table)
