@@ -93,6 +93,22 @@ class EngineConfig:
             )
         if not streams:
             raise ValueError("config has no streams")
+        # enabled durability paths must be unique across streams: two
+        # streams sharing one Structured Streaming checkpoint location
+        # corrupt each other's offset logs (the default per-stream
+        # {checkpoint_root}/{i}_{name} paths are always unique)
+        seen: dict[str, str] = {}
+        for s in streams:
+            p = s.durability_path
+            if not p:
+                continue
+            if p in seen:
+                raise ValueError(
+                    f"streams {seen[p]!r} and {s.name!r} share "
+                    f"durability.path {p!r}; checkpoint locations must "
+                    "be unique per stream"
+                )
+            seen[p] = s.name or ""
         return cls(streams=streams)
 
     @classmethod

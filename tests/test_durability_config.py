@@ -81,3 +81,40 @@ def test_stream_start_uses_durability_path(spark, tmp_path):
     # the checkpoint (WAL twin) lives at the durability path
     assert (tmp_path / "wal" / "offsets").is_dir()
     assert not (tmp_path / "IGNORED-DEFAULT").exists()
+
+
+def test_duplicate_durability_paths_rejected():
+    """Two streams sharing one durability.path would share one
+    Structured Streaming checkpoint location and corrupt each other's
+    offset logs — rejected at config-parse time (r7 ADVICE)."""
+    raw = _cfg({"enabled": True, "path": "/tmp/wal-shared"})
+    raw["streams"].append(
+        {**raw["streams"][0], "name": "second"}
+    )
+    with pytest.raises(ValueError, match="share durability.path"):
+        EngineConfig.from_dict(raw)
+
+
+def test_distinct_or_disabled_durability_paths_accepted():
+    raw = _cfg({"enabled": True, "path": "/tmp/wal-a"})
+    raw["streams"].append(
+        {
+            **raw["streams"][0],
+            "name": "second",
+            "durability": {"enabled": True, "path": "/tmp/wal-b"},
+        }
+    )
+    # disabled blocks may repeat a path freely (they resolve to None)
+    raw["streams"].append(
+        {
+            **raw["streams"][0],
+            "name": "third",
+            "durability": {"enabled": False, "path": "/tmp/wal-a"},
+        }
+    )
+    cfg = EngineConfig.from_dict(raw)
+    assert [s.durability_path for s in cfg.streams] == [
+        "/tmp/wal-a",
+        "/tmp/wal-b",
+        None,
+    ]
