@@ -42,20 +42,18 @@ def test_rotation_head_targets_coverage_debt():
     head = list(QUERIES)[:50]
     # queries whose implementation changed this round and therefore
     # legitimately re-enter the sample even if previously green
-    # (r7: labels-index rollups + minhash signature index consumers)
+    # (r8: the three r7-deferred index-consuming re-proofs + the two
+    # closure-index conversions; the auto-sized-kNN pair is deferred
+    # to positions 51-52 — value-identical by construction, see the
+    # _DRIVER_PRIORITY comment)
     changed_this_round = {
-        "graph_community_label_prop_bucketed",
         "graph_component_size_histogram",
         "dedup_lsh_eval_pr",
         "dedup_minhash_bbit_calibration",
-        "embedding_hubness_knn",
-        "dedup_minhash_lsh",
-        "dedup_band_sweep",
-        "dedup_cluster_canonical",
-        "embedding_lof_simplified",
+        "graph_local_bridges",
         "graph_weak_tie_removal_impact",
-        "graph_percolation_support_sweep",
-        "graph_community_modularity",
+        "embedding_hubness_knn",
+        "embedding_lof_simplified",
     }
     resamples = [
         n
