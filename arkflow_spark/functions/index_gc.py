@@ -49,6 +49,7 @@ INDEX_PREFIXES = (
     "_lp_nodes_b",    # label-prop bucketed nodes
     "_lp_labels_b",   # materialized component labels (r7)
     "_mh_sig_b",      # MinHash signature table (r7)
+    "_pq_codes_b",    # PQ code assignment + reconstruction error (r8)
     "_shingles_b",    # 3-gram shingle staging
 )
 

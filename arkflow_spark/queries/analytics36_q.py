@@ -144,21 +144,13 @@ def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cb = _subspaces(e.filter(F.col("vec_id") < K), "code")
 
-    # corpus -> PQ codes (argmin over broadcast codebook), + bucket id
-    cand = _subspaces(e, "cand_id")
+    # corpus -> PQ codes from the materialized code index (r8,
+    # functions/pq.pq_codes), + bucket id
+    from arkflow_spark.queries.pq_q import pq_codes
+
     codes = (
-        cand.join(F.broadcast(cb.withColumnRenamed("sub", "cb_sub")), "s")
-        .select(
-            "cand_id",
-            "s",
-            F.struct(
-                _d2(F.col("sub"), F.col("cb_sub")).alias("d2"),
-                F.col("code").alias("code"),
-            ).alias("dc"),
-        )
-        .groupBy("cand_id", "s")
-        .agg(F.min("dc").alias("best"))
-        .select("cand_id", "s", F.col("best.code").alias("code"))
+        pq_codes(spark, sf_dir)
+        .select(F.col("vec_id").alias("cand_id"), "s", "code")
         .join(assigned.withColumnRenamed("vec_id", "cand_id"), "cand_id")
     )
 

@@ -40,46 +40,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+# primitives + the materialized PQ code index live in functions/pq (r8
+# — the sixth index family); the _-prefixed aliases keep the import
+# surface analytics36/40 bind to
+from arkflow_spark.functions.pq import (  # noqa: F401
+    DIM,
+    K,
+    M,
+    SUB,
+    d2 as _d2,
+    pq_codes,
+    subspaces as _subspaces,
+)
 from arkflow_spark.queries.base import query
 from arkflow_spark.tables import load
 
-DIM = 64
-M = 4            # subspaces
-SUB = DIM // M   # dims per subspace
-K = 16           # codewords per subspace (vec_id 0..15 donate)
 N_QUERIES = 5
 TOP_K = 10
-
-def _d2(a, b):
-    """Squared L2 distance of two float-array columns: per-dim (a-b)^2 in
-    double (exact), summed by a left-associated fold in array order —
-    deterministic, and bit-identical to the oracle's ordered
-    ``list_reduce`` fold (0.0 + t1 == t1 exactly in IEEE)."""
-    terms = F.zip_with(
-        a,
-        b,
-        lambda x, y: (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double")),
-    )
-    return F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
-
-
-def _subspaces(df: DataFrame, id_col: str) -> DataFrame:
-    """Explode a vector column into M (id, s, sub) subvector rows."""
-    return df.select(
-        F.col("vec_id").alias(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice("embedding", s * SUB + 1, SUB).alias("sub"),
-                    )
-                    for s in range(M)
-                ]
-            )
-        ).alias("sp"),
-    ).select(id_col, F.col("sp.s").alias("s"), F.col("sp.sub").alias("sub"))
 
 
 _PQ_ORACLE = f"""
@@ -136,23 +113,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     cb = _subspaces(e.filter(F.col("vec_id") < K), "code")
 
-    # corpus -> PQ codes: broadcast the M*K codebook rows, fixed-order
-    # double-fold d2, argmin via struct-min (map-side combinable; ties ->
-    # lowest code)
-    cand = _subspaces(e, "cand_id")
-    codes = (
-        cand.join(F.broadcast(cb.withColumnRenamed("sub", "cb_sub")), "s")
-        .select(
-            "cand_id",
-            "s",
-            F.struct(
-                _d2(F.col("sub"), F.col("cb_sub")).alias("d2"),
-                F.col("code").alias("code"),
-            ).alias("dc"),
-        )
-        .groupBy("cand_id", "s")
-        .agg(F.min("dc").alias("best"))
-        .select("cand_id", "s", F.col("best.code").alias("code"))
+    # corpus -> PQ codes: read the materialized code index (r8 —
+    # built once per session by functions/pq.pq_codes, bucketed on
+    # vec_id; value-identical to the inline argmin it replaces)
+    codes = pq_codes(spark, sf_dir).select(
+        F.col("vec_id").alias("cand_id"), "s", "code"
     )
 
     # query ADC tables: distance of each query subvector to every codeword

@@ -466,6 +466,10 @@ HEADLINE = [
     "nation_import_dependency_hhi",
     "text_tfidf_keywords_by_source",
     "events_gap_fill_interpolate",
+    # round-8 operators (first benched in BENCH_r08) — PQ code-index
+    # audits; the four PQ pipelines above now read the same index
+    "ann_pq_quantization_error",
+    "ann_pq_reconstruction_by_label",
 ]
 
 
