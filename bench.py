@@ -470,6 +470,9 @@ HEADLINE = [
     # audits; the four PQ pipelines above now read the same index
     "ann_pq_quantization_error",
     "ann_pq_reconstruction_by_label",
+    # round-8 cross-snapshot pipeline (two-directory dataflow)
+    "dedup_snapshot_merge",
+    "documents_snapshot_quality_drift",
 ]
 
 
