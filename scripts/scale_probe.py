@@ -87,6 +87,18 @@ PROBE_QUERIES = (
     "embedding_lof_simplified",
     "dedup_signature_slot_health",
     "documents_dedup_quality_survivorship",
+    # round-8: PQ code-index consumers (stored codes scale with the
+    # corpus; the audits are rollups of the stored table) and the
+    # cross-snapshot pipeline (current side grows 10x, previous side
+    # is the fixed fixture). The probe's string vec_ids exercise the
+    # numeric coercion in the codebook filter; doc-id-joining
+    # dedup_snapshot_merge sees every probe copy classify as 'new'
+    # (string ids match nothing in the BIGINT previous snapshot) —
+    # valid growth shape for the fingerprint join.
+    "ann_pq_quantization_error",
+    "ann_pq_reconstruction_by_label",
+    "dedup_snapshot_merge",
+    "documents_snapshot_quality_drift",
 )
 # relational shapes: facts scale 10x (offset keys keep joins consistent),
 # dims stay fixed — the realistic 100 TB growth pattern
