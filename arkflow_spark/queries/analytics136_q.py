@@ -98,8 +98,13 @@ def dedup_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     def fp(dir_):
+        # join on the STRING form of the id: snapshots may disagree on
+        # id type (the 10x scale probe's string ids vs the fixture's
+        # BIGINT), and ANSI mode rejects an implicit string->bigint
+        # coercion; string equality == numeric equality for same-typed
+        # snapshots, so the oracle is unaffected
         return load(spark, dir_, "documents").select(
-            "doc_id",
+            F.col("doc_id").cast("string").alias("doc_id"),
             "source",
             F.md5(_norm_text(F.col("text"))).alias("f"),
         )
