@@ -88,6 +88,10 @@ def write_owner(warehouse: str, table: str) -> None:
 
 
 def _pid_alive(pid: int) -> bool:
+    if pid <= 0:
+        # never probe 0/-N (process groups); a malformed sidecar pid
+        # is treated as alive so GC stays conservative
+        return True
     try:
         os.kill(pid, 0)
     except ProcessLookupError:
