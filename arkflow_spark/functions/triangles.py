@@ -1,0 +1,70 @@
+"""Exact triangle counting via degree-ordered orientation.
+
+`graph_triangle_count` and `graph_clustering_coefficient` enumerated
+wedges under the id-orientation (u < v): each node b contributes
+indeg(b) x outdeg(b) wedge rows, so a hub part fans out quadratically
+in its degree — the r8 densified-graph probe measured 3.5x growth at
+10x facts (same catalog, ~10x support, denser edge set), trending
+superlinear exactly as hubs densify. This module is the standard
+compact-forward discipline instead: re-orient every edge from its
+(degree, id)-smaller endpoint, enumerate wedges only from each edge's
+APEX (the (degree, id)-minimum of a triangle), and close with one
+semi-join. Total wedge rows are bounded by sum over oriented edges of
+out-degree — O(m^1.5) on any graph — instead of sum of indeg x outdeg,
+with hub fan-out capped at ~sqrt(m). The count is EXACT and identical
+(each triangle has exactly one apex under a total order), so the
+DuckDB oracles — which keep the naive id-oriented SQL — double as
+independent witnesses of the rewrite.
+
+Reference scope: arkflow expresses graph queries through its SQL
+processor (crates/arkflow-plugin/src/processor/sql.rs); the degree
+orientation is Spark-side physical discipline, not a semantic change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """One-row ``(t)`` exact triangle count of an undirected graph
+    given as deduplicated ``(u, v)`` edges with ``u < v``.
+
+    Orientation: node n1 precedes n2 iff (deg(n1), n1) < (deg(n2), n2)
+    — a total order, so each triangle {p, q, r} with p < q < r in it
+    is counted exactly once: as the wedge (q, r) at apex p closed by
+    the oriented edge q -> r.
+    """
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    e = edges.join(
+        deg.select(F.col("u"), F.col("d").alias("du")), "u"
+    ).join(
+        deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v"
+    )
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("dy"),
+    )
+    o1 = oriented.select(
+        F.col("x").alias("a"), F.col("y").alias("b"), F.col("dy").alias("db")
+    )
+    o2 = oriented.select(
+        F.col("x").alias("a"), F.col("y").alias("c"), F.col("dy").alias("dc")
+    )
+    wedges = o1.join(o2, "a").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    return wedges.join(
+        oriented.select(F.col("x").alias("b"), F.col("y").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    ).agg(F.count("*").cast("bigint").alias("t"))

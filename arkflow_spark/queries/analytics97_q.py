@@ -122,14 +122,11 @@ def graph_clustering_coefficient(
         F.count("*").cast("bigint").alias("n_nodes"),
         F.sum("d").cast("bigint").alias("sum_d"),
     )
-    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
-    e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
-    tri = (
-        e1.join(e2, "y")
-        .join(e3, ["x", "z"])
-        .agg(F.count("*").cast("bigint").alias("t"))
-    )
+    # degree-oriented triangle count (r8, functions/triangles — exact,
+    # hub fan-out capped; the oracle keeps the naive id-oriented SQL)
+    from arkflow_spark.functions.triangles import triangle_count
+
+    tri = triangle_count(edges)
     n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
     return (
         wed.crossJoin(F.broadcast(tri))

@@ -300,23 +300,23 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2=(b,c), closure (a,c)): no /6 correction and no duplicate wedges.
     The edge list is basket-bounded (pair support >= 2 keeps it ~constant
     per catalog segment); both joins are hash joins on edge endpoints and
-    the small edge side broadcasts. At web scale the standard refinement
-    — orient edges from lower- to higher-degree endpoint before the wedge
-    join — caps per-node wedge fan-out; the plan shape is unchanged.
-    Edges come from the shared materialized co-purchase index
-    (`functions/copurchase.py`) — one build per session, reused by the
-    whole graph family.
+    the small edge side broadcasts. The wedge join is degree-ORIENTED
+    (r8, `functions/triangles.triangle_count` — the compact-forward
+    discipline: wedges enumerate from each triangle's (degree, id)-
+    minimum apex, capping hub fan-out at ~sqrt(m); the r8 densified-
+    graph probe measured the id-oriented form growing 3.5x at 10x
+    facts). The count is exact and unchanged — the oracle keeps the
+    naive SQL as the independent witness. Edges come from the shared
+    materialized co-purchase index (`functions/copurchase.py`) — one
+    build per session, reused by the whole graph family.
     """
+    from arkflow_spark.functions.triangles import triangle_count
+
     edges = copurchase.directed(spark, sf_dir, min_support=2).select(
         "u", "v"
     )
-    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = (
-        e1.join(e2, "b")
-        .join(e3, ["a", "c"])
-        .agg(F.count("*").alias("n_triangles"))
+    tri = triangle_count(edges).select(
+        F.col("t").alias("n_triangles")
     )
     nodes = (
         edges.select(F.col("u").alias("node"))

@@ -171,6 +171,15 @@ RELATIONAL_QUERIES = (
     "events_mann_kendall_trend",
     "lineitem_return_shrinkage",
     "graph_community_label_prop_bucketed",
+    # round-8: closure-index consumers — 10x facts keep the part
+    # catalog fixed, so the co-purchase graph DENSIFIES (support
+    # counts scale ~10x and more edges clear the threshold): the
+    # degree-oriented wedge join and the bounded propagation rounds
+    # face superlinear edge growth, the shape the 100 TB story must
+    # survive
+    "graph_local_bridges",
+    "graph_weak_tie_removal_impact",
+    "graph_triangle_count",
 )
 
 
