@@ -287,7 +287,7 @@ def graph_weak_tie_removal_impact(
 
     def giant(und_df, nodes_df):
         lbl = _lp_rounds(
-            nodes_df.select("u", F.col("u").alias("lbl")).persist(),
+            nodes_df.select("u", F.col("u").alias("lbl")),
             und_df,
             _WT_ROUNDS,
         )
@@ -302,18 +302,13 @@ def graph_weak_tie_removal_impact(
     pruned_edges = edges.join(
         closed, ["u", "v"], "left_semi"
     ).persist()
-    # pre-partition on the neighbour-join key so each propagation
-    # round's edges-x-labels join reuses the cached partitioning
-    # instead of re-exchanging the edge list (the in-memory analogue
-    # of the labels index's bucketed staging)
-    pruned_und = (
-        pruned_edges.unionAll(
-            pruned_edges.select(
-                F.col("v").alias("u"), F.col("u").alias("v")
-            )
-        )
-        .repartition(F.col("v"))
-        .persist()
+    # no pre-partition / second persist needed (r8 optimization round):
+    # the single-reference propagation rounds all shuffle the SAME
+    # edges∪self-loops subtree on v, which the planner deduplicates to
+    # ONE physical exchange via ReusedExchange — the cached
+    # pruned_edges above bounds the recompute
+    pruned_und = pruned_edges.unionAll(
+        pruned_edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     pruned_nodes = pruned_und.select("u").distinct()
     g_before = giant_of(

@@ -124,7 +124,7 @@ def graph_community_label_prop(
     """.format(r=_LP_ROUNDS)
     und = copurchase.undirected(spark, sf_dir).select("u", "v")
     nodes = und.select("u").distinct()
-    lbl = nodes.select("u", F.col("u").alias("lbl")).persist()
+    lbl = nodes.select("u", F.col("u").alias("lbl"))
     return _lp_top_communities(_lp_rounds(lbl, und, _LP_ROUNDS))
 
 

@@ -121,11 +121,16 @@ def _edges_and_shares(spark: SparkSession, sf_dir: str):
         F.col("c").alias("src"), F.col("s").alias("dst"), "w"
     ).unionAll(
         pair.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
-    ).persist()  # feeds outw AND the share join: build the pair agg once
-    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    # weight share is iteration-invariant: precompute once
-    ew = edges.join(outw, "src").select(
-        "src", "dst", (F.col("w") * 1.0 / F.col("ow")).alias("share")
+    ).persist()  # feeds the share window AND the node list
+    # weight share is iteration-invariant: ONE src-keyed window pass
+    # (r8 optimization round — replaces the old groupBy-sum + join-back,
+    # which cost an extra aggregate exchange plus a join per run; the
+    # BIGINT window sum is the identical exact divisor)
+    from pyspark.sql import Window
+
+    ow = F.sum("w").over(Window.partitionBy("src"))
+    ew = edges.select(
+        "src", "dst", (F.col("w") * 1.0 / ow).alias("share")
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     return ew, nodes
@@ -133,21 +138,32 @@ def _edges_and_shares(spark: SparkSession, sf_dir: str):
 
 def _power_iterations(ew, nodes, n_nodes: int, broadcast_ranks=False):
     """broadcast_ranks=True is the while-it-fits path (unbucketed
-    baseline): the rank vector and the contrib vector are one row per
-    node, so broadcasting them means the persisted edge/node tables are
-    NEVER reshuffled — each iteration costs one exchange (the dst
-    transpose). False is the beyond-broadcast path used by the bucketed
-    twin, where pre-shuffled storage makes the SMJ exchange-free without
-    any size cap on the rank vector."""
+    baseline): the rank vector is one row per node, so broadcasting it
+    means the persisted edge table is NEVER reshuffled — each iteration
+    costs one exchange (the dst transpose). False is the beyond-
+    broadcast path used by the bucketed twin, where pre-shuffled
+    storage makes the SMJ exchange-free without any size cap on the
+    rank vector.
+
+    r8 optimization round: the old per-iteration ``nodes LEFT JOIN
+    contrib`` (+ a second broadcast per iteration) was a provable
+    no-op on this graph — the edge list is SYMMETRIZED (both directions
+    of every (c, s) pair), so every node appears as a dst and
+    ``contrib`` already covers the full node set each iteration; the
+    coalesce(contrib, 0) dangling-node fallback can never fire. The
+    damping update is now a plain projection of the dst-aggregate,
+    halving the joins and broadcast jobs per iteration (plan evidence:
+    plans/r08/graph_pagerank_bipartite_{before,after}.txt). The DuckDB
+    oracle keeps the nodes-join form as the independent witness that
+    results are unchanged."""
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
-    maybe_b = F.broadcast if broadcast_ranks else (lambda df: df)
     for _ in range(ITERS):
         contrib = _contrib_step(ranks, ew, broadcast_ranks)
-        ranks = nodes.join(maybe_b(contrib), "node", "left").select(
+        ranks = contrib.select(
             "node",
             (
                 F.lit((1 - DAMPING) / n_nodes)
-                + DAMPING * F.coalesce(F.col("contrib"), F.lit(0.0))
+                + DAMPING * F.col("contrib")
             ).alias("r"),
         )
     return ranks
@@ -165,8 +181,12 @@ def _contrib_step(ranks, ew, broadcast_ranks=False):
     aggregate). Without it (the bucketed twin) the edges read from
     bucket-partitioned storage and the join is an exchange-free SMJ —
     the no-size-cap scale path (tests/test_plans.py asserts both plan
-    shapes)."""
-    r = F.broadcast(ranks) if broadcast_ranks else ranks
+    shapes). The MERGE hint pins that strategy: without it Catalyst's
+    size estimates flip iterations 2+ to broadcasting the EDGE TABLE
+    (the bucketed scan's file stats sit under the broadcast threshold
+    while the rank-chain's estimate balloons through the aggregates) —
+    backwards at any scale, and measured 2x slower even at sf0.1."""
+    r = F.broadcast(ranks) if broadcast_ranks else ranks.hint("merge")
     return (
         ew.join(r, ranks.node == ew.src)
         .select(

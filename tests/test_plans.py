@@ -1828,49 +1828,40 @@ def test_distributed_rank_is_permutation(spark):
 
 
 def test_label_prop_bucketed_round_join_exchange_free(spark):
-    """The component-labels INDEX BUILDER's per-round dataflow (r7:
-    the label-prop twins are rollups off the materialized labels; the
-    propagation lives in functions/graph_labels): the edges-x-labels
-    neighbour join must read pre-shuffled bucketed storage with ZERO
-    Exchange operators in the join subtree — the one remaining
-    exchange is the unavoidable neighbour-min transpose. Mirrors
+    """The component-labels INDEX BUILDER's per-round dataflow (r8
+    optimization round: gather-via-source — the round joins labels
+    onto the co-purchase index by its bucketed-on-``u`` key and emits
+    to both endpoints, so NO per-support edge staging tables exist):
+    the edges-x-labels join must read the shared index's pre-shuffled
+    bucketed storage with ZERO Exchange operators on the edge side —
+    the one remaining exchange is the unavoidable per-target
+    transpose. Mirrors
     test_pagerank_bucketed_iteration_join_exchange_free."""
     from pyspark.sql import functions as F
 
-    from arkflow_spark.functions.graph_labels import lp_table_names
+    from arkflow_spark.functions import copurchase
+    from arkflow_spark.functions.graph_labels import lp_rounds
 
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        # materializes the bucketed staging tables as a side effect
-        QUERIES["graph_community_label_prop_bucketed"](
-            spark, SF_CORRECT
-        ).collect()
-        nb = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        etable, ntable, _ = lp_table_names(
-            spark, SF_CORRECT, 1, 3, nb
+        und = copurchase.undirected(spark, SF_CORRECT).select("u", "v")
+        seed = und.select("u").distinct().select(
+            "u", F.col("u").alias("lbl")
         )
-        und_b = spark.table(etable)
-        lbl0 = spark.table(ntable).select("u", F.col("u").alias("lbl"))
-        step = (
-            und_b.join(
-                lbl0.select(
-                    F.col("u").alias("v"), F.col("lbl").alias("nl")
-                ),
-                "v",
-            )
-            .groupBy("u")
-            .agg(F.min("nl").alias("nb_lbl"))
-        )
+        step = lp_rounds(seed, und, 1)
         step.count()
         plan = step._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan
         assert "Bucketed: true" in plan
-        # exactly one exchange: the neighbour-min transpose; none under
-        # the join
-        assert plan.count("Exchange") == 1, plan[:2000]
+        # the edge side of the round join reads bucketed storage
+        # directly: no Exchange between the join and its scans; the
+        # label/seed side is exchange-free too (distinct over the
+        # bucketed key), leaving exactly one exchange — the
+        # per-target min transpose
+        assert plan.count("Exchange") == 1, plan[:3000]
         join_subtree = plan[plan.index("SortMergeJoin"):]
-        assert "Exchange" not in join_subtree, join_subtree[:2000]
+        assert "Exchange" not in join_subtree, join_subtree[:3000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
