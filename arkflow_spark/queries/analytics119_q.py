@@ -226,9 +226,14 @@ def layout_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the wrong encoding is a multi-PB storage tax — this reads
     the answer off the data instead of guessing.
 
-    Scale shape: per column, one order-partitioned lag window
-    (bounded <= 7 rows per partition) and one count-distinct rollup;
-    six columns scan the table once each (column-pruned scans).
+    Scale shape (r8 optimization round): ALL six columns share the one
+    order-partitioned window spec, so one window pass computes every
+    (value, same-as-prev, monotone) triple — the old per-column-branch
+    union sorted the full table SIX times (6 window exchanges + 6
+    count-distinct shuffles, 18 exchanges total). The triples unpivot
+    to (col, v, same, mono) rows and one grouped rollup produces the
+    same six metric rows: 1 window exchange + the grouped distinct's
+    shuffle, identical values.
     """
     li = load(spark, sf_dir, "lineitem")
     # (l_orderkey, l_linenumber) alone is NOT unique in this fixture —
@@ -236,49 +241,64 @@ def layout_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_orderkey").orderBy(
         "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
     )
-    outs = []
+    proj = []
     for c in _ENC_COLS:
         v = F.col(c).cast("string")
         prev = F.lag(v).over(w)
-        base = li.select(
-            v.alias("v"),
-            F.coalesce(v == prev, F.lit(False)).alias("same"),
-            (v >= prev).alias("mono"),
+        proj += [
+            v.alias(f"v_{c}"),
+            F.coalesce(v == prev, F.lit(False)).alias(f"same_{c}"),
+            (v >= prev).alias(f"mono_{c}"),
+        ]
+    stacked = (
+        li.select(*proj)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col"),
+                            F.col(f"v_{c}").alias("v"),
+                            F.col(f"same_{c}").alias("same"),
+                            F.col(f"mono_{c}").alias("mono"),
+                        )
+                        for c in _ENC_COLS
+                    ]
+                )
+            ).alias("s")
         )
-        m = base.agg(
-            F.count("*").cast("bigint").alias("n_rows"),
-            F.countDistinct("v").cast("bigint").alias("n_distinct"),
-            (
-                F.floor(
-                    F.countDistinct("v") * 1.0 / F.count("*") * 1000000
-                    + 0.5
-                )
-                / 1000000
-            ).alias("distinct_ratio"),
-            _floor4(
-                F.count("*")
-                * 1.0
-                / (F.count("*") - F.sum(F.col("same").cast("int")))
-            ).alias("mean_run_len"),
-            _floor4(
+        .select("s.*")
+    )
+    metrics = stacked.groupBy("col").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("v").cast("bigint").alias("n_distinct"),
+        (
+            F.floor(
+                F.countDistinct("v") * 1.0 / F.count("*") * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("distinct_ratio"),
+        _floor4(
+            F.count("*")
+            * 1.0
+            / (F.count("*") - F.sum(F.col("same").cast("int")))
+        ).alias("mean_run_len"),
+        _floor4(
+            F.sum(
+                F.when(
+                    F.col("mono").isNotNull() & F.col("mono"), 1
+                ).otherwise(0)
+            )
+            * 1.0
+            / F.greatest(
                 F.sum(
-                    F.when(
-                        F.col("mono").isNotNull() & F.col("mono"), 1
-                    ).otherwise(0)
-                )
-                * 1.0
-                / F.greatest(
-                    F.sum(
-                        F.when(F.col("mono").isNotNull(), 1).otherwise(0)
-                    ),
-                    F.lit(1),
-                )
-            ).alias("monotone_share"),
-        ).select(F.lit(c).alias("col"), "*")
-        outs.append(m)
-    metrics = outs[0]
-    for m in outs[1:]:
-        metrics = metrics.unionByName(m)
+                    F.when(F.col("mono").isNotNull(), 1).otherwise(0)
+                ),
+                F.lit(1),
+            )
+        ).alias("monotone_share"),
+    )
     rec = (
         F.when(
             (F.col("distinct_ratio") < 0.01)
