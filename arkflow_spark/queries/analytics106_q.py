@@ -291,57 +291,70 @@ def dq_id_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     caught by arithmetic alone, before anyone reconciles row counts
     against a source system.
 
-    Scale shape: per column, one min/max/distinct aggregate; the gap
-    scan is the DISTRIBUTED form — within-bucket lags over
-    id-div-{b} partitions (bounded at {b} rows each) plus a
-    bucket-boundary lag over the bucket summary table
+    Scale shape (r8 optimization round): the four id columns flow
+    through ONE tagged dataflow — union to (id_column, id), distinct,
+    then within-bucket lags over (id_column, id-div-{b}) partitions
+    (bounded at {b} rows each) plus a bucket-boundary lag over the
+    per-column bucket summary
     # scale: bucket-summary-bounded, one row per id-bucket (span/{b}
-    rows) — never a global single-partition sort over the ids.
+    rows) — never a global single-partition sort over the ids. The old
+    per-column-branch form ran 4 separate persist/broadcast/distinct
+    pipelines (41 Spark jobs, each with scheduling floor); the tagged
+    union runs the identical arithmetic per column in ~1/5 the jobs,
+    and min/max/count now read the distinct frame instead of re-
+    scanning the raw table for a second count-distinct shuffle.
     """.format(b=_GAP_BUCKET)
-    out = None
-    for tbl, col in _ID_COLS:
-        t = load(spark, sf_dir, tbl).select(F.col(col).alias("id"))
-        ids = t.select("id").distinct().withColumn(
-            "b", (F.col("id") / _GAP_BUCKET).cast("bigint")
-        ).persist()  # feeds the within-bucket and boundary branches
-        win = Window.partitionBy("b").orderBy("id")
-        within = ids.select(
-            (F.col("id") - F.lag("id").over(win) - 1).alias("g")
+    frames = [
+        load(spark, sf_dir, tbl).select(
+            F.lit(f"{tbl}.{col}").alias("src"), F.col(col).alias("id")
         )
-        bsum = ids.groupBy("b").agg(
-            F.min("id").alias("mn"), F.max("id").alias("mx")
+        for tbl, col in _ID_COLS
+    ]
+    allids = frames[0]
+    for fr in frames[1:]:
+        allids = allids.unionAll(fr)
+    ids = (
+        allids.distinct()
+        .withColumn("b", (F.col("id") / _GAP_BUCKET).cast("bigint"))
+        .persist()  # feeds the within-bucket, boundary and stats branches
+    )
+    win = Window.partitionBy("src", "b").orderBy("id")
+    within = ids.select(
+        "src", (F.col("id") - F.lag("id").over(win) - 1).alias("g")
+    )
+    bsum = ids.groupBy("src", "b").agg(
+        F.min("id").alias("mn"), F.max("id").alias("mx")
+    )
+    wb = Window.partitionBy("src").orderBy("b")
+    boundary = bsum.select(
+        "src", (F.col("mn") - F.lag("mx").over(wb) - 1).alias("g")
+    )
+    gaps = (
+        within.unionAll(boundary)
+        .groupBy("src")
+        .agg(F.max("g").cast("bigint").alias("max_gap"))
+    )
+    stats = ids.groupBy("src").agg(
+        F.min("id").cast("bigint").alias("min_id"),
+        F.max("id").cast("bigint").alias("max_id"),
+        F.count("*").cast("bigint").alias("n_ids"),
+    )
+    return (
+        stats.join(gaps, "src")
+        .select(
+            F.col("src").alias("id_column"),
+            "min_id",
+            "max_id",
+            "n_ids",
+            (F.col("max_id") - F.col("min_id") + 1 - F.col("n_ids"))
+            .cast("bigint")
+            .alias("n_missing"),
+            "max_gap",
+            _floor4(
+                F.col("n_ids")
+                * 1.0
+                / (F.col("max_id") - F.col("min_id") + 1)
+            ).alias("density"),
         )
-        wb = Window.orderBy("b")
-        boundary = bsum.select(
-            (F.col("mn") - F.lag("mx").over(wb) - 1).alias("g")
-        )
-        gaps = within.unionAll(boundary).agg(
-            F.max("g").cast("bigint").alias("max_gap")
-        )
-        stats = t.agg(
-            F.min("id").cast("bigint").alias("min_id"),
-            F.max("id").cast("bigint").alias("max_id"),
-            F.count_distinct("id").cast("bigint").alias("n_ids"),
-        )
-        row = (
-            stats.crossJoin(F.broadcast(gaps))
-            .select(
-                F.lit(f"{tbl}.{col}").alias("id_column"),
-                "min_id",
-                "max_id",
-                "n_ids",
-                (
-                    F.col("max_id") - F.col("min_id") + 1 - F.col("n_ids")
-                )
-                .cast("bigint")
-                .alias("n_missing"),
-                "max_gap",
-                _floor4(
-                    F.col("n_ids")
-                    * 1.0
-                    / (F.col("max_id") - F.col("min_id") + 1)
-                ).alias("density"),
-            )
-        )
-        out = row if out is None else out.unionAll(row)
-    return out.orderBy("id_column")
+        .orderBy("id_column")
+    )

@@ -208,23 +208,33 @@ def dq_sentinel_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distribution-level) with value-level attribution: WHICH values
     are fabricated.
 
-    Scale shape: one tick rollup (value-tick-grid bounded), a
-    +/-{wt}-tick band self-join on the bounded tick table, top-{t}.
-    """.format(t=_SV_TOP, w=_SV_NEIGH, wt=int(_SV_NEIGH * 100))
+    Scale shape (r8 optimization round): one tick rollup
+    (value-tick-grid bounded); the +/-{wt}-tick neighbourhood is an
+    EXPLODED-OFFSET EQUI-JOIN — each tick row fans out to its {wt2}
+    shifted (btick + d) keys and hash-joins back on the tick — linear
+    in the tick grid. The old inequality band self-join planned as a
+    BroadcastNestedLoopJoin, quadratic in distinct ticks (the dominant
+    cost even at sf0.1, and a scale-killer on a fine-grained grid).
+    Identical neighbour sets: d = tick - btick ranges over
+    [-{wt}..{wt}] minus 0. Top-{t} spikes out.
+    """.format(t=_SV_TOP, w=_SV_NEIGH, wt=int(_SV_NEIGH * 100),
+               wt2=2 * int(_SV_NEIGH * 100))
     e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     vc = e.groupBy(
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("tick")
     ).agg(F.count("*").alias("c"))
     tot = vc.agg(F.sum("c").cast("double").alias("t"))
-    b = vc.select(F.col("tick").alias("btick"), F.col("c").alias("bc"))
     band = int(_SV_NEIGH * 100)
+    offsets = F.array(
+        *[F.lit(d) for d in range(-band, band + 1) if d != 0]
+    )
+    shifted = vc.select(
+        F.explode(offsets).alias("d"),
+        F.col("tick").alias("btick"),
+        F.col("c").alias("bc"),
+    ).select((F.col("btick") + F.col("d")).alias("tick"), "btick", "bc")
     neigh = (
-        vc.join(
-            b,
-            (F.col("btick") >= F.col("tick") - band)
-            & (F.col("btick") <= F.col("tick") + band)
-            & (F.col("btick") != F.col("tick")),
-        )
+        vc.join(shifted, "tick")
         .groupBy("tick", "c")
         .agg(
             (F.sum("bc").cast("double") / F.count("btick")).alias(

