@@ -316,7 +316,11 @@ def documents_rrf_quality_fusion(
             F.size(F.array_distinct(words)).cast("double")
             / F.greatest(F.size(words), F.lit(1))
         ).alias("distinct_ratio"),
-    )
+    ).persist()
+    # ^ one row of 4 scalars per document, consumed by all three rank
+    # constructions AND the final merge — without the persist the
+    # regex/split feature extraction re-ran four times per query
+    # (r8 optimization round)
     r1 = dr.with_global_order(
         feats, [F.desc("len_f"), F.asc("doc_id")]
     ).select("doc_id", F.col(dr.RN).alias("r1"))

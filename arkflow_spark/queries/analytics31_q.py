@@ -310,24 +310,35 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         _floor6(
             (F.col("b.y") - F.col("a.y")) / (F.col("b.h") - F.col("a.h"))
         ).alias("slope"),
-        F.col("a.h").alias("h1"),
-        F.col("b.h").alias("h2"),
     )
-    pw = Window.partitionBy("event_type")
-    ranked = slopes.withColumn(
-        "rn", F.row_number().over(pw.orderBy("slope", "h1", "h2"))
-    ).withColumn("n", F.count("*").over(pw))
+    # r8 optimization round: the lower-median SLOPE VALUE is the k-th
+    # order statistic of the slope multiset — it does not depend on the
+    # (h1, h2) tie order the oracle's row_number uses, only on how many
+    # pairs carry each quantized slope. Aggregate to per-(type, slope)
+    # counts first (map-side combinable), then select the straddling
+    # group with one cumulative window over DISTINCT slopes — the old
+    # row_number + count windows sorted every pair row (calendar-
+    # quadratic) across only #event_type partitions.
+    sc = slopes.groupBy("event_type", "slope").agg(
+        F.count("*").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("slope")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sc.withColumn("cum", F.sum("c").over(wcum))
+    tot = sc.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    k = F.floor((F.col("n") + 1) / 2)
     return (
-        ranked.groupBy("event_type")
-        .agg(
-            F.max("n").cast("bigint").alias("n_pairs"),
-            F.max(
-                F.when(
-                    F.col("rn")
-                    == F.floor((F.col("n") + 1) / 2).cast("int"),
-                    F.col("slope"),
-                )
-            ).alias("sen_slope_per_hour"),
+        cum.join(F.broadcast(tot), "event_type")
+        .filter((F.col("cum") >= k) & (F.col("cum") - F.col("c") < k))
+        .select(
+            "event_type",
+            F.col("n").alias("n_pairs"),
+            F.col("slope").alias("sen_slope_per_hour"),
         )
         .orderBy("event_type")
     )

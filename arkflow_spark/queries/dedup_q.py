@@ -475,6 +475,23 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
     labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+
+    # converged when the monotone non-increasing labels are stable;
+    # hash the label first so the check is TYPE-AGNOSTIC — summing
+    # the raw column implicitly casts to double, which breaks on
+    # non-numeric doc ids (found by the 10x scale probe's
+    # "#c{i}"-suffixed ids) and loses exactness past 2^53 anyway
+    def _label_sig(df):
+        # decimal(38,0) sum: exact and overflow-proof under ANSI
+        return df.agg(
+            F.sum(F.xxhash64("doc_id", "label").cast("decimal(38,0)"))
+        ).collect()[0][0]  # bounded: one scalar row
+
+    # each round's signature IS next round's previous-signature: carry
+    # it in a driver variable instead of re-aggregating the old frame
+    # every round (r8 optimization round — halves the convergence-check
+    # jobs; the monotone label sequence makes sig equality exact)
+    prev_sig = _label_sig(labels)
     for _ in range(15):  # >= diameter of any near-dup cluster in practice
         neigh = (
             edges.join(labels, edges.doc_a == labels.doc_id)
@@ -486,21 +503,11 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        # converged when the monotone non-increasing labels are stable;
-        # hash the label first so the check is TYPE-AGNOSTIC — summing
-        # the raw column implicitly casts to double, which breaks on
-        # non-numeric doc ids (found by the 10x scale probe's
-        # "#c{i}"-suffixed ids) and loses exactness past 2^53 anyway
-        def _label_sig(df):
-            # decimal(38,0) sum: exact and overflow-proof under ANSI
-            return df.agg(
-                F.sum(F.xxhash64("doc_id", "label").cast("decimal(38,0)"))
-            ).collect()[0][0]  # bounded: one scalar row
-
-        if _label_sig(new_labels) == _label_sig(labels):
-            labels = new_labels
-            break
+        new_sig = _label_sig(new_labels)
         labels = new_labels
+        if new_sig == prev_sig:
+            break
+        prev_sig = new_sig
     return (
         labels.select(
             "doc_id",
