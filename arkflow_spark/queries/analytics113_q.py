@@ -400,6 +400,9 @@ def nation_gravity_model(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("decimal(18,6)")
             ).alias("f")
         )
+        .persist()  # r8: <= 625-cell matrix referenced by sm/cm/tot AND
+        # the residual probe — without the cache the corpus-scaled
+        # 5-way join ran four times per action
     )
     sm = flow.groupBy("supplier_nation").agg(F.sum("f").alias("ms"))
     cm = flow.groupBy("customer_nation").agg(F.sum("f").alias("mc"))

@@ -144,6 +144,8 @@ def nation_fisher_exact_deficit(
                 ).cast("decimal(18,6)")
             ).alias("f")
         )
+        .persist()  # r8: 625-cell matrix; export/import margins and the
+        # two probs references otherwise replayed the corpus join 4x
     )
     exp_side = flow.groupBy("sn").agg(F.sum("f").alias("exports"))
     imp_side = flow.groupBy("cn").agg(F.sum("f").alias("imports"))
@@ -402,6 +404,8 @@ def nation_rca_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("decimal(18,6)")
             ).alias("f")
         )
+        .persist()  # r8: 25x6 matrix referenced by ni/sj/tt AND the
+        # probe — four corpus-join replays per action without it
     )
     ni = flow.groupBy("nation").agg(F.sum("f").alias("fn"))
     sj = flow.groupBy("segment").agg(F.sum("f").alias("fs"))

@@ -228,6 +228,8 @@ def nation_trade_reciprocity(
                 ).cast("decimal(18,6)")
             ).alias("f")
         )
+        .persist()  # r8: 625-cell matrix consumed by both sides of the
+        # direction-pairing self-join — one corpus join, not two
     )
     rev = flow.select(
         F.col("src").alias("rsrc"),

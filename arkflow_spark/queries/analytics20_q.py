@@ -302,21 +302,14 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join edge filters on node keys; rounds are data-independent
     in number, so the plan is a fixed-depth DAG, not a driver loop.
     """.format(k=_KCORE_K, r=_KCORE_ROUNDS)
-    li = load(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = basket.alias("a"), basket.alias("b")
+    # r8: edges come from the shared materialized co-purchase index
+    # (`functions/copurchase.py`) — the same `u < v`, support >= 2
+    # construction this query previously re-joined from raw lineitem
+    # on every run (the r5 consolidation missed this call site).
+    from arkflow_spark.functions import copurchase
+
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 2)
+        copurchase.directed(spark, sf_dir, min_support=2)
         .select("u", "v")
         .persist()
     )

@@ -197,31 +197,38 @@ def lineitem_newsvendor_qstar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d")
         )
     )
-    tot = weekly.groupBy("l_partkey").agg(
-        F.count("*").alias("n_weeks"),
-        F.sum(F.col("d").cast("decimal(18,6)"))
-        .cast("double")
-        .alias("total_d"),
-    )
+    # r8: per-part totals via whole-partition windows on the SAME
+    # l_partkey exchange the cumulative window already needs, instead
+    # of a groupBy + two joins — each tot reference re-ran the whole
+    # lineitem rollup. Count and the decimal sum are order-independent,
+    # so n_weeks/total_d are bit-identical to the aggregate-then-join
+    # form the oracle keeps.
     wcum = (
         Window.partitionBy("l_partkey")
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    wp = Window.partitionBy("l_partkey")
     ecdf = weekly.select(
-        "l_partkey", "d", F.count("*").over(wcum).alias("cum")
-    ).join(tot.select("l_partkey", "n_weeks"), "l_partkey")
+        "l_partkey",
+        "d",
+        F.count("*").over(wcum).alias("cum"),
+        F.count("*").over(wp).alias("n_weeks"),
+        F.sum(F.col("d").cast("decimal(18,6)"))
+        .over(wp)
+        .cast("double")
+        .alias("total_d"),
+    )
     qstar = (
         ecdf.filter(
             F.col("cum") * BETA_DEN >= F.col("n_weeks") * BETA_NUM
         )
-        .groupBy("l_partkey")
+        .groupBy("l_partkey", "n_weeks", "total_d")
         .agg(F.min("d").alias("q_star"))
     )
     mean_w = F.col("total_d") / F.col("n_weeks")
     return (
-        tot.join(qstar, "l_partkey")
-        .select(
+        qstar.select(
             "l_partkey",
             "n_weeks",
             _floor4(mean_w).alias("mean_weekly"),

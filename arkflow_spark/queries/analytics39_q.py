@@ -248,11 +248,15 @@ def orders_weibull_cycletime_fit(
             .cast("double")
             .alias("sxy"),
             # single-distinct-x guard: the denominator would be pure
-            # cancellation noise, not exact 0 (see oracle HAVING)
-            F.countDistinct("x").alias("ndx"),
+            # cancellation noise, not exact 0 (see oracle HAVING).
+            # r8: min != max over the exact decimal x is the identical
+            # ">= 2 distinct" predicate without the countDistinct
+            # Expand (2x row duplication before the shuffle).
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
         )
-        .filter(F.col("ndx") >= 2)
-        .drop("ndx")
+        .filter(F.col("x_min") != F.col("x_max"))
+        .drop("x_min", "x_max")
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     slope = F.try_divide(

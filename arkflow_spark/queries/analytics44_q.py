@@ -397,13 +397,21 @@ def part_dual_sourcing_shares(
         .cast("double")
         .alias("q")
     )
-    tot = vol.groupBy("l_partkey").agg(
-        F.count("*").alias("n_suppliers"),
+    # r8: per-part totals via a part-keyed window instead of a
+    # groupBy + self-join — the join re-ran the whole lineitem rollup
+    # a second time for the build side. Count and the decimal sum are
+    # order-independent (exact decimal), so q_total/n_suppliers are
+    # bit-identical to the oracle's aggregate-then-join form.
+    wp = Window.partitionBy("l_partkey")
+    shares = vol.select(
+        "l_partkey",
+        F.count("*").over(wp).alias("n_suppliers"),
         F.sum(F.col("q").cast("decimal(18,6)"))
+        .over(wp)
         .cast("double")
         .alias("q_total"),
-    )
-    shares = vol.join(tot, "l_partkey").select(
+        "q",
+    ).select(
         "l_partkey",
         "n_suppliers",
         "q_total",

@@ -99,9 +99,10 @@ def supplier_topsis_scorecard(
     ideal point: d-/(d+ + d-), top-15. The multi-criteria-decision
     classic, reduced to two aggregates and per-row arithmetic.
 
-    Scale shape: one supplier rollup (map-side combinable), one 1-row
-    broadcast of normalization constants, one 1-row broadcast of
-    ideal/anti-ideal bounds, then orderBy+limit (TakeOrdered). The
+    Scale shape: one supplier rollup (map-side combinable), ONE 1-row
+    broadcast carrying normalization constants AND ideal/anti-ideal
+    bounds together (r8: the bounds are monotone images of the raw
+    criteria, see below), then orderBy+limit (TakeOrdered). The
     scoring is scan-bound for any supplier count.
     """
     li = load(spark, sf_dir, "lineitem")
@@ -119,26 +120,35 @@ def supplier_topsis_scorecard(
             / F.count("*")
         ).alias("avg_disc"),
     )
-    norm = crit.agg(
+    # norm + ideal fused into ONE 1-row aggregate: v1 = rev/nr/3 is a
+    # monotone image of rev (nr > 0), so max(v1) is attained by the
+    # max-rev supplier and equals max(rev)/nr/3 computed by the exact
+    # same FP ops that produced that supplier's v1 — bit-identical to
+    # aggregating v (likewise min, and for v2/v3). Collapses the third
+    # supplier rollup of lineitem into the bounds pass.
+    bounds = crit.agg(
         F.sqrt(F.sum(F.col("rev") * F.col("rev"))).alias("nr"),
         F.sqrt(F.sum(F.col("n_ord") * F.col("n_ord"))).alias("nn"),
         F.sqrt(F.sum(F.col("avg_disc") * F.col("avg_disc"))).alias("nd"),
+        F.max("rev").alias("rev_max"),
+        F.min("rev").alias("rev_min"),
+        F.max("n_ord").alias("nord_max"),
+        F.min("n_ord").alias("nord_min"),
+        F.max("avg_disc").alias("disc_max"),
+        F.min("avg_disc").alias("disc_min"),
     )
-    v = crit.crossJoin(F.broadcast(norm)).select(
+    j = crit.crossJoin(F.broadcast(bounds)).select(
         "sk",
         (F.col("rev") / F.col("nr") / 3).alias("v1"),
         (F.col("n_ord") / F.col("nn") / 3).alias("v2"),
         (F.col("avg_disc") / F.col("nd") / 3).alias("v3"),
+        (F.col("rev_max") / F.col("nr") / 3).alias("p1"),
+        (F.col("nord_max") / F.col("nn") / 3).alias("p2"),
+        (F.col("disc_min") / F.col("nd") / 3).alias("p3"),
+        (F.col("rev_min") / F.col("nr") / 3).alias("m1"),
+        (F.col("nord_min") / F.col("nn") / 3).alias("m2"),
+        (F.col("disc_max") / F.col("nd") / 3).alias("m3"),
     )
-    ideal = v.agg(
-        F.max("v1").alias("p1"),
-        F.max("v2").alias("p2"),
-        F.min("v3").alias("p3"),
-        F.min("v1").alias("m1"),
-        F.min("v2").alias("m2"),
-        F.max("v3").alias("m3"),
-    )
-    j = v.crossJoin(F.broadcast(ideal))
     dp = F.sqrt(
         F.pow(F.col("v1") - F.col("p1"), F.lit(2))
         + F.pow(F.col("v2") - F.col("p2"), F.lit(2))

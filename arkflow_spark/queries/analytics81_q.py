@@ -25,7 +25,7 @@ Reference scope: arkflow's SQL processor surface
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from arkflow_spark.queries.base import query
@@ -333,35 +333,33 @@ def events_median_polish_hourweek(
             (F.floor(ep / 86400000000.0).cast("bigint") + 4) % 7
         ).alias("dow"),
         (F.floor(ep / 3600000000.0).cast("bigint") % 24).alias("hod"),
-    ).agg(F.count("*").cast("bigint").alias("c")).persist()
-    # ^ the 7x24 matrix: each polish sweep references its input twice
-    # (median join + subtraction), so without the persist the raw-event
-    # aggregate replays 2^sweeps = 16 times
+    ).agg(F.count("*").cast("bigint").alias("c"))
 
-    def med(df, key, val, out):
-        return df.groupBy(key).agg(
-            F.expr(f"percentile(CAST({val} AS DOUBLE), 0.5)").alias(out)
+    # r8: each polish sweep is a whole-partition window median instead
+    # of a groupBy + broadcast-join-back — the join form referenced its
+    # input twice per sweep (2^sweeps lineage, 8 broadcast sub-jobs);
+    # the window form is ONE linear pipeline over the 168-cell panel,
+    # and the raw-event aggregate runs exactly once, no persist needed.
+    # percentile() over the identical group values is bit-identical to
+    # the joined aggregate.
+    def sweep(df, key, val):
+        w = Window.partitionBy(key)
+        m = F.expr(f"percentile(CAST({val} AS DOUBLE), 0.5)").over(w)
+        return df.select(
+            "dow", "hod", (F.col(val) - m).alias("v")
         )
 
-    t1 = (
-        cells.join(F.broadcast(med(cells, "dow", "c", "rm")), "dow")
-        .select("dow", "hod", (F.col("c") - F.col("rm")).alias("v"))
-    )
-    t2 = (
-        t1.join(F.broadcast(med(t1, "hod", "v", "cm")), "hod")
-        .select("dow", "hod", (F.col("v") - F.col("cm")).alias("v"))
-    )
-    t3 = (
-        t2.join(F.broadcast(med(t2, "dow", "v", "rm")), "dow")
-        .select("dow", "hod", (F.col("v") - F.col("rm")).alias("v"))
-    )
-    resid = (
-        t3.join(F.broadcast(med(t3, "hod", "v", "cm")), "hod")
-        .select(
-            "dow",
-            "hod",
-            _floor4(F.col("v") - F.col("cm")).alias("residual"),
-        )
+    t1 = sweep(cells, "dow", "c")
+    t2 = sweep(t1, "hod", "v")
+    t3 = sweep(t2, "dow", "v")
+    w4 = Window.partitionBy("hod")
+    resid = t3.select(
+        "dow",
+        "hod",
+        _floor4(
+            F.col("v")
+            - F.expr("percentile(CAST(v AS DOUBLE), 0.5)").over(w4)
+        ).alias("residual"),
     )
     return resid.orderBy(
         F.abs(F.col("residual")).desc(), "dow", "hod"

@@ -355,6 +355,8 @@ def nation_trade_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("flow")
         )
+        .persist()  # r8: <= 25x24 panel consumed by both sides of the
+        # direction-pairing self-join — one corpus join, not two
     )
     rev = flows.select(
         F.col("supp_nation").alias("cust_nation"),

@@ -298,6 +298,9 @@ def part_demand_pooling_benefit(
             .cast("double")
             .alias("q")
         )
+        .persist()  # r8: the only corpus-scaled stage; feeds both the
+        # part-level and the brand-level moment rollups — without the
+        # cache the lineitem join+rollup ran twice per action
     )
     cents = lambda c: F.floor(c * 100 + 0.5) / 100
 
