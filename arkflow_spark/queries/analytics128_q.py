@@ -205,7 +205,7 @@ def graph_ktruss_membership(
     )
     sup = edges.join(tri, ["u", "v"], "left").select(
         F.coalesce(F.col("t"), F.lit(0)).alias("t")
-    )
+    )  # r8: persisting this was measured slower (see triangles.py note)
     ks = spark.createDataFrame([(k,) for k in _KT_KS], "k INT")
     ne = sup.agg(
         F.count("*").alias("n_edges"), F.max("t").alias("max_t")

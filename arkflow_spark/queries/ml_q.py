@@ -352,6 +352,12 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
         x.join(F.broadcast(mu), "i")
         .select("vec_id", "i", (F.col("v") - F.col("m")).alias("cv"))
+        # r8: pre-partition + sort the cached frame on vec_id so each
+        # iteration's s-step joins dots without an exchange (the cache
+        # preserves partitioning/ordering); dots was previously
+        # BROADCAST — corpus-sized (one row per vector), a driver OOM
+        # at scale.
+        .repartition("vec_id")
         .persist()
     )
     v = spark.range(1, 65).select(
@@ -371,7 +377,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         s = (
-            c.join(F.broadcast(dots), "vec_id")
+            c.join(dots, "vec_id")
             .groupBy("i")
             .agg(
                 F.sum(
@@ -380,6 +386,11 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias("s")
             )
+            # r8: 64-row frame, but its lineage is a corpus pass and it
+            # is referenced by BOTH nrm and the next v — unpersisted,
+            # the unrolled 3-step lineage re-instantiated the dots/s
+            # corpus aggregates 42x per action (142 Spark jobs).
+            .persist()
         )
         nrm = s.agg(
             F.sqrt(
