@@ -336,45 +336,46 @@ def ann_filtered_search_recall(
             ).alias("cos"),
         )
     )
+    # r8: ONE corpus pass instead of two. Both arms rank the same
+    # scored frame with the same (cos DESC, cid) order, so one window
+    # pass yields both ranks: r_all = global row_number; r_filt =
+    # running count of label-passing rows over the SAME sort (for a
+    # passing row this equals its row_number among passing rows —
+    # truth's rank). The post arm's rank within the overfetch prefix
+    # ALSO equals r_filt: every passing row ahead of a prefix row has
+    # a smaller r_all, hence sits in the prefix too. Consequences,
+    # provable row-for-row (and witnessed by the unchanged oracle
+    # hash): post = {passing, r_all <= overfetch, r_filt <= k} is a
+    # SUBSET of truth = {passing, r_filt <= k}, so per-query hits =
+    # returned = the post count; the metrics reduce to one grouped
+    # aggregate over the truth rows.
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
-    truth = (
-        scored.filter(F.col("clab") != F.col("qlab"))
-        .withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= _FA_K)
-        .select("qid", "cid")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    passing = F.col("clab") != F.col("qlab")
+    base = scored.select(
+        "qid",
+        "cid",
+        passing.alias("ok"),
+        F.row_number().over(w).alias("r_all"),
+        F.sum(F.when(passing, 1).otherwise(0)).over(wrun).alias(
+            "r_filt"
+        ),
     )
-    over = (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= _FA_K * _FA_OVERFETCH)
-        .filter(F.col("clab") != F.col("qlab"))
-    )
-    wp = Window.partitionBy("qid").orderBy("r")
-    post = (
-        over.withColumn("pr", F.row_number().over(wp))
-        .filter(F.col("pr") <= _FA_K)
-        .select("qid", F.col("cid").alias("pcid"))
-    )
-    ret = post.groupBy("qid").agg(F.count("*").alias("returned"))
     per = (
-        truth.join(
-            post,
-            (truth.qid == post.qid) & (truth.cid == F.col("pcid")),
-            "left_semi",
-        )
+        base.filter(F.col("ok") & (F.col("r_filt") <= _FA_K))
         .groupBy("qid")
-        .agg(F.count("*").alias("hits"))
-        .join(truth.groupBy("qid").agg(F.count("*")).select("qid"), "qid", "right")
-        .join(F.broadcast(ret), "qid", "left")
-        .select(
-            "qid",
-            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
-            F.coalesce(F.col("returned"), F.lit(0)).alias("returned"),
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("r_all") <= _FA_K * _FA_OVERFETCH, 1
+                ).otherwise(0)
+            ).alias("returned")
         )
     )
     return per.agg(
         F.count("*").cast("bigint").alias("n_queries"),
         _floor4(
-            F.sum("hits").cast("double") / (_FA_K * F.count("*"))
+            F.sum("returned").cast("double") / (_FA_K * F.count("*"))
         ).alias("post_filter_recall"),
         _floor4(
             F.sum(

@@ -116,12 +116,18 @@ def dq_format_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         vals = vals.unionByName(o)
     sigs = vals.groupBy("col", "sig").agg(F.count("*").alias("c"))
-    tot = sigs.groupBy("col").agg(F.sum("c").alias("t"))
     # scale: schema-domain-bounded (one row per format signature per
     # column — the signature domain is tiny by construction)
+    # r8: per-column totals via a window over the SAME col partitioning
+    # the rank window needs, instead of groupBy + join-back — the tot
+    # reference otherwise re-ran the 4-column union scans a second
+    # time (8 corpus scans per action instead of 4). Exact bigint sum,
+    # identical t.
     w = Window.partitionBy("col").orderBy(F.desc("c"), F.asc("sig"))
     return (
-        sigs.join(F.broadcast(tot), "col")
+        sigs.withColumn(
+            "t", F.sum("c").over(Window.partitionBy("col"))
+        )
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= _FI_TOP)
         .select(

@@ -219,6 +219,9 @@ def documents_snapshot_quality_drift(
                 F.count("*").alias("n"),
                 F.sum("n_chars").alias("chars"),
             )
+            .persist()  # r8: sources x bands grid; totals/spine/terms
+            # each replayed the snapshot scan (7 documents scans per
+            # action) — the grid is the scale boundary, cache it
         )
 
     cur, prev = grid(sf_dir), grid(PREV_SNAPSHOT)

@@ -476,24 +476,24 @@ def events_tail_codependence(
     vocabulary-bounded, never corpus-quadratic.
     """
     e = load(spark, sf_dir, "events")
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
+    cnt = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("c")).persist()
+    # r8: bounds and the type list both derive from the persisted
+    # hourly rollup (hour-truncation is monotone, so min/max over the
+    # rollup's h equals the truncated raw min/max ts) — the raw stream
+    # is scanned ONCE instead of three times (bounds, types, counts).
+    bounds = cnt.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     spine = bounds.select(
         F.explode(
             F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
         ).alias("h")
     )
-    types = e.select("event_type").distinct()
+    types = cnt.select("event_type").distinct()
     grid = types.crossJoin(F.broadcast(spine))
-    cnt = e.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.count("*").alias("c"))
-    # the 0-filled grid is calendar x types (bounded) but its lineage
-    # scans raw events three times (bounds, types, counts); it feeds
+    # the 0-filled grid is calendar x types (bounded); it feeds
     # the threshold pass and both pair-join sides — persist it and the
-    # hot-flag table so the raw stream is scanned once.
+    # hot-flag table so the grid assembles once.
     filled = grid.join(cnt, ["event_type", "h"], "left").select(
         "event_type", "h", F.coalesce("c", F.lit(0)).alias("c")
     ).persist()

@@ -78,38 +78,71 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst compiles this to), and the integrity rate. Any rate below
     1.0 fails the load gate before analytics run on broken joins.
 
-    Scale shape: each relation is one anti-join with the PARENT side
-    broadcast (dims are the small side by star-schema construction);
-    the union is {n} independent bounded results.
+    Scale shape: ONE scan per CHILD table (r8 — previously one scan
+    per relation, so lineitem was read three times): all of a child's
+    parent dims chain as broadcast left joins onto the same scan and
+    one aggregate counts every relation's orphans; the per-relation
+    rows unfold from that single-row aggregate with inline(). Chained
+    joins stay row-preserving because each parent key is a unique PK
+    by star-schema construction — the same precondition the oracle's
+    per-relation LEFT JOIN counts already rely on.
     """.format(n=len(_FKS))
-    out = None
+    by_child: dict = {}
     for child, fk, parent, pk in _FKS:
-        c = load(spark, sf_dir, child).select(F.col(fk).alias("fk"))
-        p = load(spark, sf_dir, parent).select(F.col(pk).alias("pk"))
-        row = (
-            c.join(F.broadcast(p), c.fk == p.pk, "left")
-            .agg(
-                F.count("*").cast("bigint").alias("n_rows"),
-                F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
-                .cast("bigint")
-                .alias("n_orphans"),
+        by_child.setdefault(child, []).append((fk, parent, pk))
+    out = None
+    for child, rels in by_child.items():
+        c = load(spark, sf_dir, child).select(
+            *[F.col(fk) for fk, _, _ in rels]
+        )
+        for idx, (fk, parent, pk) in enumerate(rels):
+            p = load(spark, sf_dir, parent).select(
+                F.col(pk).alias(f"_pk{idx}")
             )
-            .select(
-                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("relation"),
-                "n_rows",
-                "n_orphans",
-                (
-                    F.floor(
-                        (1 - F.col("n_orphans") * 1.0 / F.col("n_rows"))
-                        * 1000000
-                        + 0.5
-                    )
-                    / 1000000
-                ).alias("integrity_rate"),
+            c = c.join(
+                F.broadcast(p), c[fk] == p[f"_pk{idx}"], "left"
+            )
+        agg = c.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            *[
+                F.sum(
+                    F.when(F.col(f"_pk{idx}").isNull(), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"_orph{idx}")
+                for idx in range(len(rels))
+            ],
+        )
+        rows = agg.select(
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(
+                                f"{child}.{fk} -> {parent}.{pk}"
+                            ).alias("relation"),
+                            F.col("n_rows"),
+                            F.col(f"_orph{idx}").alias("n_orphans"),
+                        )
+                        for idx, (fk, parent, pk) in enumerate(rels)
+                    ]
+                )
             )
         )
-        out = row if out is None else out.unionAll(row)
-    return out.orderBy("relation")
+        out = rows if out is None else out.unionAll(rows)
+    return out.select(
+        "relation",
+        "n_rows",
+        "n_orphans",
+        (
+            F.floor(
+                (1 - F.col("n_orphans") * 1.0 / F.col("n_rows"))
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("integrity_rate"),
+    ).orderBy("relation")
 
 
 # ------------------------------------------------ payload entropy

@@ -243,9 +243,11 @@ def dq_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     this before publishing a partition; `passed = false` rows become the
     circuit breaker.
 
-    Scale: each check is an independent aggregation (the FK checks are
-    LeftAnti joins on uniform keys); the union is of 1-row results, so
-    the suite parallelizes check-wise with no cross-check shuffle.
+    Scale: one scan per CHILD table — checks sharing a table fuse into
+    one aggregate (r8; previously one scan per check, two full
+    lineitem passes). FK orphans count through a row-preserving LEFT
+    JOIN against DISTINCT parent keys — exactly the NOT-EXISTS count
+    for any input. The union is of 1-row results.
     """
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
@@ -253,33 +255,77 @@ def dq_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     e = load(spark, sf_dir, "events")
 
-    pk = (
-        o.agg(
+    # r8: one scan per CHILD table instead of one per check. The PK
+    # check and the customer-FK check share the orders scan; the
+    # orders-FK check and the discount range check share the lineitem
+    # scan (previously TWO full lineitem passes). Orphans count via a
+    # row-preserving LEFT JOIN against the DISTINCT parent keys — for
+    # ANY data that join matches at most one row per child row, so
+    # sum(parent IS NULL) is exactly the oracle's NOT-EXISTS count.
+    ckeys = c.select(F.col("c_custkey").alias("_ck")).distinct()
+    opk = (
+        o.select("o_orderkey", "o_custkey")
+        .join(F.broadcast(ckeys), o.o_custkey == F.col("_ck"), "left")
+        .agg(
             F.count("*").alias("n"),
             F.countDistinct("o_orderkey").alias("d"),
+            F.sum(
+                F.when(F.col("_ck").isNull(), 1).otherwise(0)
+            ).alias("viol"),
         )
+        # both check rows unfold from the ONE aggregate row (a second
+        # reference would replay the scan)
         .select(
-            F.lit("orders_pk_unique").alias("check_name"),
-            (F.col("n") - F.col("d")).cast("double").alias("metric"),
-            (F.col("n") == F.col("d")).alias("passed"),
+            F.inline(
+                F.array(
+                    F.struct(
+                        F.lit("orders_pk_unique").alias("check_name"),
+                        (F.col("n") - F.col("d"))
+                        .cast("double")
+                        .alias("metric"),
+                        (F.col("n") == F.col("d")).alias("passed"),
+                    ),
+                    F.struct(
+                        F.lit("orders_fk_customer").alias("check_name"),
+                        F.col("viol").cast("double").alias("metric"),
+                        (F.col("viol") == 0).alias("passed"),
+                    ),
+                )
+            )
         )
     )
-    fk_cust = (
-        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
-        .agg(F.count("*").alias("viol"))
-        .select(
-            F.lit("orders_fk_customer").alias("check_name"),
-            F.col("viol").cast("double").alias("metric"),
-            (F.col("viol") == 0).alias("passed"),
-        )
+    okeys = o.select(F.col("o_orderkey").alias("_ok")).distinct()
+    disc_bad = F.sum(
+        F.when(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1
+        ).otherwise(0)
     )
-    fk_ord = (
-        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
-        .agg(F.count("*").alias("viol"))
+    lck = (
+        li.select("l_orderkey", "l_discount")
+        .join(okeys, li.l_orderkey == F.col("_ok"), "left")
+        .agg(
+            F.sum(
+                F.when(F.col("_ok").isNull(), 1).otherwise(0)
+            ).alias("viol"),
+            disc_bad.alias("dviol"),
+        )
         .select(
-            F.lit("lineitem_fk_orders").alias("check_name"),
-            F.col("viol").cast("double").alias("metric"),
-            (F.col("viol") == 0).alias("passed"),
+            F.inline(
+                F.array(
+                    F.struct(
+                        F.lit("lineitem_fk_orders").alias("check_name"),
+                        F.col("viol").cast("double").alias("metric"),
+                        (F.col("viol") == 0).alias("passed"),
+                    ),
+                    F.struct(
+                        F.lit("lineitem_discount_range").alias(
+                            "check_name"
+                        ),
+                        F.col("dviol").cast("double").alias("metric"),
+                        (F.col("dviol") == 0).alias("passed"),
+                    ),
+                )
+            )
         )
     )
     nonempty = F.sum(
@@ -295,18 +341,6 @@ def dq_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ok") * 100 >= F.col("n") * 99).alias("passed"),
         )
     )
-    disc_viol = F.sum(
-        F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1)
-        .otherwise(0)
-    )
-    disc = (
-        li.agg(disc_viol.alias("viol"))
-        .select(
-            F.lit("lineitem_discount_range").alias("check_name"),
-            F.col("viol").cast("double").alias("metric"),
-            (F.col("viol") == 0).alias("passed"),
-        )
-    )
     val_viol = F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
     nonneg = (
         e.agg(val_viol.alias("viol"))
@@ -316,8 +350,8 @@ def dq_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("viol") == 0).alias("passed"),
         )
     )
-    out = pk
-    for r in (fk_cust, fk_ord, complete, disc, nonneg):
+    out = opk
+    for r in (lck, complete, nonneg):
         out = out.unionByName(r)
     return out.orderBy("check_name")
 

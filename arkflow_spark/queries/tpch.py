@@ -24,7 +24,7 @@ AQE so plans degrade gracefully from sf0.01 to 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from arkflow_spark.queries.base import (
@@ -75,13 +75,61 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated scalar MIN subquery over a derived
     part-supplier "offers" relation (partsupp analog).
 
-    Scale notes: offers is a map-side-combinable agg keyed (partkey,
-    suppkey); the correlated MIN decorrelates to an agg + self-join on
-    partkey (Catalyst RewriteCorrelatedScalarSubquery); supplier/nation/
-    region dims broadcast.
+    Scale notes (r8): Catalyst decorrelates the scalar MIN to an agg +
+    self-join that rebuilt the offers rollup from lineitem TWICE; the
+    min-cost filter is instead one window MIN over p_partkey on the
+    already-joined frame — the join on partkey brings every EU offer
+    of each surviving partkey, so the per-partkey window min equals
+    the subquery's min exactly (same doubles, order-independent MIN).
+    One lineitem pass; supplier/nation/region dims broadcast.
     """
-    _views(spark, sf_dir, "lineitem", "supplier", "nation", "region", "part")
-    return spark.sql(_Q2_SQL)
+    li = load(spark, sf_dir, "lineitem")
+    offers = li.groupBy(
+        F.col("l_partkey"), F.col("l_suppkey")
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_price"
+        )
+    )
+    eu = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "EUROPE"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    base = p.join(
+        offers, F.col("l_partkey") == F.col("p_partkey")
+    ).join(eu, F.col("s_suppkey") == F.col("l_suppkey"))
+    wmin = Window.partitionBy("p_partkey")
+    return (
+        base.withColumn(
+            "_minp", F.min("unit_price").over(wmin)
+        )
+        .filter(F.col("unit_price") == F.col("_minp"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "unit_price",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
 
 
 # --------------------------------------------------------------------- q4
