@@ -254,7 +254,10 @@ def customer_brand_switching(
     trans = seq.groupBy(
         F.col("brand").alias("from_brand"),
         F.col("next_brand").alias("to_brand"),
-    ).agg(F.count("*").alias("c"))
+    ).agg(F.count("*").alias("c")).persist()
+    # r8: brand-pair-bounded (<= 625 rows) but its lineage is the full
+    # lineitem/orders pipeline; the totals anchor and the top-k arm
+    # each replayed it (6 corpus scans per action) — cache the matrix
     tot = trans.agg(
         F.sum("c").cast("double").alias("t"),
         F.sum(

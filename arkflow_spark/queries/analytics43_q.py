@@ -303,7 +303,9 @@ def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("decimal(18,6)"))
         .cast("double")
         .alias("q"),
-    )
+    ).persist()
+    # r8: (years x parts)-bounded, but base_yr/base/joined each
+    # replayed the lineitem rollup (3 corpus scans per action)
     base_yr = px.agg(F.min("yr").alias("y0"))
     base = (
         px.crossJoin(F.broadcast(base_yr))
