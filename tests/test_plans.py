@@ -581,12 +581,19 @@ def test_profile_distincts_combine_map_side(spark):
     assert plan.count("HashAggregate") >= 4
 
 
-def test_validation_fk_checks_are_anti_joins(spark):
-    """Referential-integrity checks must plan as anti joins on the key,
-    never as per-row subquery re-execution."""
+def test_validation_fk_checks_are_key_hash_joins(spark):
+    """Referential-integrity checks must plan as hash equi-joins on the
+    key, never as per-row subquery re-execution or a nested loop. (r8:
+    the anti joins became row-preserving LEFT OUTER joins against the
+    DISTINCT parent keys so each child table is scanned ONCE for all of
+    its checks — sum(parent IS NULL) is exactly the NOT-EXISTS count.)"""
     plan = plan_of(spark, "dq_validation_suite")
-    assert "LeftAnti" in plan
+    assert "HashJoin LeftOuter" in plan
+    assert "NestedLoop" not in plan
     assert "BatchEvalPython" not in plan
+    # the fused-scan invariant: one lineitem pass serves both the FK
+    # orphan count and the discount range check
+    assert plan.count("lineitem.parquet") == 1
 
 
 def test_ddsketch_reduces_before_shuffle(spark):
