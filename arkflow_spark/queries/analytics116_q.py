@@ -323,8 +323,13 @@ def text_boilerplate_shingles(
     BEFORE dedup/quality gates — embedded boilerplate both inflates
     near-dup rates and pollutes n-gram LM stats.
 
-    Scale shape: one shingle explode (fan-out = words per doc), a
-    distinct-per-doc rollup, the boilerplate vocabulary is a
+    Scale shape: ONE shingle explode (fan-out = words per doc) and one
+    distinct-per-doc shuffle, persisted — the boilerplate-vocabulary
+    aggregate and the hits join both read the cached shingle set
+    instead of re-exploding and re-deduping the corpus; the corpus
+    document count folds out of the per-source rollup (sum of group
+    counts = COUNT(*)), so the raw table is scanned twice (shingles +
+    source census), not four times. The boilerplate vocabulary is a
     df-thresholded aggregate that stays tiny (few shingles survive
     {df:.0%} of a diverse corpus) and broadcast-joins back; output is
     source-bounded.
@@ -345,8 +350,12 @@ def text_boilerplate_shingles(
             ).alias("gram"),
         )
         .distinct()
+        .persist()
     )
-    ndocs = d.agg(F.count("*").alias("nd"))
+    # ^ the scale boundary: explode + per-doc dedup shuffle run ONCE;
+    # both consumers (df threshold, hits join) read the cache
+    src = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    ndocs = src.agg(F.sum("n_docs").alias("nd"))
     bp = (
         grams.crossJoin(F.broadcast(ndocs))
         .groupBy("gram", "nd")
@@ -359,7 +368,6 @@ def text_boilerplate_shingles(
         .groupBy("source", "doc_id")
         .agg(F.count("*").alias("k"))
     )
-    src = d.groupBy("source").agg(F.count("*").alias("n_docs"))
     agg = hits.groupBy("source").agg(
         F.count("doc_id").alias("n_aff"),
         F.sum("k").cast("double").alias("sk"),

@@ -312,7 +312,10 @@ def dedup_edit_distance_blocked(
     Scale: one exchange on the compound block key; the quadratic pair
     join never leaves a block, and the three-part key (prefix AND
     length-band AND language) keeps blocks to near-duplicate cliques
-    rather than topic clusters. The Levenshtein runs JVM-side on
+    rather than topic clusters. Only the {h}-char HEAD crosses the
+    shuffle — the full normalized text is projected away before the
+    self-join, so each side moves bounded-width rows no matter how long
+    the documents are. The Levenshtein runs JVM-side on those
     fixed-length heads, bounding each comparison's cost; tightening the
     band width / prefix length is the knob if a 100 TB corpus develops
     a hot block (boilerplate prefixes land in one block by design —
@@ -323,7 +326,7 @@ def dedup_edit_distance_blocked(
     b = d.select(
         "doc_id",
         "lang",
-        norm.alias("norm"),
+        F.substring(norm, 1, _ED_HEAD).alias("head"),
         F.concat_ws(
             " ", F.slice(F.split(norm, r"\s+"), 1, 3)
         ).alias("prefix3"),
@@ -331,8 +334,8 @@ def dedup_edit_distance_blocked(
     )
     a = b.alias("a")
     c = b.alias("c")
-    head_a = F.substring(F.col("a.norm"), 1, _ED_HEAD)
-    head_c = F.substring(F.col("c.norm"), 1, _ED_HEAD)
+    head_a = F.col("a.head")
+    head_c = F.col("c.head")
     dist = F.levenshtein(head_a, head_c)
     return (
         a.join(
