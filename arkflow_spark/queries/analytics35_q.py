@@ -399,16 +399,35 @@ def events_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.alias("x"),
         F.collect_list(x).over(w).alias("nb"),
     )
-    med_of = lambda arr: F.element_at(
-        F.array_sort(arr), ((F.size(arr) + 1) / 2).cast("int")
+    # r8: sort the neighborhood ONCE and thread med/mad through column
+    # references. The previous single-expression form embedded the med
+    # subtree (array_sort + element_at) inside the MAD transform lambda
+    # (re-sorted per element, 7x/row) and recomputed the whole transform
+    # a second time just for its size() in the median index — ~15 small
+    # sorts + 2 transforms per row, all authored duplication Catalyst
+    # cannot deduplicate across a lambda boundary. Values are identical:
+    # the deviation MULTISET is order-independent, array_sort pins the
+    # order, and size(nb) == size(devs) by construction.
+    k = ((F.size("nb") + 1) / 2).cast("int")
+    sorted_nb = seq.select(
+        "event_type", "x", F.array_sort("nb").alias("snb"), k.alias("k")
     )
-    med = med_of(F.col("nb"))
-    scored = seq.select(
+    with_med = sorted_nb.select(
         "event_type",
         "x",
-        med.alias("med"),
-        med_of(
-            F.transform(F.col("nb"), lambda v: F.abs(v - med))
+        "snb",
+        "k",
+        F.element_at("snb", F.col("k")).alias("med"),
+    )
+    scored = with_med.select(
+        "event_type",
+        "x",
+        "med",
+        F.element_at(
+            F.array_sort(
+                F.transform("snb", lambda v: F.abs(v - F.col("med")))
+            ),
+            F.col("k"),
         ).alias("mad"),
     )
     is_out = (

@@ -1884,3 +1884,15 @@ def test_bloom_prefilter_broadcasts_buckets_and_joins_candidates_only(
     assert plan.count("BroadcastHashJoin") >= 2
     assert "LeftAnti" in plan and "LeftSemi" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_hampel_sorts_each_neighborhood_exactly_twice(spark):
+    """r8: the Hampel med/MAD projection must evaluate array_sort exactly
+    twice per row (sorted neighborhood + sorted deviations) and run the
+    deviation transform once. The previous authored form embedded the
+    median subtree inside the transform lambda (re-sorted per element)
+    and re-ran the whole transform for its size() — ~15 small sorts per
+    row that Catalyst cannot deduplicate across a lambda boundary."""
+    plan = plan_of(spark, "events_hampel_outliers")
+    assert plan.count("array_sort") == 2
+    assert plan.count("transform(") == 1
