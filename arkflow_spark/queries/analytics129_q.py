@@ -236,13 +236,22 @@ def customer_brand_switching(
             ).alias("r")
         )
     )
-    wb = Window.partitionBy("l_orderkey").orderBy(
-        F.desc("r"), F.asc("p_brand")
-    )
+    # r8: the dominant brand is an arg-max per order — min(struct(-r,
+    # brand)) picks exactly the row_number()=1 row of the oracle's
+    # (r DESC, p_brand ASC) ordering (decimal negation is exact), but
+    # runs as a map-side-combinable hash aggregate instead of sorting
+    # the whole order-level rollup under a per-order rank window.
     order_brand = (
-        rev.withColumn("rk", F.row_number().over(wb))
-        .filter(F.col("rk") == 1)
-        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        rev.groupBy("l_orderkey")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("r")).alias("nr"),
+                    F.col("p_brand").alias("b"),
+                )
+            ).alias("m")
+        )
+        .select("l_orderkey", F.col("m.b").alias("brand"))
         .join(o, F.col("l_orderkey") == o.o_orderkey)
     )
     ws = Window.partitionBy("o_custkey").orderBy(
