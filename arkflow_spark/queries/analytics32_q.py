@@ -108,20 +108,25 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate stream. One corpus pass, zero wide shuffles of vectors.
     """
     e = load(spark, sf_dir, "embeddings")
-    # r8: per-dimension [min, max] as ONE map-side-combinable aggregate
-    # of 2x64 element_at expressions — the previous posexplode fanned
-    # the corpus out 64x (Generate materializes every (vec_id, i, v)
-    # row) and then re-assembled the 64-row stats table with a
-    # collect_list + array_sort pass. min/max are order-independent and
-    # element_at past the array end is NULL (ignored by min/max), so
-    # the arrays are value-identical to the oracle's grouped stats.
-    dim_at = lambda i: F.element_at("embedding", i + 1).cast("double")
-    arrays = e.agg(
-        F.array(
-            *[F.min(dim_at(i)) for i in range(DIM)]
+    x = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i0", "v_f"),
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.col("v_f").cast("double").alias("v"),
+    )
+    stats = x.groupBy("i").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    arrays = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mn"))),
+            lambda s: s.mn,
         ).alias("mns"),
-        F.array(
-            *[F.max(dim_at(i)) for i in range(DIM)]
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mx"))),
+            lambda s: s.mx,
         ).alias("mxs"),
     )
 
