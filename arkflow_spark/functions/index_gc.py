@@ -42,6 +42,7 @@ from pathlib import Path
 # tests/test_indexes_gc.py asserts this list covers every
 # index_table_name() call site so a new family can't silently leak
 INDEX_PREFIXES = (
+    "_cc_lbl_b",      # near-dup cluster labels index (r9)
     "_cl_closed_b",   # triangle-closure closed-edge set (r8)
     "_cp_und_b",      # shared co-purchase undirected edge index
     "_ivf_assign_b",  # IVF coarse assignment

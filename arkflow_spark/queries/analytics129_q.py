@@ -241,6 +241,13 @@ def customer_brand_switching(
     # (r DESC, p_brand ASC) ordering (decimal negation is exact), but
     # runs as a map-side-combinable hash aggregate instead of sorting
     # the whole order-level rollup under a per-order rank window.
+    # PRECONDITION (r8 ADVICE): the struct-min equivalence needs r to
+    # be NON-NULL — struct ordering sorts a NULL first field FIRST
+    # ascending, while the replaced F.desc("r") window (and the
+    # oracle's ORDER BY r DESC) put NULLs LAST. r is a SUM of
+    # non-null TPC-H decimals within each non-empty (order, brand)
+    # group, so it can never be null here; revisit if the rollup ever
+    # admits null revenue.
     order_brand = (
         rev.groupBy("l_orderkey")
         .agg(

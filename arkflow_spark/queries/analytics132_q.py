@@ -119,10 +119,18 @@ def documents_dedup_quality_survivorship(
     candidates, not corpus^2); quality is one narrow projection;
     policies are two cluster-keyed aggregates with exact decimal
     means. At 100 TB this audit runs on the stored cluster table the
-    dedup pass already writes.
+    dedup pass already writes — and since r9 it literally does:
+    cluster labels are read from the materialized doc_id-bucketed
+    cluster-labels index (`dedup_q._cc_labels`, built once per
+    (session, sf_dir) by the same convergence loop
+    `dedup_cluster_canonical` still runs live as the driver-verified
+    witness; equality is pinned by
+    test_labels_and_sig_indexes.py::test_cc_labels_equal_live_loop).
     """
-    clusters = QUERIES["dedup_cluster_canonical"](spark, sf_dir).select(
-        "doc_id", "cluster_id"
+    from arkflow_spark.queries.dedup_q import _cc_labels
+
+    clusters = _cc_labels(spark, sf_dir).select(
+        "doc_id", F.col("label").alias("cluster_id")
     )
     d = load(spark, sf_dir, "documents")
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")

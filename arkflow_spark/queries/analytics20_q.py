@@ -298,49 +298,82 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     `graph_pagerank_bipartite` unrolling discipline). The dense-core
     filter behind community seeding and collusion/spam-ring detection.
 
-    Scale: each round is a degree count (map-side combinable) + two
-    semi-join edge filters on node keys; rounds are data-independent
-    in number, so the plan is a fixed-depth DAG, not a driver loop.
+    Scale: each round is one gather join on the bucketed co-purchase
+    index (exchange-free on the edge side) + one per-target transpose
+    aggregate; the only retained state per round is the ALIVE NODE SET
+    (node ids — linear in the part catalog, never edge-sized); rounds
+    are data-independent in number, so the plan is a fixed-depth DAG,
+    not a driver loop.
     """.format(k=_KCORE_K, r=_KCORE_ROUNDS)
     # r8: edges come from the shared materialized co-purchase index
     # (`functions/copurchase.py`) — the same `u < v`, support >= 2
     # construction this query previously re-joined from raw lineitem
     # on every run (the r5 consolidation missed this call site).
+    #
+    # r9 (VERDICT r8 item 4): GATHER-FORM peel, the `lp_rounds`
+    # discipline applied to degrees. The old form filtered and
+    # persisted a fresh EDGE frame every round (e_r = two semi-joins
+    # against the survivor set), so the per-round caches were
+    # corpus-sized and the fixed-depth DAG re-referenced each round's
+    # degree frame — plan 3,089 lines, the heaviest remaining graph
+    # query. The peel only ever needs the NODE survivor sets:
+    #
+    #   deg_r(x) over e_r  =  |{alive neighbours of x}|   (x alive)
+    #
+    # so each round joins the alive set onto the SYMMETRIC bucketed
+    # index by its source key `u` (exchange-free edge side, MERGE hint
+    # pins the SMJ — same reasoning as lp_rounds: Catalyst's estimates
+    # balloon through nested round aggregates and otherwise broadcast
+    # the EDGE LIST, backwards at any scale) and each alive-source row
+    # emits a degree CREDIT (1) to its target and an ALIVENESS MARKER
+    # (0) to its source. Per-node: min(c)=0 <=> the node itself is
+    # alive (it has >=1 out-row, every alive node does); sum(c) = its
+    # alive-neighbour count = its degree in the induced subgraph.
+    # s_r = {min(c)=0 AND sum(c)>=k} — one reference to the previous
+    # round per round => LINEAR lineage; the persisted frames are the
+    # tiny alive sets, not edges.
     from arkflow_spark.functions import copurchase
 
-    edges = (
-        copurchase.directed(spark, sf_dir, min_support=2)
-        .select("u", "v")
-        .persist()
+    und = copurchase.undirected(spark, sf_dir, min_support=2).select(
+        "u", "v"
     )
-
-    def degrees(e):
-        return (
-            e.select(F.col("u").alias("node"))
-            .unionAll(e.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count("*").alias("deg"))
+    # d0: every node's degree is its out-row count in the symmetric
+    # list — a groupBy on the index's bucket key, exchange-free.
+    d0 = und.groupBy("u").agg(F.count("*").alias("deg"))
+    counts = [d0.agg(F.count("*").alias("c"))]
+    alive = (
+        d0.filter(F.col("deg") >= _KCORE_K).select("u").persist()
+    )
+    counts.append(alive.agg(F.count("*").alias("c")))
+    for _ in range(_KCORE_ROUNDS - 1):
+        gathered = und.join(alive.hint("merge"), "u").select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("node"), F.lit(1).alias("c")),
+                    F.struct(F.col("u").alias("node"), F.lit(0).alias("c")),
+                )
+            ).alias("t")
         )
-
-    # Per-round persists (the label-prop discipline): each round's edge
-    # set is consumed by BOTH degree-union arms, the next round's
-    # semi-joins, and a count branch — without them lineage grows 3^r
-    # and the basket self-join replays every round.
-    counts = []
-    d = degrees(edges).persist()
-    counts.append(d.agg(F.count("*").alias("c")))
-    e = edges
-    for _ in range(_KCORE_ROUNDS):
-        surv = d.filter(F.col("deg") >= _KCORE_K).select("node")
-        e = (
-            e.join(surv.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(surv.withColumnRenamed("node", "v"), "v", "left_semi")
-            .select("u", "v")
+        alive = (
+            gathered.groupBy("t.node")
+            .agg(F.min("t.c").alias("self_alive"), F.sum("t.c").alias("deg"))
+            .filter(
+                (F.col("self_alive") == 0) & (F.col("deg") >= _KCORE_K)
+            )
+            .select(F.col("node").alias("u"))
             .persist()
         )
-        counts.append(surv.agg(F.count("*").alias("c")))
-        d = degrees(e).persist()
-    edge_count = e.agg(F.count("*").alias("c"))
+        counts.append(alive.agg(F.count("*").alias("c")))
+    # edges_remaining = |{(u, v) in e0, u < v : both endpoints in s_R}|
+    final = alive
+    edge_count = (
+        und.filter(F.col("u") < F.col("v"))
+        .join(final.hint("merge"), "u", "left_semi")
+        .join(
+            final.withColumnRenamed("u", "v"), "v", "left_semi"
+        )
+        .agg(F.count("*").alias("c"))
+    )
     out = (
         counts[0]
         .select(F.col("c").alias("nodes_0"))

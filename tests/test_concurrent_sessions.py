@@ -18,8 +18,15 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 from arkflow_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
+
+# r9: gated behind ARKFLOW_FULL_TESTS=1 — spawns a second JVM session
+# (VERDICT r8 item 1: the driver's default verify profile must finish
+# inside its window; nothing deleted, full suite runs with the flag)
+pytestmark = pytest.mark.slow
 
 _SUBPROC = r"""
 import sys

@@ -15,6 +15,12 @@ from hypothesis import strategies as st
 from arkflow_spark.plans.oracle import compare
 from arkflow_spark.queries import ORACLE, QUERIES
 
+# r9: gated behind ARKFLOW_FULL_TESTS=1 — hypothesis sweeps vs DuckDB, ~12 min
+# (VERDICT r8 item 1: the driver's default verify profile must finish
+# inside its window; nothing deleted, full suite runs with the flag)
+pytestmark = pytest.mark.slow
+
+
 EVENT_QUERIES = (
     "events_ewma",
     "events_anomaly_zscore",

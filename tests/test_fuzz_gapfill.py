@@ -18,6 +18,11 @@ from arkflow_spark.queries.timeseries_q import (
     events_gapfill_locf,
 )
 
+# r9: gated behind ARKFLOW_FULL_TESTS=1 — hypothesis sweep vs DuckDB, ~1 min
+# (VERDICT r8 item 1: the driver's default verify profile must finish
+# inside its window; nothing deleted, full suite runs with the flag)
+pytestmark = pytest.mark.slow
+
 event = st.tuples(
     st.integers(min_value=0, max_value=3),          # user_id (< 8 filter)
     st.integers(min_value=0, max_value=60 * 48),    # minutes from t0

@@ -84,6 +84,42 @@ def test_signatures_materialize_and_match_compute(spark):
     assert stored == live
 
 
+def test_cc_labels_materialize_bucketed_and_short_circuit(spark):
+    """r9 cluster-labels index: materializes doc_id-bucketed, keyed on
+    (sf_dir, buckets), and the second call serves the stored table."""
+    from arkflow_spark.functions.indexes import index_table_name
+    from arkflow_spark.queries.dedup_q import _cc_labels
+
+    _cc_labels(spark, SF_SMOKE)
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    table = index_table_name(spark, SF_SMOKE, nb, "_cc_lbl_b")
+    assert spark.catalog.tableExists(table)
+    desc = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    info = {r.col_name: r.data_type for r in desc}
+    assert info.get("Bucket Columns") == "[`doc_id`]", info
+    df = _cc_labels(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert table in plan
+
+
+def test_cc_labels_equal_live_loop(spark):
+    """Freshness contract (r9, VERDICT r8 item 5): the materialized
+    cluster-labels index row-for-row equals the live convergence loop
+    `dedup_cluster_canonical` still runs — the survivorship audit may
+    read the index only because this pins the two together."""
+    from arkflow_spark.queries.dedup_q import _cc_labels, _cc_labels_compute
+
+    stored = {
+        (r["doc_id"], r["label"])
+        for r in _cc_labels(spark, SF_SMOKE).collect()
+    }
+    live = {
+        (r["doc_id"], r["label"])
+        for r in _cc_labels_compute(spark, SF_SMOKE).collect()
+    }
+    assert stored == live
+
+
 def _n_persistent(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 

@@ -924,11 +924,19 @@ def test_abc_migration_windows_over_part_aggregate(spark):
 
 
 def test_kcore_semi_join_peeling(spark):
-    """Each peel round filters edges via LeftSemi joins on survivor
-    node sets — never a materialized transitive structure."""
+    """r9 gather-form peel: per-round state is the ALIVE NODE SET only
+    (never a filtered edge copy) — each round joins the alive set onto
+    the static bucketed co-purchase index and re-derives degrees, so
+    the plan stays flat (before: 190 index scans / 3,089 lines from
+    per-round edge persists; after: ~19 scans / ~712 lines). The final
+    edge count still filters via LeftSemi joins on the survivor set."""
     plan = plan_of(spark, "graph_kcore_peel")
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+    # the peel must not re-materialize per-round edge frames: a bound
+    # far under the old form's 190 scan mentions but loose enough to
+    # survive plan-printer changes
+    assert plan.count("Scan parquet") <= 40, plan.count("Scan parquet")
 
 
 def test_runtime_bloom_filter_injects_at_scale_thresholds(spark):
@@ -1894,5 +1902,10 @@ def test_hampel_sorts_each_neighborhood_exactly_twice(spark):
     and re-ran the whole transform for its size() — ~15 small sorts per
     row that Catalyst cannot deduplicate across a lambda boundary."""
     plan = plan_of(spark, "events_hampel_outliers")
-    assert plan.count("array_sort") == 2
-    assert plan.count("transform(") == 1
+    # <= bounds, not ==: formatted plans may print an expression in
+    # several sections (Project details, subexpr elimination), so an
+    # exact count is brittle across Spark versions (r8 ADVICE). The
+    # regression this guards is the ~15-sorts-per-row lambda form,
+    # which would blow far past these bounds.
+    assert 1 <= plan.count("array_sort") <= 2
+    assert 1 <= plan.count("transform(") <= 2

@@ -66,6 +66,7 @@ def test_stream_pipeline_foreachbatch(spark, tmp_path, events_stream_dir):
     assert merged == {"a": 10, "b": 10}
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_stream_tumbling_window_event_time(spark, tmp_path, events_stream_dir):
     """Streaming tumbling window with watermark — the reference's window
     buffer under real incremental execution."""
@@ -249,6 +250,7 @@ def test_stream_sliding_count_window_tws(spark, tmp_path, events_stream_dir):
     assert len(ids) == 3 and ids == sorted(ids)
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_file_input_rate_limit_option(spark, tmp_path):
     """max_files_per_trigger bounds per-trigger ingest (the reference's
     in-flight backpressure threshold analog, stream/mod.rs:37)."""
@@ -285,6 +287,7 @@ def test_file_input_rate_limit_option(spark, tmp_path):
     assert len(batches) >= 2 and all(b > 0 for b in batches)
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_stream_stream_join_with_watermarks(spark, tmp_path):
     """True stream-stream inner join: two watermarked file streams joined on
     key + event-time range — the Spark-native superset of the reference's
@@ -457,6 +460,7 @@ def test_checkpoint_restart_resumes_offsets_exactly_once(spark, tmp_path):
     assert offsets == [0, 1, 2, 3, 4]
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_stream_ewma_exact_recurrence_across_batches(spark, tmp_path):
     """The streaming EWMA must carry its accumulator across micro-batches:
     two file drops, one query restart boundary per drop, final values equal
@@ -506,6 +510,7 @@ def test_stream_ewma_exact_recurrence_across_batches(spark, tmp_path):
     assert len(got) == 10
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_stream_rolling_zscore_state_across_batches(spark, tmp_path):
     """Streaming z-score must score against the previous-window state,
     carrying the ring buffer across micro-batches and checkpoint restarts;
@@ -567,6 +572,7 @@ def test_stream_rolling_zscore_state_across_batches(spark, tmp_path):
     assert by_id[6]["zscore"] == pytest.approx(want)
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_stream_windowed_topk_append_mode(spark, tmp_path):
     """Streaming windowed top-N: append-mode finalization emits each
     window's surviving keys together, so per-batch ranking equals the
@@ -633,6 +639,7 @@ def test_stream_windowed_topk_append_mode(spark, tmp_path):
     assert all(not ws.startswith("2024-01-01 00:30") for ws, _ in got)
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_stream_counter_rate_resets_across_batches(spark, tmp_path):
     """Streaming counter increase must carry last_value/cum across
     micro-batches and count a mid-stream counter reset as the post-reset
@@ -691,6 +698,7 @@ def test_stream_counter_rate_resets_across_batches(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_stream_funnel_progression_across_batches(spark, tmp_path):
     """Streaming funnel must carry the furthest-stage state across
     micro-batches: a user who viewed in batch 1 converts on the click +
@@ -748,6 +756,7 @@ def test_stream_funnel_progression_across_batches(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_stream_cep_pattern_within_horizon_across_batches(spark, tmp_path):
     """The CEP detector must arm on the first unmatched start event, carry
     the pending state across a checkpoint restart, emit only end events
@@ -805,6 +814,7 @@ def test_stream_cep_pattern_within_horizon_across_batches(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_stream_heavy_hitters_bound_across_restarts(spark, tmp_path):
     """The streaming Misra-Gries summary must survive a checkpoint
     restart: two file drops with a query restart between them, then the
@@ -867,6 +877,7 @@ def test_stream_heavy_hitters_bound_across_restarts(spark, tmp_path):
     assert merged and max(merged, key=lambda u: merged[u]) == 1
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_stream_ddsketch_quantiles_across_restarts(spark, tmp_path):
     """The streaming DDSketch histogram must survive a checkpoint
     restart: after two file drops with a restart between, the latest
@@ -931,6 +942,7 @@ def test_stream_ddsketch_quantiles_across_restarts(spark, tmp_path):
         assert abs(latest[q]["est"] - true_val) / true_val <= alpha * 1.0001
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_stream_burst_hysteresis_state_across_restarts(spark, tmp_path):
     """The Schmitt-trigger burst flag must carry across a checkpoint
     restart: a burst entered in run 1 (value > enter) must still be ON
@@ -983,6 +995,7 @@ def test_stream_burst_hysteresis_state_across_restarts(spark, tmp_path):
     assert got["2024-01-01 00:04:00"] == (False, False)
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_stream_uniform_sample_matches_batch_across_restarts(spark, tmp_path):
     """The streaming hash-priority reservoir must (a) survive a
     checkpoint restart and (b) after any prefix equal the BATCH
@@ -1045,6 +1058,7 @@ def test_stream_uniform_sample_matches_batch_across_restarts(spark, tmp_path):
     assert stream_sample == batch
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_stream_xmr_limits_state_across_batches(spark, tmp_path):
     """Streaming XmR must score each point against limits from PRIOR
     data only and carry (n, sum_x, sum_mr, last) across a checkpoint
@@ -1120,6 +1134,7 @@ def test_stream_xmr_limits_state_across_batches(spark, tmp_path):
     assert by_n[8]["out_of_control"] is False
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_stream_page_hinkley_state_across_batches(spark, tmp_path):
     """Streaming Page-Hinkley must carry (n, sum_x, m, extreme) across a
     checkpoint restart: a level shift delivered in the second file must
@@ -1186,6 +1201,7 @@ def test_stream_page_hinkley_state_across_batches(spark, tmp_path):
     assert by_n[10]["alarm"]
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_stream_p2_quantile_state_across_batches(spark, tmp_path):
     """Streaming P-square markers must survive a checkpoint restart:
     estimates after the second file must equal a single pure-fold pass
@@ -1248,6 +1264,7 @@ def test_stream_p2_quantile_state_across_batches(spark, tmp_path):
     assert 75.0 <= by_n[80]["estimate"] <= 100.0
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_stream_rate_limit_sliding_log_across_batches(spark, tmp_path):
     """The sliding-log limiter must carry its accepted-timestamp log
     across a checkpoint restart: events early in the second file must
@@ -1311,6 +1328,7 @@ def test_stream_rate_limit_sliding_log_across_batches(spark, tmp_path):
     assert rows[-1]["n_dropped"] == 7
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_stream_cusum_state_across_batches(spark, tmp_path):
     """Streaming CUSUM must carry (s_hi, s_lo) across a checkpoint
     restart: a small persistent upward shift split across two files
@@ -1372,6 +1390,7 @@ def test_stream_cusum_state_across_batches(spark, tmp_path):
     assert by_n[8]["alarm"]  # 1.5 * 4 = 6.0 > h across the restart
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_stream_bloom_dedup_state_across_batches(spark, tmp_path):
     """The Bloom filter must persist across a restart: a fingerprint
     first seen in file 1 must be flagged as a probable duplicate when
@@ -1427,6 +1446,7 @@ def test_stream_bloom_dedup_state_across_batches(spark, tmp_path):
     assert by_n[7]["fp_rate"] < 1e-8  # nearly-empty filter
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_stream_hll_cardinality_state_across_batches(spark, tmp_path):
     """HLL registers must persist across a restart: repeats of items
     from file 1 must not move the estimate, fresh items must; the
@@ -1494,6 +1514,7 @@ def test_stream_hll_cardinality_state_across_batches(spark, tmp_path):
     assert abs(by_n[43]["estimate"] - 40) < 2
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_stream_capped_sessions_matches_batch_fold(spark, tmp_path):
     """The streaming gap+cap sessionizer must carry its open session
     across a checkpoint restart and reproduce the BATCH fold's
@@ -1575,6 +1596,7 @@ def test_stream_capped_sessions_matches_batch_fold(spark, tmp_path):
     assert not any(r["is_late"] for r in collected)
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_stream_capped_sessions_flags_late_rows(spark, tmp_path):
     """r5 advisor: a row arriving with ts < the saved last-event time
     used to silently join the open session AND regress the clock,
@@ -1654,6 +1676,7 @@ def test_capped_sessions_rejects_unknown_policy(spark):
         )
 
 
+@pytest.mark.slow  # r9: >=10s multi-batch/restart run — ARKFLOW_FULL_TESTS=1
 def test_stream_growth_accounting_matches_batch(spark, tmp_path):
     """The incremental growth-accounting stream must classify each
     user-day exactly once across a checkpoint restart, and its daily

@@ -36,6 +36,14 @@ from scripts.plan_report import (
 from arkflow_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 
+import pytest
+
+# r9: gated behind ARKFLOW_FULL_TESTS=1 — full-registry plan scan, ~3 min
+# (VERDICT r8 item 1: the driver's default verify profile must finish
+# inside its window; nothing deleted, full suite runs with the flag)
+pytestmark = pytest.mark.slow
+
+
 # queries whose justified window lives in a shared helper (the marker is
 # in the helper's source, which inspect.getsource(fn) does not include).
 # The justification string must still name an enumerated class.
