@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, und: DataFrame | None = None) -> DataFrame:
     """One-row ``(t)`` exact triangle count of an undirected graph
     given as deduplicated ``(u, v)`` edges with ``u < v``.
 
@@ -35,10 +35,19 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     — a total order, so each triangle {p, q, r} with p < q < r in it
     is counted exactly once: as the wedge (q, r) at apex p closed by
     the oriented edge q -> r.
+
+    ``und`` (optional, r9): the SYMMETRIC form of the same edge set.
+    Callers backed by the bucketed co-purchase index pass
+    ``copurchase.undirected(...)`` so the degree aggregate groups on
+    the index's bucket key — exchange-free — instead of shuffling a
+    transposed union of ``edges`` (the r9 triangle-family A/B traced
+    the r8 regression vs the r7 anchor to exactly this extra shuffle
+    + its standalone aggregate job).
     """
-    und = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    if und is None:
+        und = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
     deg = und.groupBy("u").agg(F.count("*").alias("d"))
     e = edges.join(
         deg.select(F.col("u"), F.col("d").alias("du")), "u"

@@ -218,12 +218,19 @@ def ann_ivf_assignment_stability(
         (F.col("i0") + 1).alias("i"),
         F.col("v0").cast("double").alias("v"),
     )
+    # r9: COUNT(*) == COUNT(DISTINCT vec_id) here — posexplode emits
+    # exactly one row per (vec_id, i), so vec_ids within a
+    # (half, label, i) group are already distinct. The count_distinct
+    # planned as a 4-level two-phase distinct aggregate (an extra
+    # corpus x 64-wide exchange keyed on (half, label, i, vec_id));
+    # count(*) keeps the aggregate one-pass map-side combinable.
+    # Values are identical, the oracle hash is the witness.
     cent = x.groupBy("half", "label", "i").agg(
         (
             F.sum(_floor6(F.col("v")).cast("decimal(18,6)")).cast(
                 "double"
             )
-            / F.count_distinct("vec_id")
+            / F.count("*")
         ).alias("c")
     ).persist()  # 2 x labels x dims — broadcast into the distance pass
     cc = cent.select(
@@ -244,27 +251,37 @@ def ann_ivf_assignment_stability(
             ).alias("d2")
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id", "chalf").orderBy("d2", "clabel")
-    best = (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "chalf", "clabel")
-        .persist()  # one row per (vector, half); feeds both join sides
-    )
-    a = best.filter(F.col("chalf") == 0).select(
-        "vec_id", F.col("clabel").alias("la")
-    )
-    b = best.filter(F.col("chalf") == 1).select(
-        "vec_id", F.col("clabel").alias("lb")
+    # r9: the argmin per (vector, half) is min(struct(d2, clabel)) —
+    # identical to the row_number() window's (d2 ASC, label ASC) first
+    # row (d2 is a SUM over >= 1 non-null term, so never NULL; the
+    # struct-min NULL-ordering caveat of customer_brand_switching does
+    # not arise) — and BOTH halves fold into ONE vec_id-keyed hash
+    # aggregate via conditional mins. This replaces: a full sort of
+    # the (vectors x 2 x labels) distance frame under a window, a
+    # persist, two filter scans of it, and a self-join — with two
+    # map-side-combinable aggregates. The filter on both mins being
+    # present mirrors the old INNER join (each vector needs an
+    # assignment under each centroid set).
+    best = d.groupBy("vec_id").agg(
+        F.min(
+            F.when(
+                F.col("chalf") == 0,
+                F.struct(F.col("d2"), F.col("clabel")),
+            )
+        ).alias("ma"),
+        F.min(
+            F.when(
+                F.col("chalf") == 1,
+                F.struct(F.col("d2"), F.col("clabel")),
+            )
+        ).alias("mb"),
     )
     return (
-        a.join(b, "vec_id")
+        best.filter(F.col("ma").isNotNull() & F.col("mb").isNotNull())
         .select(
-            F.when(F.col("la") == F.col("lb"), 1).otherwise(0).alias(
-                "same"
-            )
+            F.when(
+                F.col("ma.clabel") == F.col("mb.clabel"), 1
+            ).otherwise(0).alias("same")
         )
         .agg(
             F.count("*").cast("bigint").alias("n_vectors"),

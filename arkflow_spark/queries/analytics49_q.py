@@ -287,7 +287,15 @@ def dedup_minhash_bbit_calibration(
         _shingles,
     )
 
-    sh = _shingles(spark, sf_dir).persist()
+    # r9: no persist on the shingle frame — it is already a
+    # materialized doc_id-bucketed INDEX table, so its two join-side
+    # reads are cheap parallel bucket scans; caching it pinned a
+    # corpus-scaled frame in executor memory for no local win
+    # (interleaved A/B: persist 3.05s vs lazy 3.02s warm) and is
+    # backwards at 100 TB (the triangle-family r8 lesson). The
+    # candidate table keeps its persist: it is join-derived, bounded
+    # by LSH collisions, and referenced twice.
+    sh = _shingles(spark, sf_dir)
     # r7: sig reads the materialized signature table (one build per
     # session shared by the MinHash family); it feeds the band explode
     # AND both signature join sides from bucketed storage.

@@ -109,11 +109,13 @@ def graph_clustering_coefficient(
     edges = copurchase.directed(
         spark, sf_dir, min_support=_CC_MIN_SUPPORT
     ).select("u", "v")
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").cast("bigint").alias("d"))
+    # r9: degrees group on the symmetric index's bucket key —
+    # exchange-free — instead of shuffling a transposed union
+    und = copurchase.undirected(
+        spark, sf_dir, min_support=_CC_MIN_SUPPORT
+    ).select("u", "v")
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
     )
     wed = deg.agg(
         F.sum(F.col("d") * (F.col("d") - 1) / 2)
@@ -126,7 +128,7 @@ def graph_clustering_coefficient(
     # hub fan-out capped; the oracle keeps the naive id-oriented SQL)
     from arkflow_spark.functions.triangles import triangle_count
 
-    tri = triangle_count(edges)
+    tri = triangle_count(edges, und=und)
     n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
     return (
         wed.crossJoin(F.broadcast(tri))

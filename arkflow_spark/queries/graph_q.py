@@ -335,15 +335,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase.directed(spark, sf_dir, min_support=2).select(
         "u", "v"
     )
-    tri = triangle_count(edges).select(
+    # r9: hand the symmetric index view to the counter so the degree
+    # aggregate and the node census both group on the bucket key
+    # (exchange-free) instead of shuffling a transposed union
+    und = copurchase.undirected(spark, sf_dir, min_support=2).select(
+        "u", "v"
+    )
+    tri = triangle_count(edges, und=und).select(
         F.col("t").alias("n_triangles")
     )
-    nodes = (
-        edges.select(F.col("u").alias("node"))
-        .union(edges.select(F.col("v").alias("node")))
-        .distinct()
-        .agg(F.count("*").alias("n_nodes"))
-    )
+    nodes = und.select("u").distinct().agg(F.count("*").alias("n_nodes"))
     n_edges = edges.agg(F.count("*").alias("n_edges"))
     return (
         nodes.crossJoin(F.broadcast(n_edges))
