@@ -40,20 +40,23 @@ def test_rotation_head_targets_coverage_debt():
     not re-proofs of already-green queries (VERDICT r5 item 1)."""
     led = json.load(open("driver_ledger.json"))["queries"]
     head = list(QUERIES)[:50]
-    # queries whose implementation changed this round and therefore
-    # legitimately re-enter the sample even if previously green
-    # (r8: the three r7-deferred index-consuming re-proofs + the two
-    # closure-index conversions; the auto-sized-kNN pair is deferred
-    # to positions 51-52 — value-identical by construction, see the
-    # _DRIVER_PRIORITY comment)
+    # queries whose dataflow was rewritten in r8/r9 and never
+    # driver-hash-checked since the rewrite — they legitimately
+    # re-enter the sample even if previously green (see the
+    # _DRIVER_PRIORITY comment for the per-query attribution)
     changed_this_round = {
-        "graph_component_size_histogram",
-        "dedup_lsh_eval_pr",
-        "dedup_minhash_bbit_calibration",
-        "graph_local_bridges",
-        "graph_weak_tie_removal_impact",
-        "embedding_hubness_knn",
-        "embedding_lof_simplified",
+        "graph_kcore_peel",
+        "ann_ivf_assignment_stability",
+        "graph_triangle_count",
+        "graph_clustering_coefficient",
+        "documents_dedup_quality_survivorship",
+        "dedup_cluster_canonical",
+        "q2_min_cost_supplier",
+        "events_hampel_outliers",
+        "dq_sentinel_values",
+        # never-sampled r8 rewrites that fill first-ever slots anyway
+        "dq_intra_order_consistency",
+        "events_median_polish_hourweek",
     }
     resamples = [
         n
